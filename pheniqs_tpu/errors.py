@@ -1,0 +1,83 @@
+"""Typed error taxonomy with process exit codes.
+
+Mirrors the reference error model (reference error.h:32-134): every failure
+mode maps to a stable exit code so shell pipelines can dispatch on it, and
+errors carry a push-down context stack describing where in the configuration
+compilation or IO stack they originated.
+"""
+
+from __future__ import annotations
+
+
+class PheniqsError(Exception):
+    """Base error. `code` is the process exit code."""
+
+    code = 1
+    name = "Error"
+
+    def __init__(self, message: str = ""):
+        super().__init__(message)
+        self.message = message
+        self.stack: list[str] = []
+
+    def push(self, context: str) -> "PheniqsError":
+        """Record the enclosing component, innermost first."""
+        self.stack.append(context)
+        return self
+
+    def describe(self) -> str:
+        where = "".join(f"{frame} :: " for frame in reversed(self.stack))
+        return f"{where}{self.name} : {self.message}"
+
+    def __str__(self) -> str:  # pragma: no cover - display only
+        return self.describe()
+
+
+class InternalError(PheniqsError):
+    code = 1
+    name = "Internal error"
+
+
+class ConfigurationError(PheniqsError):
+    code = 2
+    name = "Configuration error"
+
+
+class OutOfMemoryError(PheniqsError):
+    code = 3
+    name = "Out of memory error"
+
+
+class CommandLineError(PheniqsError):
+    code = 4
+    name = "Command line error"
+
+
+class IOError_(PheniqsError):
+    code = 5
+    name = "IO error"
+
+
+class SequenceError(PheniqsError):
+    code = 6
+    name = "Sequence error"
+
+
+class OverflowError_(PheniqsError):
+    code = 7
+    name = "Overflow error"
+
+
+class CorruptAuxiliaryError(PheniqsError):
+    code = 8
+    name = "Corrupt auxiliary error"
+
+
+class JsonError(PheniqsError):
+    code = 9
+    name = "JSON error"
+
+
+class BadConfigurationFileError(PheniqsError):
+    code = 10
+    name = "Bad configuration file error"

@@ -1,0 +1,115 @@
+"""The strict PAMLD engine must reproduce the reference golden SAM exactly:
+classification, qcfail flags and XB confidence tags (test/BDGGG/valid/
+annotated.out), including the deterministic handling of observations
+shorter than the expected barcode."""
+
+import numpy as np
+import pytest
+
+from pheniqs_tpu.decode.oracle import ObservationScratch, pamld_classify
+from pheniqs_tpu.decode.spec import BarcodePanel, DecoderSpec
+from pheniqs_tpu.io.fastq import FastqReadAssembler
+from pheniqs_tpu.iupac import encode_ascii
+from pheniqs_tpu.model.batch import ReadBatch
+from pheniqs_tpu.transform import Rule
+
+BARCODES = ["AGGCAGAA", "CGTACTAG", "GGACTCCT", "TAAGGCGA", "TCCTGAGC"]
+CONCENTRATION = [0.18, 0.20, 0.22, 0.23, 0.17]
+
+
+@pytest.fixture(scope="module")
+def bdggg_batch(bdggg):
+    feeds = [(f"{bdggg}/BDGGG_s0{i}.fastq", 1) for i in (1, 2, 3)]
+    records = [
+        [(r.name, r.sequence, r.quality, r.qcfail) for r in read]
+        for read in FastqReadAssembler(feeds)
+    ]
+    batch = ReadBatch.from_records(records)
+    keep = np.ones(batch.size, dtype=bool)
+    for i, min_len in ((1, 0), (2, 22)):
+        keep &= batch.segments[i].length >= min_len
+    return batch.select(keep)
+
+
+@pytest.fixture(scope="module")
+def golden(bdggg):
+    out = {}
+    for line in open(f"{bdggg}/valid/annotated.out"):
+        if line.startswith("@"):
+            continue
+        fields = line.rstrip("\n").split("\t")
+        qname, flag = fields[0], int(fields[1])
+        if not flag & 64:
+            continue
+        tags = dict(t.split(":", 2)[0::2] for t in fields[11:])
+        out[qname] = (flag, tags)
+    return out
+
+
+def sample_spec():
+    panel = BarcodePanel(
+        codes=np.stack([encode_ascii(b) for b in BARCODES]),
+        concentration=np.array(CONCENTRATION) * (1 - 0.015),
+        segment_lengths=[8],
+        keys=BARCODES,
+        barcode_strings=[[b] for b in BARCODES],
+    )
+    return DecoderSpec(
+        algorithm="pamld",
+        classifier_type="sample",
+        index=1,
+        rule=Rule.from_ontology({"token": ["1::8"], "knit": ["0"]}),
+        panel=panel,
+        multiplexing=True,
+        noise=0.015,
+        confidence_threshold=0.99,
+        random_barcode_probability=4.0**-8,
+        high_quality_threshold=20,
+        high_quality_distance_threshold=1,
+    )
+
+
+def test_pamld_matches_golden_sam(bdggg_batch, golden):
+    spec = sample_spec()
+    obs = spec.rule.apply(bdggg_batch.segments)
+    scratch = ObservationScratch([s.width for s in obs])
+    eff_code, eff_qual = scratch.effective(0, obs[0])
+    res = pamld_classify(spec, eff_code, eff_qual, bdggg_batch.qcfail.copy())
+
+    assert bdggg_batch.size == 248
+    for i, name in enumerate(bdggg_batch.names):
+        flag_g, tags_g = golden[name.decode()]
+        rg = tags_g["RG"].rsplit(":", 1)[1]
+        want = 0 if rg == "undetermined" else BARCODES.index(rg) + 1
+        assert int(res.decoded[i]) == want, name
+        conf = res.confidence[i]
+        xb = "%g" % np.float32(1.0 - conf) if 0 < conf < 1 else None
+        assert tags_g.get("XB") == xb, name
+        assert bool(flag_g & 512) == bool(res.qcfail[i]), name
+
+
+def test_observation_scratch_carry():
+    """Short observations inherit stale tail bytes from the previous read
+    in stream order; the position at the length gets the NUL terminator."""
+    from pheniqs_tpu.transform import SegmentBatch
+
+    scratch = ObservationScratch([4])
+    batch = SegmentBatch(
+        code=np.array(
+            [[1, 2, 4, 8], [2, 2, 0, 0], [4, 0, 0, 0]], dtype=np.uint8
+        ),
+        quality=np.array(
+            [[30, 30, 30, 30], [20, 20, 0, 0], [10, 0, 0, 0]], dtype=np.uint8
+        ),
+        length=np.array([4, 2, 1], dtype=np.int32),
+    )
+    code, qual = scratch.effective(0, batch)
+    np.testing.assert_array_equal(code[0], [1, 2, 4, 8])
+    # read 1: data, data, NUL, stale from read 0
+    np.testing.assert_array_equal(code[1], [2, 2, 0, 8])
+    np.testing.assert_array_equal(qual[1], [20, 20, 0, 30])
+    # read 2: data, NUL, stale NUL from read 1, stale from read 0
+    np.testing.assert_array_equal(code[2], [4, 0, 0, 8])
+    np.testing.assert_array_equal(qual[2], [10, 0, 0, 30])
+    # carry state persists across batches
+    np.testing.assert_array_equal(scratch.code[0], [4, 0, 0, 8])
