@@ -1,0 +1,16 @@
+"""`python -m pheniqs_tpu.cli.main mux ...` — the command-line entrypoint."""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    from ..job import run_job
+
+    argv = list(sys.argv if argv is None else argv)
+    return run_job(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

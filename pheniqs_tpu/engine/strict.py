@@ -1,0 +1,781 @@
+"""The strict (exact float64) execution engine.
+
+Runs a compiled instruction end to end on host: streams read batches from
+the input feeds, classifies them with the NumPy oracle decoders, assembles
+output reads through the template rule, routes them to per-barcode output
+channels, and accumulates the statistics that feed the JSON report. Every
+numeric decision replicates the reference bit for bit; this engine is both
+the `--fidelity strict` path and the correctness oracle for the TPU path.
+
+Structure mirrors the reference hot loop (reference transcode.h:202-225):
+  pull -> validate -> filters -> classify (sample, molecular*, cellular*)
+  -> template -> flush -> multiplex push
+but vectorized over batches instead of per read.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..config.url import URL
+from ..decode.oracle import (
+    BRANCH_LOW_CONFIDENCE,
+    BRANCH_NOISE,
+    BRANCH_PASS,
+    ClassifyResult,
+    ObservationScratch,
+    mdd_classify,
+    pamld_classify,
+)
+from ..decode.spec import spec_from_ontology
+from ..errors import ConfigurationError
+from ..io.fastq import read_fastq, write_fastq_record
+from ..io.sam import (
+    FLAG_MUNMAP,
+    FLAG_PAIRED,
+    FLAG_QCFAIL,
+    FLAG_READ1,
+    FLAG_READ2,
+    FLAG_UNMAP,
+    AuxTags,
+    SamHeader,
+    bam_codes_to_ascii,
+    format_record,
+    quality_to_ascii,
+)
+from ..iupac import BAM_TO_ASCII
+from ..model.batch import ReadBatch
+from ..report.accumulate import DecoderAccumulator
+from ..transform import Rule, SegmentBatch
+
+
+# ---------------------------------------------------------------------------
+# output feeds
+# ---------------------------------------------------------------------------
+
+class OutputFeed:
+    """One output destination shared by all channels referencing its URL."""
+
+    def __init__(self, proxy: dict, ontology: dict):
+        self.url = URL(proxy["url"])
+        self.phred_offset = int(proxy.get("phred offset", 33))
+        self.format = self.url.format_type or "sam"
+        self.stream = None
+        self._owns_stream = False
+        self.header: bytes = b""
+
+    def initiate(self, header: "SamHeader | None"):
+        if self.url.is_stdout():
+            self.stream = sys.stdout.buffer
+        elif self.url.is_stderr():
+            self.stream = sys.stderr.buffer
+        elif self.url.is_dev_null():
+            self.stream = None
+        else:
+            compression = self.url.compression
+            if compression in ("gz", "bgzf"):
+                import gzip
+
+                level = int(self.url.compression_level or 5)
+                self.stream = gzip.open(self.url.path, "wb", compresslevel=level)
+            else:
+                self.stream = open(self.url.path, "wb")
+            self._owns_stream = True
+        if self.stream is not None and self.format == "sam" and header is not None:
+            self.stream.write(header.encode())
+
+    def write(self, payload: bytes):
+        if self.stream is not None:
+            self.stream.write(payload)
+
+    def close(self):
+        if self.stream is not None:
+            self.stream.flush()
+            if self._owns_stream:
+                self.stream.close()
+            self.stream = None
+
+
+class Channel:
+    """Per-barcode output routing (reference multiplex.h:184-232)."""
+
+    def __init__(self, index: int, ontology: dict, feeds_by_url: dict):
+        self.index = index
+        self.filter_outgoing_qc_fail = bool(
+            ontology.get("filter outgoing qc fail", False)
+        )
+        self.output_urls = list(ontology.get("output", []))
+        self.feeds = [feeds_by_url[url] for url in self.output_urls]
+
+
+# ---------------------------------------------------------------------------
+# decoder runtime wrapper
+# ---------------------------------------------------------------------------
+
+class ClassifierRuntime:
+    """One classifier: spec + scratch + accumulator + per-batch classify."""
+
+    def __init__(self, ontology: dict, classifier_type: str):
+        self.spec = spec_from_ontology(ontology, classifier_type)
+        self.accumulator = DecoderAccumulator(
+            self.spec.index,
+            self.spec.panel.cardinality if self.spec.panel else 0,
+        )
+        self.scratch: ObservationScratch | None = None
+        if self.spec.rule is not None and self.spec.panel is not None:
+            widths = [0] * self.spec.rule.output_segment_cardinality
+            for tx in self.spec.rule.transform_array:
+                widths[tx.output_segment_index] += max(tx.token.length(), 0)
+            self.scratch = ObservationScratch(widths)
+
+    def classify(self, batch: ReadBatch, qcfail: np.ndarray) -> ClassifyResult:
+        spec = self.spec
+        n = batch.size
+        if spec.algorithm == "passthrough" or spec.rule is None:
+            result = ClassifyResult(
+                decoded=np.zeros(n, dtype=np.int32),
+                confidence=np.zeros(n, dtype=np.float64),
+                edit_distance=np.zeros(n, dtype=np.int32),
+                qcfail=qcfail,
+                branch=np.full(n, BRANCH_PASS, dtype=np.int8),
+                argmax=np.zeros(n, dtype=np.int32),
+            )
+            self.accumulator.update_counts(result.decoded, result.qcfail)
+            return result
+
+        observation = spec.rule.apply(batch.segments)
+        if spec.algorithm == "naive":
+            result = ClassifyResult(
+                decoded=np.zeros(n, dtype=np.int32),
+                confidence=np.zeros(n, dtype=np.float64),
+                edit_distance=np.zeros(n, dtype=np.int32),
+                qcfail=qcfail,
+                branch=np.full(n, BRANCH_PASS, dtype=np.int8),
+                argmax=np.zeros(n, dtype=np.int32),
+                observation=observation,
+            )
+            self.accumulator.update_counts(result.decoded, result.qcfail)
+            return result
+
+        if spec.panel is None:
+            raise ConfigurationError(
+                f"{spec.algorithm} decoder requires a codec"
+            )
+
+        if spec.algorithm == "pamld":
+            # effective (scratch-carrying) observation per segment,
+            # concatenated across segments for the likelihood kernel
+            eff_codes = []
+            eff_quals = []
+            for segment_index, segment in enumerate(observation):
+                code, qual = self.scratch.effective(segment_index, segment)
+                eff_codes.append(code)
+                eff_quals.append(qual)
+            obs_code = np.concatenate(eff_codes, axis=1)
+            obs_qual = np.concatenate(eff_quals, axis=1)
+            result = pamld_classify(spec, obs_code, obs_qual, qcfail)
+            result.observation = observation
+            acc = self.accumulator
+            passed = result.branch == BRANCH_PASS
+            acc.update_confidence(
+                result.decoded, result.confidence, passed, result.qcfail
+            )
+            acc.update_filters(
+                result.argmax,
+                result.branch == BRANCH_LOW_CONFIDENCE,
+                result.branch == BRANCH_NOISE,
+            )
+            acc.update_distance(result.decoded, result.edit_distance, result.qcfail)
+            acc.update_counts(result.decoded, result.qcfail)
+            return result
+
+        if spec.algorithm == "mdd":
+            result = mdd_classify(spec, observation, qcfail)
+            acc = self.accumulator
+            acc.update_distance(result.decoded, result.edit_distance, result.qcfail)
+            acc.update_counts(result.decoded, result.qcfail)
+            return result
+
+        raise ConfigurationError(f"unknown algorithm {spec.algorithm}")
+
+
+# ---------------------------------------------------------------------------
+# per-batch tag material
+# ---------------------------------------------------------------------------
+
+class BarcodeTagData:
+    """Raw and corrected barcode strings for one classifier over a batch."""
+
+    __slots__ = ("raw_seq", "raw_qual", "corrected_seq", "corrected_qual")
+
+    def __init__(self, n: int):
+        self.raw_seq = [""] * n
+        self.raw_qual = [""] * n
+        self.corrected_seq = [""] * n
+        self.corrected_qual = [""] * n
+
+
+def build_tag_data(
+    result: ClassifyResult,
+    spec,
+    phred_offset: int = 33,
+    corrected: bool = True,
+) -> BarcodeTagData:
+    """Vectorized equivalent of append_to_raw/corrected_*_barcode
+    (reference read.h:269-348, sequence.h:382-398)."""
+    observation = result.observation
+    n = observation[0].length.shape[0] if observation else 0
+    data = BarcodeTagData(n)
+
+    raw_seq_parts = []
+    raw_qual_parts = []
+    cor_seq_parts = []
+    cor_qual_parts = []
+    for segment_index, segment in enumerate(observation):
+        width = segment.width
+        ascii_seq = BAM_TO_ASCII[segment.code]
+        ascii_qual = segment.quality + phred_offset
+        raw_seq_parts.append(ascii_seq)
+        raw_qual_parts.append(ascii_qual)
+        if corrected and spec.panel is not None:
+            sl = spec.panel.segment_slices()[segment_index]
+            # barcode codes for the decoded tag of each read; index 0 is the
+            # undetermined '=' padded barcode
+            barcode_codes = np.vstack(
+                [
+                    np.zeros(sl.stop - sl.start, dtype=np.uint8),
+                    spec.panel.codes[:, sl],
+                ]
+            )
+            chosen = barcode_codes[result.decoded]  # (N, Ws)
+            ws = min(width, chosen.shape[1])
+            cor_code = chosen[:, :ws]
+            keep_original = (segment.code[:, :ws] == cor_code) | (cor_code == 0)
+            cor_qual = np.where(
+                keep_original,
+                segment.quality[:, :ws],
+                np.uint8(spec.corrected_quality),
+            )
+            cor_seq_parts.append(BAM_TO_ASCII[cor_code])
+            cor_qual_parts.append(cor_qual + phred_offset)
+
+    for i in range(n):
+        seq_chunks = []
+        qual_chunks = []
+        cor_chunks = []
+        cor_qual_chunks = []
+        for s, segment in enumerate(observation):
+            length = int(segment.length[i])
+            seq_chunks.append(raw_seq_parts[s][i, :length].tobytes())
+            qual_chunks.append(
+                raw_qual_parts[s][i, :length].astype(np.uint8).tobytes()
+            )
+            if corrected and spec.panel is not None:
+                cor_len = min(length, cor_seq_parts[s].shape[1])
+                cor_chunks.append(cor_seq_parts[s][i, :cor_len].tobytes())
+                cor_qual_chunks.append(
+                    cor_qual_parts[s][i, :cor_len].astype(np.uint8).tobytes()
+                )
+        data.raw_seq[i] = b"".join(seq_chunks).decode("ascii")
+        data.raw_qual[i] = b"".join(qual_chunks).decode("ascii")
+        if corrected and spec.panel is not None:
+            data.corrected_seq[i] = b"".join(cor_chunks).decode("ascii")
+            data.corrected_qual[i] = b"".join(cor_qual_chunks).decode("ascii")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+class StrictEngine:
+    def __init__(self, ontology: dict):
+        self.ontology = ontology
+        self.input_segment_cardinality = int(ontology["input segment cardinality"])
+        self.output_segment_cardinality = int(ontology["output segment cardinality"])
+        self.leading_segment_index = int(ontology.get("leading segment index", 0))
+        self.filter_incoming_qc_fail = bool(
+            ontology.get("filter incoming qc fail", False)
+        )
+        self.min_input_length = list(ontology.get("min input length", []))
+        self.input_phred_offset = int(ontology.get("input phred offset", 33))
+        self.output_phred_offset = int(ontology.get("output phred offset", 33))
+
+        # classifiers
+        sample = ontology.get("sample")
+        self.sample = (
+            ClassifierRuntime(sample, "sample") if isinstance(sample, dict) else None
+        )
+        self.molecular = [
+            ClassifierRuntime(element, "molecular")
+            for element in ontology.get("molecular", []) or []
+        ]
+        self.cellular = [
+            ClassifierRuntime(element, "cellular")
+            for element in ontology.get("cellular", []) or []
+        ]
+
+        self.template_rule = Rule.from_ontology(
+            ontology["template"]["transform"], allow_virtual=True
+        )
+
+        # multiplexing decoder + channels
+        self.multiplexing = self._find_multiplexing_runtime()
+        self.channels: list[Channel] = []
+        self.feeds_by_url: dict[str, OutputFeed] = {}
+        for proxy in ontology.get("feed", {}).get("output feed", []) or []:
+            self.feeds_by_url[proxy["url"]] = OutputFeed(proxy, ontology)
+        decoder_ontology = self._multiplexing_ontology()
+        if decoder_ontology is not None:
+            channel_nodes = [decoder_ontology.get("undetermined", {})]
+            channel_nodes.extend(decoder_ontology.get("codec", {}).values())
+            for index, node in enumerate(channel_nodes):
+                self.channels.append(Channel(index, node, self.feeds_by_url))
+
+        # incoming / outgoing counters
+        self.incoming_count = 0
+        self.incoming_pf_count = 0
+        self.outgoing_count = 0
+        self.outgoing_pf_count = 0
+
+    def _find_multiplexing_runtime(self):
+        for runtime in [self.sample, *self.cellular, *self.molecular]:
+            if runtime is not None and runtime.spec.multiplexing:
+                return runtime
+        return self.sample
+
+    def _multiplexing_ontology(self):
+        if self.multiplexing is None:
+            return None
+        return self.multiplexing.spec.ontology
+
+    # --- input -----------------------------------------------------------------
+    def read_batches(self, batch_size: int = 4096):
+        feed_proxies = self.ontology["feed"]["input feed"]
+        segment_proxies = self.ontology["feed"]["input feed by segment"]
+        iterators = {
+            proxy["url"]: read_fastq(
+                URL(proxy["url"]).path, int(proxy.get("phred offset", 33))
+            )
+            for proxy in feed_proxies
+        }
+        segment_urls = [proxy["url"] for proxy in segment_proxies]
+
+        records = []
+        while True:
+            read = []
+            exhausted = False
+            for url in segment_urls:
+                record = next(iterators[url], None)
+                if record is None:
+                    exhausted = True
+                    break
+                read.append(record)
+            if exhausted:
+                break
+            baseline = read[0].name
+            for record in read[1:]:
+                if record.name != baseline:
+                    from ..errors import SequenceError
+
+                    raise SequenceError(
+                        f"read out of sync {record.name.decode()} and "
+                        f"{baseline.decode()}"
+                    )
+            records.append(
+                [(r.name, r.sequence, r.quality, r.qcfail) for r in read]
+            )
+            if len(records) >= batch_size:
+                yield ReadBatch.from_records(records)
+                records = []
+        if records:
+            yield ReadBatch.from_records(records)
+
+    # --- execution ---------------------------------------------------------------
+    def execute(self, batch_size: int = 4096):
+        header = SamHeader(self.ontology, self.ontology.get("program"))
+        initiated = set()
+        for url, feed in self.feeds_by_url.items():
+            if id(feed) not in initiated:
+                feed.initiate(header)
+                initiated.add(id(feed))
+        for batch in self.read_batches(batch_size):
+            self.process_batch(batch)
+        for feed in self.feeds_by_url.values():
+            feed.close()
+
+    def process_batch(self, batch: ReadBatch):
+        n = batch.size
+        self.incoming_count += n
+        self.incoming_pf_count += int((~batch.qcfail).sum())
+
+        keep = np.ones(n, dtype=bool)
+        if self.filter_incoming_qc_fail:
+            keep &= ~batch.qcfail
+        for i in range(1, batch.segment_cardinality):
+            if i < len(self.min_input_length) and self.min_input_length[i] > 0:
+                keep &= batch.segments[i].length >= self.min_input_length[i]
+        if not keep.all():
+            batch = batch.select(keep)
+            n = batch.size
+        if n == 0:
+            return
+
+        qcfail = batch.qcfail.copy()
+
+        sample_result = None
+        sample_tags = None
+        if self.sample is not None:
+            sample_result = self.sample.classify(batch, qcfail)
+            qcfail = sample_result.qcfail
+            if sample_result.observation:
+                sample_tags = build_tag_data(
+                    sample_result, self.sample.spec, corrected=True
+                )
+            elif self.sample.spec.rule is not None:
+                sample_result.observation = self.sample.spec.rule.apply(
+                    batch.segments
+                )
+                sample_tags = build_tag_data(
+                    sample_result, self.sample.spec, corrected=True
+                )
+
+        molecular_results = []
+        for runtime in self.molecular:
+            result = runtime.classify(batch, qcfail)
+            qcfail = result.qcfail
+            tags = (
+                build_tag_data(
+                    result,
+                    runtime.spec,
+                    corrected=runtime.spec.algorithm == "pamld",
+                )
+                if result.observation
+                else None
+            )
+            molecular_results.append((runtime, result, tags))
+
+        cellular_results = []
+        for runtime in self.cellular:
+            result = runtime.classify(batch, qcfail)
+            qcfail = result.qcfail
+            tags = (
+                build_tag_data(result, runtime.spec, corrected=True)
+                if result.observation
+                else None
+            )
+            cellular_results.append((runtime, result, tags))
+
+        self.outgoing_count += n
+        self.outgoing_pf_count += int((~qcfail).sum())
+
+        # --- combined confidences and distances (reference read.h:279-348)
+        sample_conf = np.ones(n, dtype=np.float64)
+        sample_dist = np.zeros(n, dtype=np.int64)
+        if sample_result is not None and self.sample.spec.algorithm in (
+            "pamld",
+            "mdd",
+        ):
+            if self.sample.spec.algorithm == "pamld":
+                sample_conf = sample_result.confidence.copy()
+            sample_dist += sample_result.edit_distance
+
+        molecular_conf = np.ones(n, dtype=np.float64)
+        molecular_dist = np.zeros(n, dtype=np.int64)
+        for runtime, result, _ in molecular_results:
+            if runtime.spec.algorithm == "pamld":
+                classified = result.decoded > 0
+                molecular_conf = np.where(
+                    classified,
+                    np.where(
+                        molecular_conf == 1.0,
+                        result.confidence,
+                        molecular_conf * result.confidence,
+                    ),
+                    0.0,
+                )
+                molecular_dist = np.where(
+                    classified, molecular_dist + result.edit_distance, 0
+                )
+
+        cellular_conf = np.ones(n, dtype=np.float64)
+        cellular_dist = np.zeros(n, dtype=np.int64)
+        for runtime, result, _ in cellular_results:
+            classified = result.decoded > 0
+            if runtime.spec.algorithm == "pamld":
+                cellular_conf = np.where(
+                    classified,
+                    np.where(
+                        cellular_conf == 1.0,
+                        result.confidence,
+                        cellular_conf * result.confidence,
+                    ),
+                    0.0,
+                )
+            cellular_dist = np.where(
+                classified, cellular_dist + result.edit_distance, 0
+            )
+
+        # --- channel routing
+        if self.multiplexing is not None:
+            if self.multiplexing is self.sample:
+                channel_index = sample_result.decoded
+            else:
+                channel_index = np.zeros(n, dtype=np.int32)
+                for runtime, result, _ in cellular_results + [
+                    (r, res, None) for r, res, _ in molecular_results
+                ]:
+                    if runtime is self.multiplexing:
+                        channel_index = result.decoded
+                        break
+        else:
+            channel_index = np.zeros(n, dtype=np.int32)
+
+        # --- template application
+        segments = {i: s for i, s in enumerate(batch.segments)}
+        needed = {
+            tx.token.input_segment_index
+            for tx in self.template_rule.transform_array
+        }
+        if needed & {-1, -2, -3}:
+            segments.update(
+                self._virtual_segments(
+                    n, sample_result, sample_tags, molecular_results, cellular_results
+                )
+            )
+        output_segments = self.template_rule.apply(segments)
+
+        # --- RG per read
+        rg_values = None
+        if (
+            self.sample is not None
+            and self.sample.spec.rg_by_barcode_index
+            and sample_result is not None
+        ):
+            rg_table = self.sample.spec.rg_by_barcode_index
+            rg_values = [rg_table[i] for i in sample_result.decoded]
+
+        # --- emit records
+        self._emit(
+            batch,
+            output_segments,
+            qcfail,
+            channel_index,
+            rg_values,
+            sample_result,
+            sample_tags,
+            sample_conf,
+            molecular_results,
+            molecular_conf,
+            cellular_results,
+            cellular_conf,
+        )
+
+    def _virtual_segments(
+        self, n, sample_result, sample_tags, molecular_results, cellular_results
+    ):
+        """Corrected-barcode virtual segments for template tokens s/c/m."""
+        from ..iupac import ASCII_TO_BAM
+
+        virtual = {}
+
+        def make(tag_sets):
+            seqs = [""] * n
+            quals = [""] * n
+            for tags in tag_sets:
+                if tags is None:
+                    continue
+                for i in range(n):
+                    seqs[i] += tags.corrected_seq[i]
+                    quals[i] += tags.corrected_qual[i]
+            width = max((len(s) for s in seqs), default=0)
+            code = np.zeros((n, width), dtype=np.uint8)
+            qual = np.zeros((n, width), dtype=np.uint8)
+            length = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                raw = seqs[i].encode()
+                length[i] = len(raw)
+                code[i, : len(raw)] = ASCII_TO_BAM[np.frombuffer(raw, dtype=np.uint8)]
+                qual[i, : len(raw)] = (
+                    np.frombuffer(quals[i].encode(), dtype=np.uint8) - 33
+                )
+            return SegmentBatch(code=code, quality=qual, length=length)
+
+        virtual[-1] = make([sample_tags])
+        virtual[-2] = make([t for _, _, t in cellular_results])
+        virtual[-3] = make(
+            [
+                t
+                for r, _, t in molecular_results
+                if r.spec.algorithm == "pamld" and t is not None
+            ]
+        )
+        return virtual
+
+    def _emit(
+        self,
+        batch,
+        output_segments,
+        qcfail,
+        channel_index,
+        rg_values,
+        sample_result,
+        sample_tags,
+        sample_conf,
+        molecular_results,
+        molecular_conf,
+        cellular_results,
+        cellular_conf,
+    ):
+        n = batch.size
+        cardinality = len(output_segments)
+        base_flag = FLAG_UNMAP | FLAG_MUNMAP
+        flags = []
+        for s in range(cardinality):
+            flag = base_flag
+            if cardinality > 1:
+                flag |= FLAG_PAIRED
+                if s == 0:
+                    flag |= FLAG_READ1
+                if s == cardinality - 1:
+                    flag |= FLAG_READ2
+            flags.append(flag)
+
+        # raw molecular (naive + pamld) concatenate in decoder order
+        out = []
+        for i in range(n):
+            name = batch.names[i].decode()
+            tags = AuxTags()
+            if rg_values is not None:
+                tags.RG = rg_values[i]
+            if sample_tags is not None:
+                tags.BC = sample_tags.raw_seq[i]
+                tags.QT = sample_tags.raw_qual[i]
+            if 0 < sample_conf[i] < 1:
+                tags.XB = 1.0 - sample_conf[i]
+
+            raw_mol_seq = ""
+            raw_mol_qual = ""
+            cor_mol_seq = ""
+            cor_mol_qual = ""
+            for runtime, result, mtags in molecular_results:
+                if mtags is not None:
+                    raw_mol_seq += mtags.raw_seq[i]
+                    raw_mol_qual += mtags.raw_qual[i]
+                    if runtime.spec.algorithm == "pamld":
+                        cor_mol_seq += mtags.corrected_seq[i]
+                        cor_mol_qual += mtags.corrected_qual[i]
+            if raw_mol_seq:
+                tags.OX = raw_mol_seq
+                tags.BZ = raw_mol_qual
+            if cor_mol_seq:
+                tags.RX = cor_mol_seq
+                tags.QX = cor_mol_qual
+            if 0 < molecular_conf[i] < 1:
+                tags.XM = 1.0 - molecular_conf[i]
+
+            cor_cell_seq = ""
+            raw_cell_seq = ""
+            raw_cell_qual = ""
+            for runtime, result, ctags in cellular_results:
+                if ctags is not None:
+                    raw_cell_seq += ctags.raw_seq[i]
+                    raw_cell_qual += ctags.raw_qual[i]
+                    cor_cell_seq += ctags.corrected_seq[i]
+            if cor_cell_seq:
+                tags.CB = cor_cell_seq
+            if raw_cell_seq:
+                tags.CR = raw_cell_seq
+                tags.CY = raw_cell_qual
+            if 0 < cellular_conf[i] < 1:
+                tags.XC = 1.0 - cellular_conf[i]
+
+            fail = bool(qcfail[i])
+            records = []
+            for s in range(cardinality):
+                segment = output_segments[s]
+                length = int(segment.length[i])
+                flag = flags[s] | (FLAG_QCFAIL if fail else 0)
+                seq = bam_codes_to_ascii(segment.code[i], length)
+                qual = quality_to_ascii(
+                    segment.quality[i], length, self.output_phred_offset
+                )
+                records.append(
+                    format_record(name, flag, seq, qual, tags)
+                )
+            out.append((int(channel_index[i]), fail, records))
+
+        for index, fail, records in out:
+            channel = self.channels[index] if index < len(self.channels) else None
+            if channel is None or not channel.feeds:
+                continue
+            if channel.filter_outgoing_qc_fail and fail:
+                continue
+            for s, record in enumerate(records):
+                channel.feeds[s].write((record + "\n").encode())
+
+    # --- report ----------------------------------------------------------------
+    def finalize_report(self, include_job: dict | None = None) -> dict:
+        from ..report.accumulate import encode_decoder_report
+
+        report: dict = {}
+        if include_job is not None:
+            report["job"] = include_job
+        if self.incoming_count > 0:
+            report["incoming"] = {
+                "count": self.incoming_count,
+                "pf count": self.incoming_pf_count,
+                "pf fraction": self.incoming_pf_count / self.incoming_count,
+            }
+        if self.outgoing_count > 0:
+            report["outgoing"] = {
+                "count": self.outgoing_count,
+                "pf count": self.outgoing_pf_count,
+                "pf fraction": self.outgoing_pf_count / self.outgoing_count,
+            }
+        if self.sample is not None:
+            final = self.sample.accumulator.finalize()
+            sample_report = encode_decoder_report(final, self.sample.spec)
+            self._merge_rg_metadata(sample_report)
+            report["sample"] = sample_report
+        if self.molecular:
+            report["molecular"] = [
+                encode_decoder_report(r.accumulator.finalize(), r.spec)
+                for r in self.molecular
+            ]
+        if self.cellular:
+            report["cellular"] = [
+                encode_decoder_report(r.accumulator.finalize(), r.spec)
+                for r in self.cellular
+            ]
+        from ..config.jsonkit import clean_json_object, sort_json
+
+        return sort_json(clean_json_object(report))
+
+    def _merge_rg_metadata(self, sample_report: dict):
+        """Attach read-group metadata to the sample report entries
+        (reference transcode.cpp:1840-1858)."""
+        from ..io.sam import RG_FIELD_ORDER, rg_atoms_from_decoder
+
+        sample = self.ontology.get("sample")
+        if not isinstance(sample, dict):
+            return
+        atoms = rg_atoms_from_decoder(sample)
+        if not atoms:
+            return
+        unclassified = sample_report.get("unclassified")
+        if unclassified is None:
+            return
+        for key in RG_FIELD_ORDER:
+            value = atoms[0].get(key)
+            if value not in (None, ""):
+                unclassified[key] = value
+        for entry in sample_report.get("classified", []):
+            position = int(entry["index"])
+            if position < len(atoms):
+                for key in RG_FIELD_ORDER:
+                    value = atoms[position].get(key)
+                    if value not in (None, ""):
+                        entry[key] = value

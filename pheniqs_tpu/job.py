@@ -1,0 +1,150 @@
+"""Job lifecycle: assemble -> compile -> execute -> finalize -> write result
+(reference job.h:34-51, pipeline.cpp:75-104).
+
+Modes: --validate (describe only), --compile (emit compiled instruction),
+--static (emit assembled instruction), or a full transcode run.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .config.compiler import InstructionCompiler, write_compiled_instruction
+from .config.jsonkit import clean_json_object, sort_json, write_json
+from .config.url import URL
+from .errors import PheniqsError
+
+
+class TranscodeJob:
+    def __init__(self, operation: dict):
+        self.operation = operation
+        self.interactive = operation.get("interactive", {})
+        self.compiler = InstructionCompiler(operation)
+        self.ontology: dict = {}
+        self.engine = None
+        self.report: dict = {}
+
+    @property
+    def float_precision(self) -> int:
+        return int(self.ontology.get("float precision", 15))
+
+    def is_validate_only(self) -> bool:
+        return bool(self.interactive.get("validate only"))
+
+    def is_compile_only(self) -> bool:
+        return bool(self.interactive.get("compile only"))
+
+    def is_static_only(self) -> bool:
+        return bool(self.interactive.get("static only"))
+
+    def run(self, stdout=None, stderr=None):
+        stdout = stdout if stdout is not None else sys.stdout
+        stderr = stderr if stderr is not None else sys.stderr
+
+        self.compiler.assemble()
+        if self.is_static_only():
+            assembled = self.compiler.apply_interactive_ontology(
+                _deep_copy(self.compiler.instruction)
+            )
+            assembled = clean_json_object(sort_json(assembled))
+            stdout.write(write_json(assembled, 324) + "\n")
+            return
+
+        self.ontology = self.compiler.compile()
+        if self.is_compile_only():
+            stdout.write(
+                write_compiled_instruction(self.ontology, self.float_precision)
+                + "\n"
+            )
+            return
+        if self.is_validate_only():
+            from .describe import describe_instruction
+
+            describe_instruction(
+                self.ontology,
+                stdout,
+                display_distance=bool(self.interactive.get("display distance")),
+            )
+            return
+
+        self.execute(stdout)
+        self.write_result(stdout, stderr)
+
+    def execute(self, stdout):
+        fidelity = self.interactive.get("fidelity", "strict")
+        from .engine.strict import StrictEngine
+
+        if fidelity in ("strict", "exact", None):
+            self.engine = StrictEngine(self.ontology)
+        else:
+            from .engine.device import DeviceEngine
+
+            self.engine = DeviceEngine(self.ontology)
+        batch_size = int(self.interactive.get("batch size", 16384))
+        self.engine.execute(batch_size=batch_size)
+        include_job = (
+            self.ontology if self.ontology.get("include compiled job") else None
+        )
+        self.report = self.engine.finalize_report(include_job)
+
+    def write_result(self, stdout, stderr):
+        report_url = URL(self.ontology.get("report url", "/dev/stderr"))
+        payload = write_json(self.report, self.float_precision) + "\n"
+        if report_url.is_dev_null():
+            pass
+        elif report_url.is_stdout():
+            stdout.write(payload)
+        elif report_url.is_stderr():
+            stderr.write(payload)
+        else:
+            with open(report_url.path, "w") as stream:
+                stream.write(write_json(self.report, self.float_precision))
+
+        prior_url_encoded = self.ontology.get("prior adjusted job url")
+        if prior_url_encoded:
+            prior_url = URL(prior_url_encoded)
+            if not prior_url.is_dev_null():
+                from .report.prior import apply_prior_adjustment
+
+                adjusted = _deep_copy(self.compiler.instruction)
+                adjusted = self.compiler.apply_interactive_ontology(adjusted)
+                apply_prior_adjustment(adjusted, self.engine)
+                adjusted = clean_json_object(sort_json(adjusted))
+                payload = write_json(adjusted, self.float_precision) + "\n"
+                if prior_url.is_stdout():
+                    stdout.write(payload)
+                elif prior_url.is_stderr():
+                    stderr.write(payload)
+                else:
+                    with open(prior_url.path, "w") as stream:
+                        stream.write(
+                            write_json(adjusted, self.float_precision)
+                        )
+
+
+def _deep_copy(value):
+    if isinstance(value, dict):
+        return {k: _deep_copy(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_deep_copy(v) for v in value]
+    return value
+
+
+def run_job(argv: list[str], stdout=None, stderr=None) -> int:
+    from .cli.interface import Interface
+
+    try:
+        interface = Interface(argv)
+        if interface.version_triggered:
+            interface.print_version(stderr or sys.stderr)
+            return 0
+        if interface.help_triggered:
+            interface.print_help(stderr or sys.stderr)
+            return 0
+        operation = interface.operation()
+        job = TranscodeJob(operation)
+        job.run(stdout, stderr)
+        return 0
+    except PheniqsError as error:
+        (stderr or sys.stderr).write(error.describe() + "\n")
+        return error.code
