@@ -1,0 +1,115 @@
+"""Throughput benchmark: flagship PAMLD demultiplex decode on real TPU.
+
+Workload: the flagship instrument (96-barcode dual-index PAMLD sample +
+384-barcode PAMLD cellular + naive UMI) over synthetic NovaSeq-shaped
+reads — the union shape of the reference's bundled workloads (BDGGG +
+H7LT2DSXX; reference test/BDGGG/, example/H7LT2DSXX/).
+
+Measures steady-state classified reads/s through the jitted device decode
+step, *including* host->device transfer of the barcode-bearing segments
+each iteration (the biological payload stays on host by design).
+
+Baseline: the strict float64 NumPy engine — the host path whose decisions
+the device path replicates — on the same batch, single core. The reference
+C++ binary cannot be built here (htslib not installed); the strict engine
+is its faithful stand-in and is itself vectorized, so `vs_baseline`
+understates the advantage over the per-read reference loop.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": x}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("PHENIQS_BENCH_BATCH", 1 << 17))
+ITERS = int(os.environ.get("PHENIQS_BENCH_ITERS", 20))
+BASELINE_READS = int(os.environ.get("PHENIQS_BENCH_BASELINE_READS", 1 << 14))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from pheniqs_tpu.decode.oracle import mdd_classify, pamld_classify
+    from pheniqs_tpu.decode.spec import spec_from_ontology
+    from pheniqs_tpu.device.flagship import (
+        flagship_instrument,
+        flagship_ontology,
+        synthetic_batch,
+    )
+    from pheniqs_tpu.device.step import make_decode_step
+
+    ontology = flagship_ontology()
+    instrument = flagship_instrument()
+    batch_np = synthetic_batch(instrument, ontology, BATCH, seed=11)
+    used = instrument.used_segments
+    host_segments = [batch_np["segments"][s] for s in used]
+    qcfail = batch_np["qcfail"]
+
+    step = jax.jit(make_decode_step(instrument))
+
+    def ship_and_run(host_segs):
+        batch = {
+            "segments": [
+                (jax.device_put(c), jax.device_put(q), jax.device_put(l))
+                for c, q, l in host_segs
+            ],
+            "qcfail": jax.device_put(qcfail),
+        }
+        return step(batch)
+
+    # compile + warm up
+    out = jax.block_until_ready(ship_and_run(host_segments))
+    # two host copies of the input so iterations alternate buffers
+    variants = [
+        host_segments,
+        [(c.copy(), q.copy(), l.copy()) for c, q, l in host_segments],
+    ]
+    start = time.perf_counter()
+    for i in range(ITERS):
+        out = ship_and_run(variants[i % 2])
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+    device_rps = BATCH * ITERS / elapsed
+
+    # ---- strict float64 host baseline on a smaller slice, extrapolated
+    sample_spec = spec_from_ontology(ontology["sample"], "sample")
+    cell_spec = spec_from_ontology(ontology["cellular"][0], "cellular")
+    m = BASELINE_READS
+    i7 = batch_np["segments"][1]
+    i5 = batch_np["segments"][2]
+    cell = batch_np["segments"][3]
+    obs_sample_code = np.concatenate(
+        [i7[0][:m].astype(np.uint8), i5[0][:m].astype(np.uint8)], axis=1
+    )
+    obs_sample_qual = np.concatenate(
+        [i7[1][:m].astype(np.uint8), i5[1][:m].astype(np.uint8)], axis=1
+    )
+    obs_cell_code = cell[0][:m, :16].astype(np.uint8)
+    obs_cell_qual = cell[1][:m, :16].astype(np.uint8)
+    fail = np.zeros(m, dtype=bool)
+    t0 = time.perf_counter()
+    r1 = pamld_classify(sample_spec, obs_sample_code, obs_sample_qual, fail)
+    r2 = pamld_classify(cell_spec, obs_cell_code, obs_cell_qual, r1.qcfail)
+    strict_elapsed = time.perf_counter() - t0
+    strict_rps = m / strict_elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_pamld_decode_throughput",
+                "value": round(device_rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(device_rps / strict_rps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

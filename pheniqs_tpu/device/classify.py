@@ -1,0 +1,321 @@
+"""Jittable classification: tokenization gathers + PAMLD/MDD decode.
+
+Functional equivalents of the reference decoders (reference pamld.cpp:37-123,
+mdd.cpp:37-102) in f32 on device. The float64 strict path
+(``pheniqs_tpu.decode.oracle``) remains the byte-exact reference; this path
+is the high-throughput production kernel, tested against the oracle for
+decision agreement.
+
+All shapes are static: N reads, W observation width, B barcodes. The PAMLD
+likelihood is one (N, 5W) x (5W, B) matmul (see device.instrument for the
+derivation); distances are computed only for the decoded barcode via a row
+gather, not as an (N, B) matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..iupac import BAM_REVERSE_COMPLEMENT
+from .instrument import (
+    LN_PHRED_BASE,
+    DeviceDecoder,
+    DeviceInstrument,
+    UNIFORM_BASE_QUALITY,
+)
+
+# branch codes shared with the oracle (decode.oracle)
+BRANCH_PASS = 0
+BRANCH_LOW_CONFIDENCE = 1
+BRANCH_NOISE = 2
+
+#: sigma_q beyond which 10^(-0.1*sigma) underflows even a subnormal float64,
+#: i.e. the only way the oracle's prior-adjusted probability can be zero
+_F64_UNDERFLOW_SIGMA = 3233.0
+
+_REVCOMP = None
+
+
+def _revcomp_table():
+    global _REVCOMP
+    if _REVCOMP is None:
+        _REVCOMP = jnp.asarray(BAM_REVERSE_COMPLEMENT.astype(jnp.int32))
+    return _REVCOMP
+
+
+def apply_plans(
+    dec: DeviceDecoder,
+    segments: list[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+) -> list[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Vectorized Rule::apply on device (reference transform.h:142-169).
+
+    ``segments`` is a list of (code (N, Wi) int32, quality (N, Wi) int32,
+    length (N,) int32). Returns one (code, quality, length) triple per
+    observation segment, fixed width, positions past the in-read extent
+    zeroed (code 0 / quality 0 — the NUL-terminator convention the
+    likelihood LUT treats as a no-op contribution).
+    """
+    outputs: list[list] = [[] for _ in range(len(dec.segment_widths))]
+    out_lengths = [[] for _ in range(len(dec.segment_widths))]
+    for plan in dec.plans:
+        code, quality, length = segments[plan.input_segment_index]
+        n, w_in = code.shape
+        length = length.astype(jnp.int32)
+        # python-slice coordinate resolution (reference transform.h:73-88)
+        if plan.start < 0:
+            start = jnp.maximum(length + plan.start, 0)
+        else:
+            start = jnp.where(plan.start > length, 0, plan.start).astype(jnp.int32)
+        if not plan.end_terminated:
+            end = length
+        elif plan.end < 0:
+            end = jnp.maximum(length + plan.end, 0)
+        else:
+            end = jnp.minimum(plan.end, length).astype(jnp.int32)
+        size = jnp.maximum(end - start, 0)
+
+        offsets = jnp.arange(plan.width, dtype=jnp.int32)[None, :]
+        if plan.reverse_complement:
+            gather = jnp.clip(end[:, None] - 1 - offsets, 0, max(w_in - 1, 0))
+        else:
+            gather = jnp.clip(start[:, None] + offsets, 0, max(w_in - 1, 0))
+        valid = offsets < size[:, None]
+        if w_in == 0:
+            piece_code = jnp.zeros((n, plan.width), dtype=jnp.int32)
+            piece_qual = jnp.zeros((n, plan.width), dtype=jnp.int32)
+        else:
+            piece_code = jnp.take_along_axis(code, gather, axis=1)
+            piece_qual = jnp.take_along_axis(quality, gather, axis=1)
+            if plan.reverse_complement:
+                piece_code = _revcomp_table()[piece_code]
+            piece_code = jnp.where(valid, piece_code, 0)
+            piece_qual = jnp.where(valid, piece_qual, 0)
+        outputs[plan.output_segment_index].append((piece_code, piece_qual))
+        out_lengths[plan.output_segment_index].append(size)
+
+    result = []
+    for s, width in enumerate(dec.segment_widths):
+        if outputs[s]:
+            seg_code = jnp.concatenate([c for c, _ in outputs[s]], axis=1)
+            seg_qual = jnp.concatenate([q for _, q in outputs[s]], axis=1)
+            seg_len = sum(out_lengths[s])
+        else:
+            n = segments[0][0].shape[0]
+            seg_code = jnp.zeros((n, width), dtype=jnp.int32)
+            seg_qual = jnp.zeros((n, width), dtype=jnp.int32)
+            seg_len = jnp.zeros(n, dtype=jnp.int32)
+        result.append((seg_code, seg_qual, seg_len))
+    return result
+
+
+def observation_features(
+    instrument: DeviceInstrument,
+    obs_code: jnp.ndarray,
+    obs_qual: jnp.ndarray,
+) -> jnp.ndarray:
+    """Read-side feature tensor F (N, 5W) for the likelihood contraction."""
+    n, w = obs_code.shape
+    q = obs_qual.astype(jnp.float32)
+    tpq = instrument.tpq[obs_qual]  # (N, W) true-positive quality gather
+    # a strict observed base with q == 0 is the NUL-terminator convention:
+    # the LUT contributes nothing there (reference phred.cpp:39-72 only
+    # fills q in [1, 0x80)), so gate strictness on q > 0
+    strict_o = (
+        ((obs_code == 1) | (obs_code == 2) | (obs_code == 4) | (obs_code == 8))
+        & (obs_qual > 0)
+    ).astype(jnp.float32)
+    onehot4 = jnp.stack(
+        [((obs_code == c) & (obs_qual > 0)).astype(jnp.float32) for c in (1, 2, 4, 8)],
+        axis=-1,
+    )  # (N, W, 4)
+    f_match = onehot4 * (tpq - q)[..., None]
+    f_strict = (strict_o * (q - UNIFORM_BASE_QUALITY))[..., None]
+    features = jnp.concatenate([f_match, f_strict], axis=-1)  # (N, W, 5)
+    return features.reshape(n, w * 5)
+
+
+def pamld_classify_device(
+    instrument: DeviceInstrument,
+    dec: DeviceDecoder,
+    obs_code: jnp.ndarray,
+    obs_qual: jnp.ndarray,
+    qcfail_in: jnp.ndarray,
+) -> dict:
+    """PamlDecoder::classify on device (reference pamld.cpp:37-123)."""
+    n, w = obs_code.shape
+    q_positive = (obs_qual > 0).astype(jnp.float32).sum(axis=1)  # (N,)
+
+    features = observation_features(instrument, obs_code, obs_qual)
+    # full-f32 contraction: the TPU MXU's default precision truncates
+    # operands to bfloat16, which costs ~0.1 phred units of sigma — enough
+    # to move posterior confidences; HIGHEST runs the 6-pass f32 algorithm
+    sigma_q = (
+        jnp.dot(
+            features,
+            dec.likelihood_matrix,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        + q_positive[:, None] * UNIFORM_BASE_QUALITY
+    )  # (N, B)
+
+    # log-sum-exp stabilization: shift by the per-read minimum sigma (the
+    # max-likelihood barcode) so the decoded conditional is exactly 1.0 and
+    # nothing underflows f32 — ratios (confidence) are shift-invariant.
+    shift = sigma_q.min(axis=1, keepdims=True)  # (N, 1)
+    conditional = jnp.exp(LN_PHRED_BASE * (sigma_q - shift))  # in (0, 1]
+    prior_adjusted = conditional * dec.concentration[None, :]
+
+    # noise term rescaled into the shifted frame: noise*rbp / 10^(-0.1*shift)
+    adjusted_noise = dec.noise * dec.random_barcode_probability
+    if adjusted_noise > 0.0:
+        log_noise = float(np.log(adjusted_noise))
+        noise_shifted = jnp.exp(log_noise - LN_PHRED_BASE * shift[:, 0])
+    else:
+        noise_shifted = jnp.zeros(n, dtype=jnp.float32)
+
+    sigma_p = prior_adjusted.sum(axis=1) + noise_shifted
+    best_p = prior_adjusted.max(axis=1)
+    # first max wins, matching the strict `p > best` update rule
+    best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
+    sigma_decoded = jnp.take_along_axis(sigma_q, best0[:, None], axis=1)[:, 0]
+    # p > 0 in the float64 oracle fails only when 10^(-0.1*sigma) underflows
+    # a double (sigma beyond the subnormal limit)
+    decoded_any = sigma_decoded < _F64_UNDERFLOW_SIGMA
+    best_index = jnp.where(decoded_any, best0 + 1, 0).astype(jnp.int32)
+    confidence = best_p / sigma_p
+
+    # distances only for the decoded barcode: gather its codes and compare
+    expected = dec.panel_codes[best0]  # (N, W)
+    mismatch = expected != obs_code
+    distance = jnp.where(
+        decoded_any, mismatch.sum(axis=1, dtype=jnp.int32), 0
+    )
+    hq_distance = jnp.where(
+        decoded_any,
+        (mismatch & (obs_qual >= dec.high_quality_threshold)).sum(
+            axis=1, dtype=jnp.int32
+        ),
+        0,
+    )
+
+    # noise filter in log space: 10^(-0.1*sigma) > rbp  <=>  sigma < ln(rbp)/ln(10^-0.1)
+    if dec.random_barcode_probability > 0.0:
+        noise_sigma_threshold = float(
+            np.log(dec.random_barcode_probability) / LN_PHRED_BASE
+        )
+        passed_noise = decoded_any & (sigma_decoded < noise_sigma_threshold)
+    else:
+        passed_noise = decoded_any
+    passed_confidence = confidence > dec.confidence_threshold
+
+    branch = jnp.where(
+        passed_noise,
+        jnp.where(passed_confidence, BRANCH_PASS, BRANCH_LOW_CONFIDENCE),
+        BRANCH_NOISE,
+    ).astype(jnp.int8)
+
+    decoded = jnp.where(passed_noise, best_index, 0)
+    out_confidence = jnp.where(passed_noise, confidence, 0.0)
+    out_distance = jnp.where(passed_noise, distance, 0)
+
+    qcfail = qcfail_in | ~passed_noise | (passed_noise & ~passed_confidence)
+    if dec.high_quality_distance_threshold > 0:
+        hq_fail = (
+            passed_noise
+            & passed_confidence
+            & (hq_distance >= dec.high_quality_distance_threshold)
+        )
+        qcfail = qcfail | hq_fail
+
+    return {
+        "decoded": decoded,
+        "confidence": out_confidence,
+        "distance": out_distance,
+        "qcfail": qcfail,
+        "branch": branch,
+        "argmax": best_index,
+    }
+
+
+def mdd_classify_device(
+    dec: DeviceDecoder,
+    observation: list[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    qcfail_in: jnp.ndarray,
+) -> dict:
+    """MdDecoder::classify on device (reference mdd.cpp:37-102): exact match
+    first, else the FIRST barcode in codec order within per-segment
+    tolerance — not the closest."""
+    n = observation[0][0].shape[0]
+    b = dec.barcode_count
+    tolerance = dec.distance_tolerance or tuple(0 for _ in dec.segment_widths)
+
+    offset = 0
+    within = jnp.ones((n, b), dtype=bool)
+    exact = jnp.ones((n, b), dtype=bool)
+    total_error = jnp.zeros((n, b), dtype=jnp.int32)
+    for s, (code, quality, length) in enumerate(observation):
+        ws = dec.segment_widths[s]
+        codes = dec.panel_codes[:, offset : offset + ws]  # (B, Ws)
+        offset += ws
+        in_range = (
+            jnp.arange(ws, dtype=jnp.int32)[None, :] < length[:, None]
+        )  # (N, Ws)
+        onehot_o = jax.nn.one_hot(code, 16, dtype=jnp.float32)  # (N, Ws, 16)
+        onehot_e = jax.nn.one_hot(codes, 16, dtype=jnp.float32)  # (B, Ws, 16)
+        # match count within range, as a contraction on the MXU
+        masked_o = onehot_o * in_range[..., None]
+        match = jnp.einsum(
+            "nwc,bwc->nb",
+            masked_o,
+            onehot_e,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        obs_len = length.astype(jnp.float32)[:, None]
+        mismatches = (obs_len - match).astype(jnp.int32)
+        if dec.quality_masking_threshold > 0:
+            unmasked_o = masked_o * (
+                quality >= dec.quality_masking_threshold
+            ).astype(jnp.float32)[..., None]
+            ok = jnp.einsum(
+                "nwc,bwc->nb",
+                unmasked_o,
+                onehot_e,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            errors = (obs_len - ok).astype(jnp.int32)
+        else:
+            errors = mismatches
+        within = within & (errors <= tolerance[s])
+        total_error = total_error + errors
+        exact = exact & (length[:, None] == ws) & (mismatches == 0)
+
+    exact_any = exact.any(axis=1)
+    exact_first = jnp.argmax(exact, axis=1).astype(jnp.int32)
+    scan_any = within.any(axis=1)
+    scan_first = jnp.argmax(within, axis=1).astype(jnp.int32)
+
+    decoded = jnp.where(
+        exact_any,
+        exact_first + 1,
+        jnp.where(scan_any, scan_first + 1, 0),
+    ).astype(jnp.int32)
+    distance = jnp.where(
+        ~exact_any & scan_any,
+        jnp.take_along_axis(total_error, scan_first[:, None], axis=1)[:, 0],
+        0,
+    ).astype(jnp.int32)
+
+    qcfail = qcfail_in | (decoded == 0)
+    return {
+        "decoded": decoded,
+        "confidence": jnp.zeros(n, dtype=jnp.float32),
+        "distance": distance,
+        "qcfail": qcfail,
+        "branch": jnp.full(n, BRANCH_PASS, dtype=jnp.int8),
+        "argmax": decoded,
+    }

@@ -1,0 +1,263 @@
+"""Compile a decoded instruction into device-ready constants.
+
+A ``DeviceInstrument`` is the static, jit-friendly form of one compiled
+instruction: per-decoder token plans (fixed-width gathers), barcode panel
+matrices laid out for MXU matmuls, and scalar thresholds. It is built once
+per job from the same ``DecoderSpec`` objects the strict engine uses, so
+the two paths classify from identical compiled state.
+
+The PAMLD likelihood is reformulated as a single skinny matmul. For one
+read position w with observed code o, quality q, and expected code e, the
+reference substitution quality (reference phred.cpp:39-72, barcode.h:131-164)
+is::
+
+    f(q,e,o) = 0                       if q == 0
+             = UNIFORM                 if e or o is ambiguous
+             = tpq[q]                  if e == o   (both strict A/C/G/T)
+             = q                       otherwise
+
+which decomposes into read-side features F and panel-side features G with
+``sigma_q[r,b] = F[r] . G[b] + UNIFORM * count(q_r > 0)``:
+
+    F[r, w, 0:4] = onehot4(o) * (tpq[q] - q)      G[b, w, 0:4] = onehot4(e)
+    F[r, w, 4]   = strict(o) * (q - UNIFORM)      G[b, w, 4]   = strict(e)
+
+i.e. a (N, 5W) x (5W, B) contraction that runs on the systolic array.
+Per-read Hamming/high-quality distances are then computed only against the
+*decoded* barcode with a row gather + elementwise compare, avoiding the
+(N, B, W) mismatch tensor entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode.spec import DecoderSpec, spec_from_ontology
+from ..errors import ConfigurationError
+from ..phred import SUBSTITUTION_LUT, TRUE_POSITIVE_QUALITY, UNIFORM_BASE_QUALITY
+
+#: BAM 4-bit codes of the concrete nucleotides A/C/G/T (reference iupac.h:27-50)
+STRICT_CODES = (1, 2, 4, 8)
+
+#: natural-log factor: 10^(-0.1 * sigma) == exp(LN_PHRED_BASE * sigma)
+LN_PHRED_BASE = float(-0.1 * np.log(10.0))
+
+
+@dataclass(frozen=True)
+class TokenPlan:
+    """One fixed-width token gather (reference transform.h:34-88).
+
+    Decoder tokens are required to be fixed width (reference
+    transcode.cpp:836-841), so ``width`` is static and the gather compiles
+    to a static-shape ``take_along_axis``.
+    """
+
+    input_segment_index: int
+    start: int
+    end: int
+    end_terminated: bool
+    reverse_complement: bool
+    output_segment_index: int
+    width: int
+
+
+@dataclass
+class DeviceDecoder:
+    """Static decoder config + device constant arrays."""
+
+    algorithm: str  # pamld | mdd | naive | passthrough
+    classifier_type: str  # sample | cellular | molecular
+    index: int
+    multiplexing: bool
+    plans: list[TokenPlan]
+    segment_widths: list[int]  # observation segment widths (concat order)
+    # panel constants (None for naive/passthrough)
+    barcode_count: int = 0
+    width: int = 0
+    panel_codes: jnp.ndarray | None = None  # (B, W) int32
+    panel_strict: jnp.ndarray | None = None  # (B, W) f32 strict(e)
+    likelihood_matrix: jnp.ndarray | None = None  # (5W, B) f32 — G above
+    concentration: jnp.ndarray | None = None  # (B,) f32
+    # scalars
+    noise: float = 0.0
+    confidence_threshold: float = 0.0
+    random_barcode_probability: float = 0.0
+    high_quality_threshold: int = 30
+    high_quality_distance_threshold: int = 0
+    quality_masking_threshold: int = 0
+    distance_tolerance: tuple[int, ...] = ()
+    # spec back-reference for the host side (tags, reports)
+    spec: DecoderSpec | None = None
+
+
+@dataclass
+class DeviceInstrument:
+    """All decoders of one instruction in classify order, plus routing.
+
+    ``used_segments`` lists the input segments any decoder token touches;
+    only those are shipped to the device (the biological payload segments
+    never leave the host — template assembly is host-side memcpy,
+    reference transform.h:190-226). Token plans are re-indexed into this
+    pruned segment list at compile time.
+    """
+
+    decoders: list[DeviceDecoder]
+    multiplexing_index: int  # position in `decoders`, or -1
+    input_segment_cardinality: int
+    substitution_lut: jnp.ndarray  # (128, 16, 16) f32, shared
+    tpq: jnp.ndarray  # (128,) f32 true-positive quality table
+    used_segments: tuple[int, ...] = ()
+
+    @property
+    def sample(self) -> DeviceDecoder | None:
+        for dec in self.decoders:
+            if dec.classifier_type == "sample":
+                return dec
+        return None
+
+
+def _plans_from_rule(spec: DecoderSpec) -> tuple[list[TokenPlan], list[int]]:
+    plans: list[TokenPlan] = []
+    widths = [0] * spec.rule.output_segment_cardinality
+    for tx in spec.rule.transform_array:
+        token = tx.token
+        length = token.length()
+        if length < 0:
+            raise ConfigurationError(
+                "device decoders require fixed-width tokens "
+                f"(token {token} has dynamic width)"
+            )
+        plans.append(
+            TokenPlan(
+                input_segment_index=token.input_segment_index,
+                start=token.start,
+                end=token.end,
+                end_terminated=token.end_terminated,
+                reverse_complement=tx.reverse_complement,
+                output_segment_index=tx.output_segment_index,
+                width=length,
+            )
+        )
+        widths[tx.output_segment_index] += length
+    return plans, widths
+
+
+def _panel_matrices(spec: DecoderSpec):
+    """Build the (5W, B) likelihood contraction matrix G and companions."""
+    codes = spec.panel.codes.astype(np.int64)  # (B, W)
+    b, w = codes.shape
+    strict = np.isin(codes, STRICT_CODES).astype(np.float32)  # (B, W)
+    onehot4 = np.zeros((b, w, 4), dtype=np.float32)
+    for c, code in enumerate(STRICT_CODES):
+        onehot4[:, :, c] = (codes == code).astype(np.float32)
+    g = np.concatenate([onehot4, strict[:, :, None]], axis=2)  # (B, W, 5)
+    g = g.reshape(b, w * 5).T  # (5W, B) — contraction layout
+    return (
+        jnp.asarray(codes.astype(np.int32)),
+        jnp.asarray(strict),
+        jnp.asarray(np.ascontiguousarray(g)),
+        jnp.asarray(spec.panel.concentration.astype(np.float32)),
+    )
+
+
+def compile_decoder(spec: DecoderSpec) -> DeviceDecoder:
+    plans: list[TokenPlan] = []
+    widths: list[int] = []
+    if spec.rule is not None and spec.algorithm != "passthrough":
+        plans, widths = _plans_from_rule(spec)
+    dec = DeviceDecoder(
+        algorithm=spec.algorithm,
+        classifier_type=spec.classifier_type,
+        index=spec.index,
+        multiplexing=spec.multiplexing,
+        plans=plans,
+        segment_widths=widths,
+        noise=spec.noise,
+        confidence_threshold=spec.confidence_threshold,
+        random_barcode_probability=spec.random_barcode_probability,
+        high_quality_threshold=spec.high_quality_threshold,
+        high_quality_distance_threshold=spec.high_quality_distance_threshold,
+        quality_masking_threshold=spec.quality_masking_threshold,
+        distance_tolerance=tuple(spec.distance_tolerance),
+        spec=spec,
+    )
+    if spec.panel is not None and spec.algorithm in ("pamld", "mdd"):
+        dec.barcode_count = spec.panel.cardinality
+        dec.width = spec.panel.width
+        (
+            dec.panel_codes,
+            dec.panel_strict,
+            dec.likelihood_matrix,
+            dec.concentration,
+        ) = _panel_matrices(spec)
+    return dec
+
+
+def compile_instrument(ontology: dict) -> DeviceInstrument:
+    """Build a DeviceInstrument from a compiled instruction ontology, in the
+    reference classify order: sample, molecular*, cellular* (reference
+    transcode.h:51-65)."""
+    decoders: list[DeviceDecoder] = []
+    sample = ontology.get("sample")
+    if isinstance(sample, dict):
+        decoders.append(compile_decoder(spec_from_ontology(sample, "sample")))
+    for element in ontology.get("molecular", []) or []:
+        decoders.append(compile_decoder(spec_from_ontology(element, "molecular")))
+    for element in ontology.get("cellular", []) or []:
+        decoders.append(compile_decoder(spec_from_ontology(element, "cellular")))
+
+    multiplexing_index = -1
+    for i, dec in enumerate(decoders):
+        if dec.multiplexing:
+            multiplexing_index = i
+            break
+    if multiplexing_index < 0:
+        for i, dec in enumerate(decoders):
+            if dec.classifier_type == "sample":
+                multiplexing_index = i
+                break
+
+    used = sorted(
+        {plan.input_segment_index for dec in decoders for plan in dec.plans}
+    )
+    remap = {segment: position for position, segment in enumerate(used)}
+    for dec in decoders:
+        dec.plans = [
+            TokenPlan(
+                input_segment_index=remap[plan.input_segment_index],
+                start=plan.start,
+                end=plan.end,
+                end_terminated=plan.end_terminated,
+                reverse_complement=plan.reverse_complement,
+                output_segment_index=plan.output_segment_index,
+                width=plan.width,
+            )
+            for plan in dec.plans
+        ]
+
+    return DeviceInstrument(
+        decoders=decoders,
+        multiplexing_index=multiplexing_index,
+        input_segment_cardinality=int(
+            ontology.get("input segment cardinality", 1)
+        ),
+        substitution_lut=jnp.asarray(SUBSTITUTION_LUT.astype(np.float32)),
+        tpq=jnp.asarray(TRUE_POSITIVE_QUALITY.astype(np.float32)),
+        used_segments=tuple(used),
+    )
+
+
+__all__ = [
+    "DeviceDecoder",
+    "DeviceInstrument",
+    "TokenPlan",
+    "compile_decoder",
+    "compile_instrument",
+    "LN_PHRED_BASE",
+    "STRICT_CODES",
+    "UNIFORM_BASE_QUALITY",
+    "SUBSTITUTION_LUT",
+]

@@ -1,0 +1,216 @@
+"""The decode step: one jitted XLA program per instruction, and its
+multi-chip SPMD wrapper.
+
+``make_decode_step`` builds a pure function (batch) -> (per_read, counters)
+covering every classifier of the instruction in the reference classify
+order (sample, molecular*, cellular*; reference transcode.h:51-65), the
+channel-routing index, and the statistics counters that feed the JSON
+report. Counters are one-hot contractions (MXU-friendly), so they emerge
+as small (B+1,) vectors per decoder.
+
+``make_sharded_decode_step`` wraps the step in ``shard_map`` over a 1-D
+``reads`` mesh axis — the TPU-native analog of the reference's N identical
+decoding threads over shared feeds (reference transcode.cpp:1491-1500):
+read batches are sharded over chips, the barcode panels and LUTs are
+replicated, and the per-decoder counters are merged with ``psum`` over ICI
+exactly where the reference merges thread-local accumulators at collect
+time (reference transcode.cpp:317-320).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .classify import (
+    BRANCH_LOW_CONFIDENCE,
+    BRANCH_NOISE,
+    BRANCH_PASS,
+    apply_plans,
+    mdd_classify_device,
+    pamld_classify_device,
+)
+from .instrument import DeviceDecoder, DeviceInstrument
+
+
+def _counters(dec: DeviceDecoder, result: dict) -> dict:
+    """Per-batch accumulator deltas (reference selector.h:32-92), as one-hot
+    contractions over the (B+1) barcode axis; row 0 = unclassified."""
+    b1 = dec.barcode_count + 1
+    decoded = result["decoded"]
+    qcfail = result["qcfail"]
+    branch = result["branch"]
+    onehot = jax.nn.one_hot(decoded, b1, dtype=jnp.float32)  # (N, B+1)
+    pf = (~qcfail).astype(jnp.float32)
+
+    counters = {
+        "count": onehot.sum(axis=0),
+        "pf_count": jnp.einsum("nb,n->b", onehot, pf, precision=jax.lax.Precision.HIGHEST),
+    }
+    if dec.algorithm in ("pamld", "mdd"):
+        distance = result["distance"].astype(jnp.float32)
+        dist_mask = ((decoded > 0) & (result["distance"] > 0)).astype(jnp.float32)
+        counters["accumulated_distance"] = jnp.einsum(
+            "nb,n->b", onehot, distance * dist_mask
+        , precision=jax.lax.Precision.HIGHEST)
+        counters["accumulated_pf_distance"] = jnp.einsum(
+            "nb,n->b", onehot, distance * dist_mask * pf
+        , precision=jax.lax.Precision.HIGHEST)
+    if dec.algorithm == "pamld":
+        passed = (branch == BRANCH_PASS).astype(jnp.float32)
+        confidence = result["confidence"]
+        counters["accumulated_confidence"] = jnp.einsum(
+            "nb,n->b", onehot, confidence * passed
+        , precision=jax.lax.Precision.HIGHEST)
+        counters["accumulated_pf_confidence"] = jnp.einsum(
+            "nb,n->b", onehot, confidence * passed * pf
+        , precision=jax.lax.Precision.HIGHEST)
+        argmax_onehot = jax.nn.one_hot(result["argmax"], b1, dtype=jnp.float32)
+        counters["low_confidence_count"] = jnp.einsum(
+            "nb,n->b",
+            argmax_onehot,
+            (branch == BRANCH_LOW_CONFIDENCE).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counters["low_conditional_confidence_count"] = jnp.einsum(
+            "nb,n->b",
+            argmax_onehot,
+            (branch == BRANCH_NOISE).astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return counters
+
+
+def _classify_one(
+    instrument: DeviceInstrument,
+    dec: DeviceDecoder,
+    segments,
+    qcfail,
+):
+    n = qcfail.shape[0]
+    if dec.algorithm == "passthrough" or not dec.plans:
+        return {
+            "decoded": jnp.zeros(n, dtype=jnp.int32),
+            "confidence": jnp.zeros(n, dtype=jnp.float32),
+            "distance": jnp.zeros(n, dtype=jnp.int32),
+            "qcfail": qcfail,
+            "branch": jnp.zeros(n, dtype=jnp.int8),
+            "argmax": jnp.zeros(n, dtype=jnp.int32),
+        }
+    observation = apply_plans(dec, segments)
+    if dec.algorithm == "naive":
+        return {
+            "decoded": jnp.zeros(n, dtype=jnp.int32),
+            "confidence": jnp.zeros(n, dtype=jnp.float32),
+            "distance": jnp.zeros(n, dtype=jnp.int32),
+            "qcfail": qcfail,
+            "branch": jnp.zeros(n, dtype=jnp.int8),
+            "argmax": jnp.zeros(n, dtype=jnp.int32),
+        }
+    if dec.algorithm == "pamld":
+        obs_code = jnp.concatenate([c for c, _, _ in observation], axis=1)
+        obs_qual = jnp.concatenate([q for _, q, _ in observation], axis=1)
+        return pamld_classify_device(instrument, dec, obs_code, obs_qual, qcfail)
+    if dec.algorithm == "mdd":
+        return mdd_classify_device(dec, observation, qcfail)
+    raise ValueError(f"unknown algorithm {dec.algorithm}")
+
+
+def make_decode_step(instrument: DeviceInstrument, axis_name: str | None = None):
+    """Build the (batch) -> (per_read, counters) step function.
+
+    ``batch`` is a dict: ``segments`` — list of (code (N, Wi) int32,
+    quality (N, Wi) int32, length (N,) int32) — and ``qcfail`` (N,) bool.
+    When ``axis_name`` is given, counters are psum'd over that mesh axis.
+    """
+
+    def step(batch):
+        segments = [
+            (c.astype(jnp.int32), q.astype(jnp.int32), l.astype(jnp.int32))
+            for c, q, l in batch["segments"]
+        ]
+        qcfail = batch["qcfail"]
+
+        per_read = []
+        counters = []
+        for dec in instrument.decoders:
+            result = _classify_one(instrument, dec, segments, qcfail)
+            qcfail = result["qcfail"]
+            per_read.append(
+                {
+                    "decoded": result["decoded"],
+                    "confidence": result["confidence"],
+                    "distance": result["distance"],
+                    "branch": result["branch"],
+                    "argmax": result["argmax"],
+                    "qcfail": result["qcfail"],
+                }
+            )
+            counters.append(_counters(dec, result))
+
+        if instrument.multiplexing_index >= 0:
+            channel_index = per_read[instrument.multiplexing_index]["decoded"]
+        else:
+            channel_index = jnp.zeros(qcfail.shape[0], dtype=jnp.int32)
+
+        per_read_out = {
+            "decoders": per_read,
+            "qcfail": qcfail,
+            "channel_index": channel_index,
+        }
+        if axis_name is not None:
+            counters = jax.lax.psum(counters, axis_name)
+        return per_read_out, counters
+
+    return step
+
+
+def make_sharded_decode_step(instrument: DeviceInstrument, mesh: Mesh, jit: bool = True):
+    """SPMD decode step over a 1-D ``reads`` mesh axis.
+
+    Batches must be padded to a multiple of the axis size; per-read outputs
+    come back sharded along ``reads``, counters come back replicated (the
+    psum-merged global statistics).
+    """
+    (axis_name,) = mesh.axis_names
+    step = make_decode_step(instrument, axis_name=axis_name)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=(P(axis_name), P()),
+        check_vma=False,
+    )
+    if jit:
+        sharded = jax.jit(sharded)
+    return sharded
+
+
+def pad_batch(batch: dict, multiple: int) -> tuple[dict, int]:
+    """Pad every per-read leaf up to a multiple of `multiple` along axis 0.
+
+    Padding reads have zero codes/qualities/lengths and qcfail=True; the
+    host discards rows >= the true count after the step returns, and
+    counter deltas for padding rows are subtracted by the caller (padding
+    reads decode deterministically to unclassified row 0)."""
+    n = batch["qcfail"].shape[0]
+    padded_n = -(-n // multiple) * multiple
+    if padded_n == n:
+        return batch, n
+
+    def pad(leaf):
+        pad_width = [(0, padded_n - n)] + [(0, 0)] * (leaf.ndim - 1)
+        return jnp.pad(leaf, pad_width)
+
+    padded = {
+        "segments": [
+            (pad(c), pad(q), pad(l)) for c, q, l in batch["segments"]
+        ],
+        "qcfail": jnp.pad(
+            batch["qcfail"], (0, padded_n - n), constant_values=True
+        ),
+    }
+    return padded, n

@@ -1,0 +1,133 @@
+"""The device (TPU fast-path) execution engine.
+
+Same host pipeline as the strict engine — feeds, template assembly, SAM
+emission, accumulators, report — but classification runs on the
+accelerator through the jitted decode step (`pheniqs_tpu.device.step`):
+the whole classifier chain (sample, molecular*, cellular*) executes as one
+XLA program per batch, in f32, with the MXU likelihood contraction.
+
+Fidelity contract (``--fidelity fast``): classification *decisions*
+(barcode assignment, qcfail, filter branches) agree with the strict f64
+engine except for reads whose posterior sits within f32 rounding of a
+filter threshold; confidences/report statistics are f32-accurate.
+The two deliberate semantic divergences from the reference's serial quirks:
+no observation-scratch carry for reads shorter than the decoder token
+(reference sequence.h:61-67 reads stale buffer bytes there), padding
+positions instead contribute nothing (NUL convention).
+
+Batches are padded to a fixed shape signature (batch-size bucket, segment
+widths rounded up) so the step compiles once and is reused for the whole
+stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..decode.oracle import ClassifyResult
+from ..model.batch import ReadBatch
+from .strict import ClassifierRuntime, StrictEngine
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+class DeviceEngine(StrictEngine):
+    def __init__(self, ontology: dict):
+        super().__init__(ontology)
+        from ..device.instrument import compile_instrument
+
+        self.instrument = compile_instrument(ontology)
+        # classify order must match device.instrument.compile_instrument:
+        # sample, molecular*, cellular* (reference transcode.h:51-65)
+        self._runtimes: list[ClassifierRuntime] = []
+        if self.sample is not None:
+            self._runtimes.append(self.sample)
+        self._runtimes.extend(self.molecular)
+        self._runtimes.extend(self.cellular)
+        self._step_cache: dict[tuple, object] = {}
+        self._current_batch: ReadBatch | None = None
+        self._batch_results: list[dict] | None = None
+
+    # --- device dispatch -------------------------------------------------
+    def _get_step(self, signature: tuple):
+        step = self._step_cache.get(signature)
+        if step is None:
+            import jax
+
+            from ..device.step import make_decode_step
+
+            step = jax.jit(make_decode_step(self.instrument))
+            self._step_cache[signature] = step
+        return step
+
+    def _device_batch(self, batch: ReadBatch):
+        """Pad to a stable shape signature and ship to device."""
+        import jax.numpy as jnp
+
+        n = batch.size
+        padded_n = max(_round_up(n, 1024), 1024)
+        segments = []
+        widths = []
+        for segment_index in self.instrument.used_segments:
+            segment = batch.segments[segment_index]
+            w = _round_up(max(segment.width, 1), 8)
+            widths.append(w)
+            code = np.zeros((padded_n, w), dtype=np.int32)
+            qual = np.zeros((padded_n, w), dtype=np.int32)
+            length = np.zeros(padded_n, dtype=np.int32)
+            code[:n, : segment.width] = segment.code
+            qual[:n, : segment.width] = segment.quality
+            length[:n] = segment.length
+            segments.append((jnp.asarray(code), jnp.asarray(qual), jnp.asarray(length)))
+        qcfail = np.ones(padded_n, dtype=bool)
+        qcfail[:n] = batch.qcfail
+        signature = (padded_n, tuple(widths))
+        return signature, {"segments": segments, "qcfail": jnp.asarray(qcfail)}
+
+    def _classify_batch_on_device(self, batch: ReadBatch):
+        signature, device_batch = self._device_batch(batch)
+        step = self._get_step(signature)
+        per_read, _counters = step(device_batch)
+        n = batch.size
+        results = []
+        for entry in per_read["decoders"]:
+            results.append(
+                {
+                    "decoded": np.asarray(entry["decoded"])[:n],
+                    "confidence": np.asarray(entry["confidence"])[:n].astype(
+                        np.float64
+                    ),
+                    "distance": np.asarray(entry["distance"])[:n],
+                    "branch": np.asarray(entry["branch"])[:n],
+                    "argmax": np.asarray(entry["argmax"])[:n],
+                    "qcfail": np.asarray(entry["qcfail"])[:n],
+                }
+            )
+        return results
+
+    # --- StrictEngine hook ----------------------------------------------
+    def _run_classifier(self, runtime, batch, qcfail):
+        if self._current_batch is not batch:
+            self._batch_results = self._classify_batch_on_device(batch)
+            self._current_batch = batch
+        position = self._runtimes.index(runtime)
+        device = self._batch_results[position]
+        spec = runtime.spec
+
+        observation = []
+        if spec.rule is not None and spec.algorithm != "passthrough":
+            observation = spec.rule.apply(batch.segments)
+
+        result = ClassifyResult(
+            decoded=device["decoded"].astype(np.int32),
+            confidence=device["confidence"],
+            edit_distance=device["distance"].astype(np.int32),
+            qcfail=device["qcfail"].astype(bool),
+            branch=device["branch"].astype(np.int8),
+            argmax=device["argmax"].astype(np.int32),
+            observation=observation,
+        )
+        runtime.record(result)
+        return result

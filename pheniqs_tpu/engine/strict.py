@@ -177,7 +177,21 @@ class ClassifierRuntime:
             obs_qual = np.concatenate(eff_quals, axis=1)
             result = pamld_classify(spec, obs_code, obs_qual, qcfail)
             result.observation = observation
-            acc = self.accumulator
+            self.record(result)
+            return result
+
+        if spec.algorithm == "mdd":
+            result = mdd_classify(spec, observation, qcfail)
+            self.record(result)
+            return result
+
+        raise ConfigurationError(f"unknown algorithm {spec.algorithm}")
+
+    def record(self, result: ClassifyResult):
+        """Accumulator updates for one classified batch (reference
+        selector.cpp:25-101) — shared by the strict and device engines."""
+        acc = self.accumulator
+        if self.spec.algorithm == "pamld":
             passed = result.branch == BRANCH_PASS
             acc.update_confidence(
                 result.decoded, result.confidence, passed, result.qcfail
@@ -189,16 +203,11 @@ class ClassifierRuntime:
             )
             acc.update_distance(result.decoded, result.edit_distance, result.qcfail)
             acc.update_counts(result.decoded, result.qcfail)
-            return result
-
-        if spec.algorithm == "mdd":
-            result = mdd_classify(spec, observation, qcfail)
-            acc = self.accumulator
+        elif self.spec.algorithm == "mdd":
             acc.update_distance(result.decoded, result.edit_distance, result.qcfail)
             acc.update_counts(result.decoded, result.qcfail)
-            return result
-
-        raise ConfigurationError(f"unknown algorithm {spec.algorithm}")
+        else:
+            acc.update_counts(result.decoded, result.qcfail)
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +349,11 @@ class StrictEngine:
         self.outgoing_count = 0
         self.outgoing_pf_count = 0
 
+    def _run_classifier(self, runtime, batch, qcfail):
+        """Classification dispatch point; the device engine overrides this
+        to serve results from the jitted decode step."""
+        return runtime.classify(batch, qcfail)
+
     def _find_multiplexing_runtime(self):
         for runtime in [self.sample, *self.cellular, *self.molecular]:
             if runtime is not None and runtime.spec.multiplexing:
@@ -428,7 +442,7 @@ class StrictEngine:
         sample_result = None
         sample_tags = None
         if self.sample is not None:
-            sample_result = self.sample.classify(batch, qcfail)
+            sample_result = self._run_classifier(self.sample, batch, qcfail)
             qcfail = sample_result.qcfail
             if sample_result.observation:
                 sample_tags = build_tag_data(
@@ -444,7 +458,7 @@ class StrictEngine:
 
         molecular_results = []
         for runtime in self.molecular:
-            result = runtime.classify(batch, qcfail)
+            result = self._run_classifier(runtime, batch, qcfail)
             qcfail = result.qcfail
             tags = (
                 build_tag_data(
@@ -459,7 +473,7 @@ class StrictEngine:
 
         cellular_results = []
         for runtime in self.cellular:
-            result = runtime.classify(batch, qcfail)
+            result = self._run_classifier(runtime, batch, qcfail)
             qcfail = result.qcfail
             tags = (
                 build_tag_data(result, runtime.spec, corrected=True)

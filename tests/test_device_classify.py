@@ -1,0 +1,255 @@
+"""Device (JAX f32) decode path vs the float64 NumPy oracle.
+
+Verifies that the MXU matmul reformulation of the PAMLD likelihood and the
+device MDD decoder reproduce the oracle's classification decisions, and
+that the shard_map'd multi-chip step (8 virtual CPU devices) produces the
+same outputs and psum-merged counters as the single-device step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pheniqs_tpu.decode.oracle import mdd_classify, pamld_classify
+from pheniqs_tpu.decode.spec import spec_from_ontology
+from pheniqs_tpu.device import compile_instrument
+from pheniqs_tpu.device.classify import (
+    apply_plans,
+    mdd_classify_device,
+    pamld_classify_device,
+)
+from pheniqs_tpu.device.step import make_decode_step, make_sharded_decode_step, pad_batch
+from pheniqs_tpu.iupac import encode_ascii
+from pheniqs_tpu.transform import Rule, SegmentBatch
+
+BASES = "ACGT"
+
+
+def random_panel(rng, barcodes, length):
+    seen = set()
+    out = []
+    while len(out) < barcodes:
+        word = "".join(rng.choice(list(BASES), size=length))
+        if word not in seen:
+            seen.add(word)
+            out.append(word)
+    return out
+
+
+def make_pamld_ontology(panel, noise=0.05, confidence=0.95, segments=1):
+    width = len(panel[0]) // segments
+    codec = {}
+    for i, word in enumerate(panel):
+        codec[str(i + 1)] = {
+            "barcode": [word[s * width : (s + 1) * width] for s in range(segments)],
+            "concentration": (1.0 - noise) / len(panel),
+            "index": i + 1,
+        }
+    return {
+        "algorithm": "pamld",
+        "index": 1,
+        "codec": codec,
+        "noise": noise,
+        "confidence threshold": confidence,
+        "random barcode probability": 1.0 / (4 ** len(panel[0])),
+        "high quality threshold": 30,
+        "high quality distance threshold": 0,
+        "transform": {
+            "token": [f"0:{s * width}:{(s + 1) * width}" for s in range(segments)]
+        },
+    }
+
+
+def simulate_reads(rng, panel, n, error_rate=0.05):
+    width = len(panel[0])
+    code = np.zeros((n, width), dtype=np.uint8)
+    qual = np.zeros((n, width), dtype=np.uint8)
+    for i in range(n):
+        word = panel[rng.integers(len(panel))]
+        arr = encode_ascii(word).copy()
+        q = rng.integers(8, 41, size=width)
+        err = rng.random(width) < error_rate
+        for p in np.flatnonzero(err):
+            arr[p] = encode_ascii(rng.choice(list(BASES)))[0]
+            q[p] = rng.integers(2, 25)
+        code[i] = arr
+        qual[i] = q
+    length = np.full(n, width, dtype=np.int32)
+    return code, qual, length
+
+
+@pytest.fixture(scope="module")
+def pamld_case():
+    rng = np.random.default_rng(7)
+    panel = random_panel(rng, 24, 12)
+    ontology = make_pamld_ontology(panel)
+    spec = spec_from_ontology(ontology, "sample")
+    code, qual, length = simulate_reads(rng, panel, 512)
+    return spec, ontology, code, qual, length
+
+
+def test_pamld_device_matches_oracle(pamld_case):
+    spec, ontology, code, qual, length = pamld_case
+    n = code.shape[0]
+    qcfail = np.zeros(n, dtype=bool)
+    oracle = pamld_classify(spec, code, qual, qcfail)
+
+    instrument = compile_instrument({"sample": ontology, "input segment cardinality": 1})
+    dec = instrument.decoders[0]
+    device = pamld_classify_device(
+        instrument,
+        dec,
+        jnp.asarray(code.astype(np.int32)),
+        jnp.asarray(qual.astype(np.int32)),
+        jnp.asarray(qcfail),
+    )
+    decoded = np.asarray(device["decoded"])
+    np.testing.assert_array_equal(decoded, oracle.decoded)
+    np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
+    np.testing.assert_array_equal(np.asarray(device["branch"]), oracle.branch)
+    np.testing.assert_array_equal(np.asarray(device["distance"]), oracle.edit_distance)
+    np.testing.assert_allclose(
+        np.asarray(device["confidence"]), oracle.confidence, rtol=2e-4, atol=1e-6
+    )
+
+
+def test_pamld_device_short_observation(pamld_case):
+    """Reads shorter than the barcode: trailing positions are (code 0, q 0)
+    and contribute nothing to sigma_q, mirroring the NUL-terminator rule."""
+    spec, ontology, code, qual, length = pamld_case
+    code = code.copy()
+    qual = qual.copy()
+    code[:, -2:] = 0
+    qual[:, -2:] = 0
+    qcfail = np.zeros(code.shape[0], dtype=bool)
+    oracle = pamld_classify(spec, code, qual, qcfail)
+    instrument = compile_instrument({"sample": ontology, "input segment cardinality": 1})
+    device = pamld_classify_device(
+        instrument,
+        instrument.decoders[0],
+        jnp.asarray(code.astype(np.int32)),
+        jnp.asarray(qual.astype(np.int32)),
+        jnp.asarray(qcfail),
+    )
+    np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
+
+
+def make_mdd_ontology(panel, tolerance, segments=1, qmt=0):
+    ontology = make_pamld_ontology(panel, segments=segments)
+    ontology["algorithm"] = "mdd"
+    ontology["distance tolerance"] = [tolerance] * segments
+    if qmt:
+        ontology["quality masking threshold"] = qmt
+    return ontology
+
+
+@pytest.mark.parametrize("qmt", [0, 12])
+def test_mdd_device_matches_oracle(qmt):
+    rng = np.random.default_rng(11)
+    panel = random_panel(rng, 16, 10)
+    ontology = make_mdd_ontology(panel, tolerance=2, segments=2, qmt=qmt)
+    spec = spec_from_ontology(ontology, "sample")
+    code, qual, length = simulate_reads(rng, panel, 512, error_rate=0.12)
+    n = code.shape[0]
+    qcfail = np.zeros(n, dtype=bool)
+
+    half = len(panel[0]) // 2
+    obs = [
+        SegmentBatch(
+            code=code[:, :half], quality=qual[:, :half],
+            length=np.full(n, half, dtype=np.int32),
+        ),
+        SegmentBatch(
+            code=code[:, half:], quality=qual[:, half:],
+            length=np.full(n, half, dtype=np.int32),
+        ),
+    ]
+    oracle = mdd_classify(spec, obs, qcfail)
+
+    instrument = compile_instrument({"sample": ontology, "input segment cardinality": 1})
+    dec = instrument.decoders[0]
+    observation = [
+        (
+            jnp.asarray(s.code.astype(np.int32)),
+            jnp.asarray(s.quality.astype(np.int32)),
+            jnp.asarray(s.length),
+        )
+        for s in obs
+    ]
+    device = mdd_classify_device(dec, observation, jnp.asarray(qcfail))
+    np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
+    np.testing.assert_array_equal(np.asarray(device["distance"]), oracle.edit_distance)
+    np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
+
+
+def test_apply_plans_matches_host_rule(pamld_case):
+    spec, ontology, code, qual, length = pamld_case
+    n = code.shape[0]
+    batch_seg = SegmentBatch(code=code, quality=qual, length=length)
+    host_obs = spec.rule.apply([batch_seg])
+
+    instrument = compile_instrument({"sample": ontology, "input segment cardinality": 1})
+    dec = instrument.decoders[0]
+    device_obs = apply_plans(
+        dec,
+        [
+            (
+                jnp.asarray(code.astype(np.int32)),
+                jnp.asarray(qual.astype(np.int32)),
+                jnp.asarray(length),
+            )
+        ],
+    )
+    for host, (dc, dq, dl) in zip(host_obs, device_obs):
+        np.testing.assert_array_equal(host.code, np.asarray(dc).astype(np.uint8))
+        np.testing.assert_array_equal(host.quality, np.asarray(dq).astype(np.uint8))
+        np.testing.assert_array_equal(host.length, np.asarray(dl))
+
+
+def test_sharded_step_matches_single_device(pamld_case):
+    spec, ontology, code, qual, length = pamld_case
+    n = code.shape[0]
+    instrument = compile_instrument({"sample": ontology, "input segment cardinality": 1})
+    batch = {
+        "segments": [
+            (
+                jnp.asarray(code.astype(np.int32)),
+                jnp.asarray(qual.astype(np.int32)),
+                jnp.asarray(length),
+            )
+        ],
+        "qcfail": jnp.zeros(n, dtype=bool),
+    }
+
+    single = jax.jit(make_decode_step(instrument))
+    per_read_1, counters_1 = single(batch)
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must force an 8-device CPU mesh"
+    mesh = Mesh(np.array(devices[:8]), ("reads",))
+    sharded = make_sharded_decode_step(instrument, mesh)
+    padded, true_n = pad_batch(batch, 8)
+    per_read_8, counters_8 = sharded(padded)
+
+    np.testing.assert_array_equal(
+        np.asarray(per_read_8["decoders"][0]["decoded"])[:true_n],
+        np.asarray(per_read_1["decoders"][0]["decoded"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(per_read_8["channel_index"])[:true_n],
+        np.asarray(per_read_1["channel_index"]),
+    )
+    # psum-merged counters == single-device counters + padding rows
+    pad_rows = padded["qcfail"].shape[0] - true_n
+    c1 = np.asarray(counters_1[0]["count"])
+    c8 = np.asarray(counters_8[0]["count"])
+    assert c8[0] == c1[0] + pad_rows  # padding decodes to unclassified
+    np.testing.assert_allclose(c8[1:], c1[1:])
+    np.testing.assert_allclose(
+        np.asarray(counters_8[0]["accumulated_confidence"]),
+        np.asarray(counters_1[0]["accumulated_confidence"]),
+        rtol=1e-5,
+    )
