@@ -52,3 +52,30 @@ def test_annotated_run_byte_identical(reference_root):
     ).read()
     assert strip_pg(result.stdout) == strip_pg(golden_out)
     assert result.stderr == golden_err
+
+
+def test_validate_annotated_byte_identical(reference_root):
+    result = run_mux(
+        reference_root,
+        "test/BDGGG/BDGGG_annotated.json",
+        extra=("--validate", "--distance"),
+    )
+    assert result.returncode == 0, result.stderr[:2000]
+    golden = open(
+        os.path.join(reference_root, "test/BDGGG/valid/validate_annotated.out")
+    ).read()
+    assert result.stdout == golden
+    assert result.stderr == ""
+
+
+def test_validate_interleave_byte_identical(reference_root):
+    result = run_mux(
+        reference_root,
+        "test/BDGGG/BDGGG_interleave.json",
+        extra=("--validate",),
+    )
+    assert result.returncode == 0, result.stderr[:2000]
+    golden = open(
+        os.path.join(reference_root, "test/BDGGG/valid/validate_interleave.out")
+    ).read()
+    assert result.stdout == golden
