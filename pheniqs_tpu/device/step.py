@@ -36,51 +36,55 @@ from .classify import (
 from .instrument import DeviceDecoder, DeviceInstrument
 
 
+def _segment_sum(index: jnp.ndarray, weights: jnp.ndarray, b1: int) -> jnp.ndarray:
+    """Stacked per-barcode sums: (N,) index + (N, K) weights -> (b1, K) via
+    one one-hot contraction on the MXU (single pass over the batch)."""
+    onehot = jax.nn.one_hot(index, b1, dtype=jnp.float32)  # (N, b1)
+    return jnp.einsum(
+        "nb,nk->bk", onehot, weights, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _counters(dec: DeviceDecoder, result: dict) -> dict:
-    """Per-batch accumulator deltas (reference selector.h:32-92), as one-hot
-    contractions over the (B+1) barcode axis; row 0 = unclassified."""
+    """Per-batch accumulator deltas (reference selector.h:32-92), fused into
+    one stacked one-hot contraction over the (B+1) barcode axis (row 0 =
+    unclassified), plus one for the argmax-keyed filter counters."""
     b1 = dec.barcode_count + 1
     decoded = result["decoded"]
-    qcfail = result["qcfail"]
     branch = result["branch"]
-    onehot = jax.nn.one_hot(decoded, b1, dtype=jnp.float32)  # (N, B+1)
-    pf = (~qcfail).astype(jnp.float32)
+    pf = (~result["qcfail"]).astype(jnp.float32)
+    ones = jnp.ones_like(pf)
 
-    counters = {
-        "count": onehot.sum(axis=0),
-        "pf_count": jnp.einsum("nb,n->b", onehot, pf, precision=jax.lax.Precision.HIGHEST),
-    }
+    columns = [ones, pf]
+    names = ["count", "pf_count"]
     if dec.algorithm in ("pamld", "mdd"):
         distance = result["distance"].astype(jnp.float32)
         dist_mask = ((decoded > 0) & (result["distance"] > 0)).astype(jnp.float32)
-        counters["accumulated_distance"] = jnp.einsum(
-            "nb,n->b", onehot, distance * dist_mask
-        , precision=jax.lax.Precision.HIGHEST)
-        counters["accumulated_pf_distance"] = jnp.einsum(
-            "nb,n->b", onehot, distance * dist_mask * pf
-        , precision=jax.lax.Precision.HIGHEST)
+        columns += [distance * dist_mask, distance * dist_mask * pf]
+        names += ["accumulated_distance", "accumulated_pf_distance"]
     if dec.algorithm == "pamld":
         passed = (branch == BRANCH_PASS).astype(jnp.float32)
         confidence = result["confidence"]
-        counters["accumulated_confidence"] = jnp.einsum(
-            "nb,n->b", onehot, confidence * passed
-        , precision=jax.lax.Precision.HIGHEST)
-        counters["accumulated_pf_confidence"] = jnp.einsum(
-            "nb,n->b", onehot, confidence * passed * pf
-        , precision=jax.lax.Precision.HIGHEST)
-        argmax_onehot = jax.nn.one_hot(result["argmax"], b1, dtype=jnp.float32)
-        counters["low_confidence_count"] = jnp.einsum(
-            "nb,n->b",
-            argmax_onehot,
-            (branch == BRANCH_LOW_CONFIDENCE).astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
+        columns += [confidence * passed, confidence * passed * pf]
+        names += ["accumulated_confidence", "accumulated_pf_confidence"]
+
+    stacked = _segment_sum(decoded, jnp.stack(columns, axis=1), b1)
+    counters = {name: stacked[:, k] for k, name in enumerate(names)}
+
+    if dec.algorithm == "pamld":
+        filters = _segment_sum(
+            result["argmax"],
+            jnp.stack(
+                [
+                    (branch == BRANCH_LOW_CONFIDENCE).astype(jnp.float32),
+                    (branch == BRANCH_NOISE).astype(jnp.float32),
+                ],
+                axis=1,
+            ),
+            b1,
         )
-        counters["low_conditional_confidence_count"] = jnp.einsum(
-            "nb,n->b",
-            argmax_onehot,
-            (branch == BRANCH_NOISE).astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        counters["low_confidence_count"] = filters[:, 0]
+        counters["low_conditional_confidence_count"] = filters[:, 1]
     return counters
 
 

@@ -74,8 +74,9 @@ class DeviceEngine(StrictEngine):
             segment = batch.segments[segment_index]
             w = _round_up(max(segment.width, 1), 8)
             widths.append(w)
-            code = np.zeros((padded_n, w), dtype=np.int32)
-            qual = np.zeros((padded_n, w), dtype=np.int32)
+            # uint8 on the wire; the step upcasts on device
+            code = np.zeros((padded_n, w), dtype=np.uint8)
+            qual = np.zeros((padded_n, w), dtype=np.uint8)
             length = np.zeros(padded_n, dtype=np.int32)
             code[:n, : segment.width] = segment.code
             qual[:n, : segment.width] = segment.quality
