@@ -1,0 +1,252 @@
+// pheniqs-tpu native host runtime: high-throughput FASTQ ingest.
+//
+// The TPU-native equivalent of the reference's htslib feed layer
+// (reference fastq.h:30-456, feed.h:281-456): where the reference runs one
+// pthread per feed filling ring buffers of Segment objects, this library
+// parses (optionally gzip-compressed, via zlib) FASTQ streams directly
+// into caller-provided SoA batch buffers — BAM 4-bit nucleotide codes,
+// phred qualities, lengths, names, and the Illumina comment QC-fail flag —
+// which the Python engine hands to the device as tensors.
+//
+// Exposed as a plain C ABI consumed through ctypes (no pybind11 in the
+// image). All functions are thread-compatible: one handle per stream, no
+// shared state.
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+#include <zlib.h>
+
+namespace {
+
+// ASCII -> BAM 4-bit nucleotide code ('=' 0, A 1, C 2, M 3, G 4, ... N 15),
+// unknown bytes -> 15; mirrors pheniqs_tpu.iupac.ASCII_TO_BAM.
+struct AsciiToBam {
+    uint8_t table[256];
+    AsciiToBam() {
+        const char* alphabet = "=ACMGRSVTWYHKDBN";
+        for (int i = 0; i < 256; ++i) table[i] = 15;
+        for (int code = 0; code < 16; ++code) {
+            unsigned char upper = static_cast<unsigned char>(alphabet[code]);
+            table[upper] = static_cast<uint8_t>(code);
+            table[std::tolower(upper)] = static_cast<uint8_t>(code);
+        }
+        table[static_cast<unsigned char>('=')] = 0;
+        table[static_cast<unsigned char>('U')] = 8;
+        table[static_cast<unsigned char>('u')] = 8;
+    }
+};
+const AsciiToBam kAsciiToBam;
+
+constexpr size_t kChunk = 1 << 20;
+
+struct Reader {
+    gzFile file = nullptr;
+    std::string buffer;   // decompressed carry-over
+    size_t position = 0;  // consume offset into buffer
+    bool eof = false;
+    std::string error;
+    int phred_offset = 33;
+
+    // Refill so that at least one full line is available; returns false on
+    // EOF with an empty remainder.
+    bool fill() {
+        if (eof) return position < buffer.size();
+        if (position > 0) {
+            buffer.erase(0, position);
+            position = 0;
+        }
+        size_t old = buffer.size();
+        buffer.resize(old + kChunk);
+        int got = gzread(file, &buffer[old], static_cast<unsigned>(kChunk));
+        if (got < 0) {
+            int errnum = 0;
+            const char* message = gzerror(file, &errnum);
+            error = message ? message : "gzread failed";
+            buffer.resize(old);
+            eof = true;
+            return false;
+        }
+        buffer.resize(old + static_cast<size_t>(got));
+        if (static_cast<size_t>(got) < kChunk) eof = true;
+        return buffer.size() > position;
+    }
+
+    // Returns pointer+length of the next line (without terminator), or
+    // false at EOF. The returned span stays valid until the next fill().
+    bool line(const char** out, size_t* length) {
+        while (true) {
+            size_t nl = buffer.find('\n', position);
+            if (nl != std::string::npos) {
+                size_t start = position;
+                size_t len = nl - start;
+                if (len > 0 && buffer[start + len - 1] == '\r') --len;
+                position = nl + 1;
+                *out = buffer.data() + start;
+                *length = len;
+                return true;
+            }
+            if (eof) {
+                if (position < buffer.size()) {
+                    size_t start = position;
+                    size_t len = buffer.size() - start;
+                    if (len > 0 && buffer[start + len - 1] == '\r') --len;
+                    position = buffer.size();
+                    *out = buffer.data() + start;
+                    *length = len;
+                    return true;
+                }
+                return false;
+            }
+            if (!fill() && eof && position >= buffer.size()) return false;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pq_fastq_open(const char* path, int phred_offset) {
+    Reader* reader = new Reader();
+    reader->phred_offset = phred_offset;
+    reader->file = gzopen(path, "rb");
+    if (reader->file == nullptr) {
+        delete reader;
+        return nullptr;
+    }
+    gzbuffer(reader->file, 1 << 20);
+    return reader;
+}
+
+const char* pq_fastq_error(void* handle) {
+    if (handle == nullptr) return "invalid handle";
+    return static_cast<Reader*>(handle)->error.c_str();
+}
+
+void pq_fastq_close(void* handle) {
+    if (handle == nullptr) return;
+    Reader* reader = static_cast<Reader*>(handle);
+    if (reader->file != nullptr) gzclose(reader->file);
+    delete reader;
+}
+
+// Parse up to `max_records` records.
+//   code, qual        : (max_records, max_length) row-major uint8
+//   length            : (max_records,) int32 — sequence lengths (clipped to
+//                       max_length when longer; full length reported)
+//   qcfail            : (max_records,) uint8 — Illumina comment filter flag
+//   names             : byte arena receiving NUL-separated read names
+//   name_offset       : (max_records + 1,) int64 prefix offsets into names
+// Returns number parsed; 0 at EOF; -1 on malformed input (see
+// pq_fastq_error); -2 when the names arena is exhausted.
+int32_t pq_fastq_read_batch(
+    void* handle,
+    int32_t max_records,
+    int32_t max_length,
+    uint8_t* code,
+    uint8_t* qual,
+    int32_t* length,
+    uint8_t* qcfail,
+    char* names,
+    int64_t names_capacity,
+    int64_t* name_offset
+) {
+    Reader* reader = static_cast<Reader*>(handle);
+    int32_t count = 0;
+    int64_t names_used = 0;
+    name_offset[0] = 0;
+    const int offset = reader->phred_offset;
+
+    while (count < max_records) {
+        const char* header;
+        size_t header_length;
+        if (!reader->line(&header, &header_length)) break;  // EOF
+        if (header_length == 0) continue;                   // skip blank lines
+        if (header[0] != '@') {
+            reader->error = "corrupt FASTQ header: ";
+            reader->error.append(header, std::min<size_t>(header_length, 64));
+            return -1;
+        }
+        // header spans may be invalidated by later fill(); copy what we keep
+        size_t name_end = 1;
+        while (name_end < header_length && header[name_end] != ' ') ++name_end;
+        std::string name(header + 1, name_end - 1);
+        // Illumina comment: "<segment>:<filter Y/N>:<control>:<barcode>"
+        uint8_t fail = 0;
+        if (name_end < header_length) {
+            const char* comment = header + name_end + 1;
+            size_t comment_length = header_length - name_end - 1;
+            size_t first_colon = 0;
+            while (first_colon < comment_length && comment[first_colon] != ':')
+                ++first_colon;
+            if (first_colon + 1 < comment_length) {
+                size_t second_colon = first_colon + 1;
+                while (second_colon < comment_length && comment[second_colon] != ':')
+                    ++second_colon;
+                if (second_colon - first_colon == 2 &&
+                    comment[first_colon + 1] == 'Y') {
+                    fail = 1;
+                }
+            }
+        }
+
+        const char* sequence;
+        size_t sequence_length;
+        if (!reader->line(&sequence, &sequence_length)) {
+            reader->error = "truncated FASTQ record (missing sequence)";
+            return -1;
+        }
+        std::string sequence_copy(sequence, sequence_length);
+
+        const char* separator;
+        size_t separator_length;
+        if (!reader->line(&separator, &separator_length) ||
+            separator_length == 0 || separator[0] != '+') {
+            reader->error = "corrupt FASTQ separator";
+            return -1;
+        }
+
+        const char* quality;
+        size_t quality_length;
+        if (!reader->line(&quality, &quality_length)) {
+            reader->error = "truncated FASTQ record (missing quality)";
+            return -1;
+        }
+        if (quality_length != sequence_copy.size()) {
+            reader->error = "sequence/quality length mismatch for " + name;
+            return -1;
+        }
+
+        if (names_used + static_cast<int64_t>(name.size()) + 1 > names_capacity) {
+            return count > 0 ? count : -2;
+        }
+
+        uint8_t* code_row = code + static_cast<int64_t>(count) * max_length;
+        uint8_t* qual_row = qual + static_cast<int64_t>(count) * max_length;
+        size_t keep = sequence_copy.size();
+        if (keep > static_cast<size_t>(max_length)) keep = max_length;
+        for (size_t i = 0; i < keep; ++i) {
+            code_row[i] = kAsciiToBam.table[
+                static_cast<unsigned char>(sequence_copy[i])];
+            int q = static_cast<unsigned char>(quality[i]) - offset;
+            qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
+        }
+        std::memset(code_row + keep, 0, max_length - keep);
+        std::memset(qual_row + keep, 0, max_length - keep);
+
+        length[count] = static_cast<int32_t>(sequence_copy.size());
+        qcfail[count] = fail;
+        std::memcpy(names + names_used, name.data(), name.size());
+        names_used += static_cast<int64_t>(name.size());
+        names[names_used++] = '\0';
+        name_offset[count + 1] = names_used;
+        ++count;
+    }
+    return count;
+}
+
+}  // extern "C"

@@ -367,6 +367,27 @@ class StrictEngine:
 
     # --- input -----------------------------------------------------------------
     def read_batches(self, batch_size: int = 4096):
+        """Stream ReadBatches: native C++ parser when available and every
+        feed is FASTQ, Python fallback otherwise."""
+        segment_proxies = self.ontology["feed"]["input feed by segment"]
+        all_fastq = all(
+            URL(proxy["url"]).format_type == "fastq" for proxy in segment_proxies
+        )
+        if all_fastq:
+            from ..native import available
+
+            if available():
+                from ..io.ingest import native_read_batches
+
+                yield from native_read_batches(
+                    [URL(proxy["url"]).path for proxy in segment_proxies],
+                    self.input_phred_offset,
+                    batch_size,
+                )
+                return
+        yield from self._python_read_batches(batch_size)
+
+    def _python_read_batches(self, batch_size: int = 4096):
         feed_proxies = self.ontology["feed"]["input feed"]
         segment_proxies = self.ontology["feed"]["input feed by segment"]
         iterators = {

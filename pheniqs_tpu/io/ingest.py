@@ -1,0 +1,105 @@
+"""Batch ingest: assemble multi-segment ReadBatches from input feeds.
+
+Uses the native C++ parser (pheniqs_tpu.native) when it is available and
+every feed is FASTQ, falling back to the pure-Python reader otherwise.
+Feeds with resolution R (interleaved) contribute R consecutive records per
+read, de-interleaved by stride — the batch analog of the reference's
+per-read feed pulls under the ordered lock protocol (reference
+transcode.cpp:287-316); determinism here comes from batch order instead of
+locks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import IOError_, SequenceError
+from ..model.batch import ReadBatch
+from ..transform import SegmentBatch
+
+
+def native_read_batches(
+    segment_urls: list[str],
+    phred_offset: int,
+    batch_size: int,
+    max_length: int = 1024,
+):
+    """Yield ReadBatch objects via the native parser.
+
+    ``segment_urls`` maps input segment index -> feed URL path (repeated
+    entries = interleaved feed with that resolution).
+    """
+    from ..native import NativeFastqReader
+
+    unique: list[str] = []
+    for url in segment_urls:
+        if url not in unique:
+            unique.append(url)
+    resolution = {url: segment_urls.count(url) for url in unique}
+    segment_slot = []  # per segment: (url, offset within read)
+    seen: dict[str, int] = {}
+    for url in segment_urls:
+        slot = seen.get(url, 0)
+        segment_slot.append((url, slot))
+        seen[url] = slot + 1
+
+    readers = {url: NativeFastqReader(url, phred_offset, max_length) for url in unique}
+    try:
+        while True:
+            per_feed: dict[str, tuple] = {}
+            counts = set()
+            for url in unique:
+                want = batch_size * resolution[url]
+                batch = readers[url].read_batch(want)
+                if batch is None:
+                    per_feed[url] = None
+                    counts.add(0)
+                else:
+                    per_feed[url] = batch
+                    count = batch[0].shape[0]
+                    if count % resolution[url] != 0:
+                        raise IOError_(
+                            f"truncated interleaved feed {url}: {count} records"
+                        )
+                    counts.add(count // resolution[url])
+            if counts == {0}:
+                return
+            if len(counts) != 1:
+                raise IOError_("truncated input: feeds ended out of sync")
+            reads = counts.pop()
+
+            segments = []
+            names_baseline: list[bytes] | None = None
+            qcfail = np.zeros(reads, dtype=bool)
+            for url, slot in segment_slot:
+                code, qual, length, fail, names = per_feed[url]
+                stride = resolution[url]
+                code = code[slot::stride]
+                qual = qual[slot::stride]
+                length = length[slot::stride]
+                fail = fail[slot::stride]
+                names = names[slot::stride]
+                width = int(length.max(initial=1))
+                segments.append(
+                    SegmentBatch(
+                        code=np.ascontiguousarray(code[:, :width]),
+                        quality=np.ascontiguousarray(qual[:, :width]),
+                        length=length,
+                    )
+                )
+                qcfail |= fail
+                if names_baseline is None:
+                    names_baseline = names
+                elif names != names_baseline:
+                    for got, expected in zip(names, names_baseline):
+                        if got != expected:
+                            raise SequenceError(
+                                f"read out of sync {got.decode()} and "
+                                f"{expected.decode()}"
+                            )
+            yield ReadBatch(
+                segments=segments, names=names_baseline, qcfail=qcfail
+            )
+    finally:
+        for reader in readers.values():
+            reader.close()

@@ -1,0 +1,159 @@
+"""ctypes bindings to the native host runtime (native/pheniqs_host.cpp).
+
+The shared library is compiled on demand with the system toolchain (g++,
+zlib) and cached next to the source; when the toolchain or zlib is
+unavailable the engine transparently falls back to the pure-Python reader,
+so the native path is an accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SOURCE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "pheniqs_host.cpp",
+)
+_LIBRARY = os.path.join(os.path.dirname(_SOURCE), "libpheniqs_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIBRARY) and os.path.getmtime(_LIBRARY) >= os.path.getmtime(
+        _SOURCE
+    ):
+        return None
+    command = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        _SOURCE, "-o", _LIBRARY, "-lz",
+    ]
+    result = subprocess.run(command, capture_output=True, text=True)
+    if result.returncode != 0:
+        return result.stderr[-2000:]
+    return None
+
+
+def load():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        error = _build()
+        if error is not None:
+            _build_error = error
+            return None
+        try:
+            lib = ctypes.CDLL(_LIBRARY)
+        except OSError as exc:
+            _build_error = str(exc)
+            return None
+        lib.pq_fastq_open.restype = ctypes.c_void_p
+        lib.pq_fastq_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.pq_fastq_error.restype = ctypes.c_char_p
+        lib.pq_fastq_error.argtypes = [ctypes.c_void_p]
+        lib.pq_fastq_close.restype = None
+        lib.pq_fastq_close.argtypes = [ctypes.c_void_p]
+        lib.pq_fastq_read_batch.restype = ctypes.c_int32
+        lib.pq_fastq_read_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def build_error() -> str | None:
+    return _build_error
+
+
+class NativeFastqReader:
+    """Batch FASTQ reader over the native parser.
+
+    Yields (code (N, W) uint8, qual (N, W) uint8, length (N,) int32,
+    qcfail (N,) bool, names list[bytes]) with W = ``max_length``.
+    """
+
+    def __init__(self, path: str, phred_offset: int = 33, max_length: int = 512):
+        lib = load()
+        if lib is None:
+            raise RuntimeError(f"native host library unavailable: {_build_error}")
+        self._lib = lib
+        self.max_length = max_length
+        self.handle = lib.pq_fastq_open(path.encode(), phred_offset)
+        if not self.handle:
+            raise FileNotFoundError(path)
+
+    def read_batch(self, max_records: int):
+        lib = self._lib
+        w = self.max_length
+        code = np.zeros((max_records, w), dtype=np.uint8)
+        qual = np.zeros((max_records, w), dtype=np.uint8)
+        length = np.zeros(max_records, dtype=np.int32)
+        qcfail = np.zeros(max_records, dtype=np.uint8)
+        names_capacity = max_records * 256
+        names = ctypes.create_string_buffer(names_capacity)
+        name_offset = np.zeros(max_records + 1, dtype=np.int64)
+
+        count = lib.pq_fastq_read_batch(
+            self.handle,
+            max_records,
+            w,
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qcfail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            names,
+            names_capacity,
+            name_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if count < 0:
+            from ..errors import SequenceError
+
+            message = lib.pq_fastq_error(self.handle).decode()
+            raise SequenceError(message or "native FASTQ parse error")
+        if count == 0:
+            return None
+        blob = names.raw
+        name_list = [
+            blob[name_offset[i] : name_offset[i + 1] - 1] for i in range(count)
+        ]
+        return (
+            code[:count],
+            qual[:count],
+            length[:count],
+            qcfail[:count].astype(bool),
+            name_list,
+        )
+
+    def close(self):
+        if self.handle:
+            self._lib.pq_fastq_close(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
