@@ -311,6 +311,9 @@ class StrictEngine:
         self.min_input_length = list(ontology.get("min input length", []))
         self.input_phred_offset = int(ontology.get("input phred offset", 33))
         self.output_phred_offset = int(ontology.get("output phred offset", 33))
+        self.enable_quality_control = bool(
+            ontology.get("enable quality control", False)
+        )
 
         # classifiers
         sample = ontology.get("sample")
@@ -342,6 +345,16 @@ class StrictEngine:
             channel_nodes.extend(decoder_ontology.get("codec", {}).values())
             for index, node in enumerate(channel_nodes):
                 self.channels.append(Channel(index, node, self.feeds_by_url))
+
+        # per-channel QC accumulators (reference multiplex.h:167-196)
+        self.channel_quality = None
+        if self.enable_quality_control and self.channels:
+            from ..report.quality import ChannelQualityAccumulator
+
+            self.channel_quality = [
+                ChannelQualityAccumulator(self.output_segment_cardinality)
+                for _ in self.channels
+            ]
 
         # incoming / outgoing counters
         self.incoming_count = 0
@@ -592,6 +605,14 @@ class StrictEngine:
             rg_table = self.sample.spec.rg_by_barcode_index
             rg_values = [rg_table[i] for i in sample_result.decoded]
 
+        # --- QC accumulation: every read pushed to its channel counts,
+        # regardless of the outgoing qcfail filter (reference multiplex.h:219)
+        if self.channel_quality is not None:
+            for index, accumulator in enumerate(self.channel_quality):
+                accumulator.increment_batch(
+                    output_segments, channel_index == index
+                )
+
         # --- emit records
         self._emit(
             batch,
@@ -784,6 +805,10 @@ class StrictEngine:
             report["cellular"] = [
                 encode_decoder_report(r.accumulator.finalize(), r.spec)
                 for r in self.cellular
+            ]
+        if self.channel_quality is not None:
+            report["multiplex"] = [
+                accumulator.encode() for accumulator in self.channel_quality
             ]
         from ..config.jsonkit import clean_json_object, sort_json
 
