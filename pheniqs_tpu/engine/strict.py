@@ -56,15 +56,26 @@ from ..transform import Rule, SegmentBatch
 # ---------------------------------------------------------------------------
 
 class OutputFeed:
-    """One output destination shared by all channels referencing its URL."""
+    """One output destination shared by all channels referencing its URL.
+
+    Emission is format-aware (reference hts.h:42-299, fastq.h:144-178):
+    SAM text, BAM (BGZF container), or FASTQ with the reconstructed
+    Illumina comment. CRAM requires htslib's codec stack and is gated.
+    """
 
     def __init__(self, proxy: dict, ontology: dict):
         self.url = URL(proxy["url"])
         self.phred_offset = int(proxy.get("phred offset", 33))
         self.format = self.url.format_type or "sam"
+        self.platform = str(ontology.get("platform", "ILLUMINA"))
         self.stream = None
         self._owns_stream = False
+        self.bam = None
         self.header: bytes = b""
+        if self.format == "cram":
+            raise ConfigurationError(
+                "CRAM output requires htslib and is not supported; use BAM"
+            )
 
     def initiate(self, header: "SamHeader | None"):
         if self.url.is_stdout():
@@ -75,7 +86,7 @@ class OutputFeed:
             self.stream = None
         else:
             compression = self.url.compression
-            if compression in ("gz", "bgzf"):
+            if self.format != "bam" and compression in ("gz", "bgzf"):
                 import gzip
 
                 level = int(self.url.compression_level or 5)
@@ -83,14 +94,54 @@ class OutputFeed:
             else:
                 self.stream = open(self.url.path, "wb")
             self._owns_stream = True
-        if self.stream is not None and self.format == "sam" and header is not None:
-            self.stream.write(header.encode())
+        if self.stream is not None:
+            if self.format == "sam" and header is not None:
+                self.stream.write(header.encode())
+            elif self.format == "bam":
+                from ..io.hts import BamWriter
+
+                level = int(self.url.compression_level or 5)
+                self.bam = BamWriter(
+                    self.stream,
+                    header.encode().decode() if header is not None else "",
+                    level,
+                )
 
     def write(self, payload: bytes):
         if self.stream is not None:
             self.stream.write(payload)
 
+    def emit(self, name, flag, code, quality, length, tags, segment_index):
+        """Write one output segment in this feed's format."""
+        if self.stream is None:
+            return
+        if self.format == "bam":
+            self.bam.write_record(name, flag, code, quality, length, tags)
+            return
+        if self.format == "fastq":
+            buffer = bytearray()
+            buffer += b"@" + name.encode()
+            if self.platform in ("ILLUMINA", "ELEMENT"):
+                # reconstructed Illumina comment (reference fastq.h:180-198)
+                fail = "Y" if flag & FLAG_QCFAIL else "N"
+                buffer += f" {segment_index + 1}:{fail}:0:{tags.BC}".encode()
+            buffer += b"\n"
+            buffer += bam_codes_to_ascii(code, length).encode()
+            buffer += b"\n+\n"
+            buffer += quality_to_ascii(
+                quality, length, self.phred_offset
+            ).encode()
+            buffer += b"\n"
+            self.stream.write(bytes(buffer))
+            return
+        seq = bam_codes_to_ascii(code, length)
+        qual = quality_to_ascii(quality, length, self.phred_offset)
+        self.stream.write((format_record(name, flag, seq, qual, tags) + "\n").encode())
+
     def close(self):
+        if self.bam is not None:
+            self.bam.close()
+            self.bam = None
         if self.stream is not None:
             self.stream.flush()
             if self._owns_stream:
@@ -400,12 +451,38 @@ class StrictEngine:
                 return
         yield from self._python_read_batches(batch_size)
 
+    def _record_stream(self, url: str, phred_offset: int):
+        """Uniform (name, sequence_ascii, quality_phred, qcfail) record
+        stream for any input format."""
+        parsed = URL(url)
+        fmt = parsed.format_type or "fastq"
+        if fmt == "fastq":
+            for record in read_fastq(parsed.path, phred_offset):
+                yield (record.name, record.sequence, record.quality, record.qcfail)
+        elif fmt in ("sam", "bam"):
+            from ..io.hts import read_bam, read_sam
+
+            reader = read_bam(parsed.path) if fmt == "bam" else read_sam(parsed.path)
+            for record in reader:
+                yield (
+                    record.name,
+                    BAM_TO_ASCII[record.code].tobytes(),
+                    record.quality.tobytes(),
+                    record.qcfail,
+                )
+        elif fmt == "cram":
+            raise ConfigurationError(
+                "CRAM input requires htslib and is not supported; use BAM"
+            )
+        else:
+            raise ConfigurationError(f"unsupported input format {fmt}")
+
     def _python_read_batches(self, batch_size: int = 4096):
         feed_proxies = self.ontology["feed"]["input feed"]
         segment_proxies = self.ontology["feed"]["input feed by segment"]
         iterators = {
-            proxy["url"]: read_fastq(
-                URL(proxy["url"]).path, int(proxy.get("phred offset", 33))
+            proxy["url"]: self._record_stream(
+                proxy["url"], int(proxy.get("phred offset", 33))
             )
             for proxy in feed_proxies
         }
@@ -423,18 +500,16 @@ class StrictEngine:
                 read.append(record)
             if exhausted:
                 break
-            baseline = read[0].name
+            baseline = read[0][0]
             for record in read[1:]:
-                if record.name != baseline:
+                if record[0] != baseline:
                     from ..errors import SequenceError
 
                     raise SequenceError(
-                        f"read out of sync {record.name.decode()} and "
+                        f"read out of sync {record[0].decode()} and "
                         f"{baseline.decode()}"
                     )
-            records.append(
-                [(r.name, r.sequence, r.quality, r.qcfail) for r in read]
-            )
+            records.append(list(read))
             if len(records) >= batch_size:
                 yield ReadBatch.from_records(records)
                 records = []
@@ -749,28 +824,26 @@ class StrictEngine:
                 tags.XC = 1.0 - cellular_conf[i]
 
             fail = bool(qcfail[i])
-            records = []
-            for s in range(cardinality):
-                segment = output_segments[s]
-                length = int(segment.length[i])
-                flag = flags[s] | (FLAG_QCFAIL if fail else 0)
-                seq = bam_codes_to_ascii(segment.code[i], length)
-                qual = quality_to_ascii(
-                    segment.quality[i], length, self.output_phred_offset
-                )
-                records.append(
-                    format_record(name, flag, seq, qual, tags)
-                )
-            out.append((int(channel_index[i]), fail, records))
+            out.append((int(channel_index[i]), fail, name, tags, i))
 
-        for index, fail, records in out:
+        for index, fail, name, tags, i in out:
             channel = self.channels[index] if index < len(self.channels) else None
             if channel is None or not channel.feeds:
                 continue
             if channel.filter_outgoing_qc_fail and fail:
                 continue
-            for s, record in enumerate(records):
-                channel.feeds[s].write((record + "\n").encode())
+            for s in range(cardinality):
+                segment = output_segments[s]
+                flag = flags[s] | (FLAG_QCFAIL if fail else 0)
+                channel.feeds[s].emit(
+                    name,
+                    flag,
+                    segment.code[i],
+                    segment.quality[i],
+                    int(segment.length[i]),
+                    tags,
+                    s,
+                )
 
     # --- report ----------------------------------------------------------------
     def finalize_report(self, include_job: dict | None = None) -> dict:

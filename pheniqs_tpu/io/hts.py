@@ -1,0 +1,422 @@
+"""HTS container formats: BGZF, BAM read/write, SAM text input.
+
+Pure-Python/NumPy implementations of the formats the reference reaches
+through htslib (reference hts.h:42-299): BGZF block compression (gzip
+members with the BC extra field + the 28-byte EOF marker), the BAM binary
+record codec (4-bit packed sequence, typed aux block), and SAM text
+parsing. CRAM requires htslib's codec stack and is explicitly gated with
+an UnsupportedError.
+
+Reads produced by this framework are unaligned: refID/pos are -1, mapq 0,
+no CIGAR, bin fixed at 4680 (reg2bin of an unplaced interval).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+
+import numpy as np
+
+from ..errors import IOError_, SequenceError
+from ..iupac import ASCII_TO_BAM
+
+#: BGZF EOF marker block (empty payload), per the SAM spec
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+#: max uncompressed payload per BGZF block
+BGZF_BLOCK = 0xFF00
+
+UNMAPPED_BIN = 4680
+
+
+class BgzfWriter:
+    """Block-gzip writer over a binary stream."""
+
+    def __init__(self, stream, level: int = 5):
+        self.stream = stream
+        self.level = level
+        self.buffer = bytearray()
+
+    def write(self, data: bytes):
+        self.buffer += data
+        while len(self.buffer) >= BGZF_BLOCK:
+            self._emit(bytes(self.buffer[:BGZF_BLOCK]))
+            del self.buffer[:BGZF_BLOCK]
+
+    def _emit(self, payload: bytes):
+        deflater = zlib.compressobj(
+            self.level, zlib.DEFLATED, -15, zlib.DEF_MEM_LEVEL, 0
+        )
+        body = deflater.compress(payload) + deflater.flush()
+        bsize = len(body) + 25 + 1  # header(12) + XLEN block(6) + body + crc+isize(8)
+        header = struct.pack(
+            "<BBBBIBBHBBHH",
+            0x1F, 0x8B, 8, 4,  # gzip magic, deflate, FEXTRA
+            0, 0, 0xFF,        # mtime, xfl, os
+            6,                 # XLEN
+            0x42, 0x43, 2,     # 'B' 'C', subfield length
+            bsize - 1,
+        )
+        trailer = struct.pack("<II", zlib.crc32(payload), len(payload))
+        self.stream.write(header + body + trailer)
+
+    def close(self):
+        if self.buffer:
+            self._emit(bytes(self.buffer))
+            self.buffer.clear()
+        self.stream.write(BGZF_EOF)
+        self.stream.flush()
+
+
+class BamWriter:
+    """Minimal BAM emitter for unaligned classified reads."""
+
+    def __init__(self, stream, header_text: str, level: int = 5):
+        self.bgzf = BgzfWriter(stream, level)
+        text = header_text.encode()
+        self.bgzf.write(b"BAM\x01")
+        self.bgzf.write(struct.pack("<i", len(text)))
+        self.bgzf.write(text)
+        self.bgzf.write(struct.pack("<i", 0))  # n_ref
+
+    def write_record(
+        self,
+        name: str,
+        flag: int,
+        code: np.ndarray,
+        quality: np.ndarray,
+        length: int,
+        tags,
+    ):
+        raw_name = name.encode() + b"\x00"
+        l_seq = max(length, 0)
+        packed = bytearray((l_seq + 1) // 2)
+        for i in range(l_seq):
+            if i % 2 == 0:
+                packed[i // 2] = (code[i] & 0xF) << 4
+            else:
+                packed[i // 2] |= code[i] & 0xF
+        qual = bytes(
+            int(q) & 0xFF for q in quality[:l_seq]
+        ) if l_seq else b""
+        aux = encode_bam_aux(tags)
+        body = (
+            struct.pack(
+                "<iiBBHHHiiii",
+                -1,                      # refID
+                -1,                      # pos
+                len(raw_name),           # l_read_name
+                0,                       # mapq
+                UNMAPPED_BIN,            # bin
+                0,                       # n_cigar
+                flag,                    # flag
+                l_seq,
+                -1,                      # next_refID
+                -1,                      # next_pos
+                0,                       # tlen
+            )
+            + raw_name
+            + bytes(packed)
+            + qual
+            + aux
+        )
+        self.bgzf.write(struct.pack("<i", len(body)) + body)
+
+    def close(self):
+        self.bgzf.close()
+
+
+def encode_bam_aux(tags) -> bytes:
+    """AuxTags -> BAM binary aux block, same order and presence rules as
+    the SAM text emission (reference auxiliary.cpp:327-359)."""
+    out = bytearray()
+
+    def z(tag: str, value: str):
+        out.extend(tag.encode())
+        out.append(ord("Z"))
+        out.extend(value.encode())
+        out.append(0)
+
+    def i(tag: str, value: int):
+        out.extend(tag.encode())
+        out.append(ord("i"))
+        out.extend(struct.pack("<i", value))
+
+    def f(tag: str, value: float):
+        out.extend(tag.encode())
+        out.append(ord("f"))
+        out.extend(struct.pack("<f", np.float32(value)))
+
+    if tags.TC > 2:
+        if tags.FI > 0:
+            i("FI", tags.FI)
+        i("TC", tags.TC)
+    if tags.FS:
+        z("FS", tags.FS)
+    if tags.RG:
+        z("RG", tags.RG)
+    if tags.PU:
+        z("PU", tags.PU)
+    if tags.LB:
+        z("LB", tags.LB)
+    if tags.PG:
+        z("PG", tags.PG)
+    if tags.CO:
+        z("CO", tags.CO)
+    if tags.BC:
+        z("BC", tags.BC)
+    if tags.QT:
+        z("QT", tags.QT)
+    if tags.XB > 0:
+        f("XB", tags.XB)
+    if tags.RX:
+        z("RX", tags.RX)
+    if tags.QX:
+        z("QX", tags.QX)
+    if tags.OX:
+        z("OX", tags.OX)
+    if tags.BZ:
+        z("BZ", tags.BZ)
+    if tags.MI:
+        z("MI", tags.MI)
+    if tags.XM > 0:
+        f("XM", tags.XM)
+    if tags.CB:
+        z("CB", tags.CB)
+    if tags.CR:
+        z("CR", tags.CR)
+    if tags.CY:
+        z("CY", tags.CY)
+    if tags.XC > 0:
+        f("XC", tags.XC)
+    if tags.XO > 0:
+        f("XO", tags.XO)
+    if tags.EE > 0:
+        f("EE", tags.EE)
+    return bytes(out)
+
+
+class HtsRecord:
+    """One parsed SAM/BAM alignment record."""
+
+    __slots__ = ("name", "flag", "code", "quality", "aux")
+
+    def __init__(self, name, flag, code, quality, aux):
+        self.name = name  # bytes
+        self.flag = flag
+        self.code = code  # np.uint8 BAM nibble codes
+        self.quality = quality  # np.uint8 phred values
+        self.aux = aux  # dict tag -> value
+
+    @property
+    def qcfail(self) -> bool:
+        return bool(self.flag & 0x200)
+
+    @property
+    def total_segments(self) -> int:
+        """Segment cardinality (reference hts.h / Segment::total_segments):
+        TC aux when present, else 2 for paired, else 1."""
+        tc = self.aux.get("TC")
+        if tc:
+            return int(tc)
+        if self.flag & 0x1:
+            return 2
+        return 1
+
+
+def _parse_bam_aux(buffer: bytes) -> dict:
+    aux = {}
+    offset = 0
+    size = len(buffer)
+    while offset + 3 <= size:
+        tag = buffer[offset : offset + 2].decode()
+        kind = chr(buffer[offset + 2])
+        offset += 3
+        if kind == "Z" or kind == "H":
+            end = buffer.index(0, offset)
+            aux[tag] = buffer[offset:end].decode()
+            offset = end + 1
+        elif kind == "A":
+            aux[tag] = chr(buffer[offset])
+            offset += 1
+        elif kind in "cC":
+            aux[tag] = struct.unpack_from("<b" if kind == "c" else "<B", buffer, offset)[0]
+            offset += 1
+        elif kind in "sS":
+            aux[tag] = struct.unpack_from("<h" if kind == "s" else "<H", buffer, offset)[0]
+            offset += 2
+        elif kind in "iI":
+            aux[tag] = struct.unpack_from("<i" if kind == "i" else "<I", buffer, offset)[0]
+            offset += 4
+        elif kind == "f":
+            aux[tag] = struct.unpack_from("<f", buffer, offset)[0]
+            offset += 4
+        elif kind == "B":
+            sub = chr(buffer[offset])
+            count = struct.unpack_from("<I", buffer, offset + 1)[0]
+            widths = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+            offset += 5 + widths[sub] * count
+            aux[tag] = None  # array tags not needed downstream
+        else:
+            raise IOError_(f"unsupported BAM aux type {kind}")
+    return aux
+
+
+#: BAM seq nibble -> code for the high/low halves, vectorized unpack tables
+_HI = np.arange(256, dtype=np.uint8) >> 4
+_LO = np.arange(256, dtype=np.uint8) & 0xF
+
+
+def read_bam(path: str):
+    """Yield HtsRecord from a BAM file (gzip handles BGZF members)."""
+    stream = gzip.open(path, "rb")
+    try:
+        magic = stream.read(4)
+        if magic != b"BAM\x01":
+            raise IOError_(f"{path} is not a BAM file")
+        (l_text,) = struct.unpack("<i", stream.read(4))
+        header_text = stream.read(l_text)  # noqa: F841 - kept for future use
+        (n_ref,) = struct.unpack("<i", stream.read(4))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", stream.read(4))
+            stream.read(l_name + 4)
+        while True:
+            size_bytes = stream.read(4)
+            if len(size_bytes) < 4:
+                return
+            (block_size,) = struct.unpack("<i", size_bytes)
+            body = stream.read(block_size)
+            if len(body) < block_size:
+                raise IOError_(f"truncated BAM record in {path}")
+            (
+                _ref_id, _pos, l_read_name, _mapq, _bin, n_cigar, flag,
+                l_seq, _next_ref, _next_pos, _tlen,
+            ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+            offset = 32
+            name = body[offset : offset + l_read_name - 1]
+            offset += l_read_name + 4 * n_cigar
+            packed = np.frombuffer(
+                body, dtype=np.uint8, count=(l_seq + 1) // 2, offset=offset
+            )
+            code = np.empty(l_seq, dtype=np.uint8)
+            code[0::2] = _HI[packed][: (l_seq + 1) // 2]
+            code[1::2] = _LO[packed][: l_seq // 2]
+            offset += (l_seq + 1) // 2
+            quality = np.frombuffer(
+                body, dtype=np.uint8, count=l_seq, offset=offset
+            ).copy()
+            if l_seq and quality[0] == 0xFF:
+                quality = np.zeros(l_seq, dtype=np.uint8)
+            offset += l_seq
+            aux = _parse_bam_aux(body[offset:])
+            yield HtsRecord(bytes(name), flag, code, quality, aux)
+    finally:
+        stream.close()
+
+
+def read_sam(path: str):
+    """Yield HtsRecord from SAM text (plain or gzip)."""
+    from .fastq import open_maybe_compressed
+
+    stream = open_maybe_compressed(path)
+    try:
+        for line in stream:
+            if line.startswith(b"@"):
+                continue
+            fields = line.rstrip(b"\r\n").split(b"\t")
+            if len(fields) < 11:
+                raise SequenceError(f"corrupt SAM record in {path}")
+            name = fields[0]
+            flag = int(fields[1])
+            seq = fields[9]
+            qual = fields[10]
+            if seq == b"*":
+                code = np.zeros(0, dtype=np.uint8)
+                quality = np.zeros(0, dtype=np.uint8)
+            else:
+                code = ASCII_TO_BAM[np.frombuffer(seq, dtype=np.uint8)]
+                if qual == b"*":
+                    quality = np.zeros(len(seq), dtype=np.uint8)
+                else:
+                    quality = (
+                        np.frombuffer(qual, dtype=np.uint8).astype(np.int16) - 33
+                    ).clip(0).astype(np.uint8)
+            aux = {}
+            for field in fields[11:]:
+                tag = field[:2].decode()
+                kind = chr(field[3])
+                value = field[5:]
+                if kind == "i":
+                    aux[tag] = int(value)
+                elif kind == "f":
+                    aux[tag] = float(value)
+                else:
+                    aux[tag] = value.decode()
+            yield HtsRecord(bytes(name), flag, code, quality, aux)
+    finally:
+        stream.close()
+
+
+def hts_read_batches(path: str, format_type: str, batch_size: int):
+    """Assemble ReadBatches from an interleaved SAM/BAM feed: consecutive
+    records sharing a name form one read (reference hts.h sensing +
+    transcode.cpp:559-682)."""
+    from ..model.batch import ReadBatch
+    from ..transform import SegmentBatch
+
+    reader = read_bam(path) if format_type == "bam" else read_sam(path)
+    pending: list[list[HtsRecord]] = []
+    current: list[HtsRecord] = []
+
+    def flush_reads():
+        nonlocal pending
+        if not pending:
+            return None
+        n = len(pending)
+        cardinality = len(pending[0])
+        for read in pending:
+            if len(read) != cardinality:
+                raise SequenceError(
+                    f"inconsistent segment cardinality in {path} for "
+                    f"{read[0].name.decode()}"
+                )
+        segments = []
+        for s in range(cardinality):
+            lengths = np.array(
+                [len(read[s].code) for read in pending], dtype=np.int32
+            )
+            width = int(lengths.max(initial=1))
+            code = np.zeros((n, width), dtype=np.uint8)
+            qual = np.zeros((n, width), dtype=np.uint8)
+            for r, read in enumerate(pending):
+                code[r, : lengths[r]] = read[s].code
+                qual[r, : lengths[r]] = read[s].quality
+            segments.append(
+                SegmentBatch(code=code, quality=qual, length=lengths)
+            )
+        batch = ReadBatch(
+            segments=segments,
+            names=[read[0].name for read in pending],
+            qcfail=np.array(
+                [any(r.qcfail for r in read) for read in pending], dtype=bool
+            ),
+        )
+        pending = []
+        return batch
+
+    for record in reader:
+        if current and record.name != current[0].name:
+            pending.append(current)
+            current = []
+            if len(pending) >= batch_size:
+                yield flush_reads()
+        current.append(record)
+    if current:
+        pending.append(current)
+    batch = flush_reads()
+    if batch is not None:
+        yield batch

@@ -1,0 +1,151 @@
+"""HTS container formats: BGZF/BAM roundtrip, BAM output vs golden SAM,
+BAM/SAM input, FASTQ output with reconstructed Illumina comment."""
+
+import gzip
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pheniqs_tpu.io.hts import BamWriter, read_bam, read_sam
+from pheniqs_tpu.io.sam import AuxTags
+from pheniqs_tpu.iupac import ASCII_TO_BAM, BAM_TO_ASCII
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_mux(reference_root, config, extra=()):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [
+            sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+            "--config", config, "--precision", "15", *extra,
+        ],
+        cwd=reference_root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+def test_bam_roundtrip(tmp_path):
+    path = tmp_path / "roundtrip.bam"
+    stream = open(path, "wb")
+    writer = BamWriter(stream, "@HD\tVN:1.0\n")
+    tags = AuxTags()
+    tags.RG = "group1"
+    tags.BC = "ACGT"
+    tags.XB = 0.25
+    code = ASCII_TO_BAM[np.frombuffer(b"ACGTN", dtype=np.uint8)]
+    quality = np.array([30, 31, 32, 33, 2], dtype=np.uint8)
+    writer.write_record("read1", 77, code, quality, 5, tags)
+    writer.write_record("read2", 141, code[:4], quality[:4], 4, AuxTags())
+    writer.close()
+    stream.close()
+
+    records = list(read_bam(str(path)))
+    assert len(records) == 2
+    assert records[0].name == b"read1"
+    assert records[0].flag == 77
+    assert BAM_TO_ASCII[records[0].code].tobytes() == b"ACGTN"
+    np.testing.assert_array_equal(records[0].quality, quality)
+    assert records[0].aux["RG"] == "group1"
+    assert records[0].aux["BC"] == "ACGT"
+    assert abs(records[0].aux["XB"] - 0.25) < 1e-7
+    assert records[1].name == b"read2"
+    assert len(records[1].code) == 4
+
+
+@pytest.fixture(scope="module")
+def bam_output(reference_root, tmp_path_factory):
+    path = tmp_path_factory.mktemp("bam") / "bdggg.bam"
+    result = run_mux(
+        reference_root,
+        "test/BDGGG/BDGGG_annotated.json",
+        extra=("--output", str(path)),
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    return str(path)
+
+
+def test_bam_output_matches_golden_sam(reference_root, bam_output):
+    golden = [
+        line.split("\t")
+        for line in open(
+            os.path.join(reference_root, "test/BDGGG/valid/annotated.out")
+        )
+        if not line.startswith("@")
+    ]
+    records = list(read_bam(bam_output))
+    assert len(records) == len(golden)
+    for fields, record in zip(golden, records):
+        assert fields[0] == record.name.decode()
+        assert int(fields[1]) == record.flag
+        assert fields[9] == BAM_TO_ASCII[record.code].tobytes().decode()
+        assert fields[10] == (record.quality + 33).tobytes().decode()
+        for field in fields[11:]:
+            tag, kind, value = field.strip().split(":", 2)
+            got = record.aux[tag]
+            if kind == "f":
+                assert abs(float(value) - got) <= 1e-6 * max(1.0, abs(float(value)))
+            elif kind == "i":
+                assert int(value) == got
+            else:
+                assert value == str(got)
+
+
+def test_bam_input_passthrough_roundtrip(bam_output, tmp_path):
+    config = tmp_path / "roundtrip.json"
+    out = tmp_path / "roundtrip.sam"
+    config.write_text(
+        "{\n"
+        f'    "input": ["{bam_output}", "{bam_output}"],\n'
+        f'    "output": ["{out}"],\n'
+        '    "template": { "transform": { "token": ["0::", "1::"] } }\n'
+        "}\n"
+    )
+    result = run_mux(str(tmp_path), str(config))
+    assert result.returncode == 0, result.stderr[-2000:]
+    records = list(read_bam(bam_output))
+    lines = [
+        line.split("\t")
+        for line in open(out)
+        if not line.startswith("@")
+    ]
+    assert len(lines) == len(records)
+    for fields, record in zip(lines, records):
+        assert fields[0] == record.name.decode()
+        assert fields[9] == BAM_TO_ASCII[record.code].tobytes().decode()
+
+
+def test_sam_reader(reference_root):
+    path = os.path.join(reference_root, "test/BDGGG/valid/annotated.out")
+    records = list(read_sam(path))
+    assert len(records) == 496
+    assert records[0].aux["RG"].startswith("BDGGG")
+    assert records[0].total_segments == 2  # paired flag
+
+
+def test_fastq_output_comment(reference_root, tmp_path):
+    path = tmp_path / "out.fastq.gz"
+    result = run_mux(
+        reference_root,
+        "test/BDGGG/BDGGG_annotated.json",
+        extra=("--output", str(path)),
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = gzip.open(path, "rt").read().rstrip("\n").split("\n")
+    assert len(lines) % 4 == 0
+    header = lines[0]
+    name, comment = header[1:].split(" ")
+    segment, fail, control, barcode = comment.split(":")
+    assert segment == "1" and fail in "YN" and control == "0"
+    assert set(barcode) <= set("ACGTN=")
+    assert set(lines[1]) <= set("ACGTN=")
