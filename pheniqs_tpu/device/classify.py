@@ -38,6 +38,29 @@ _F64_UNDERFLOW_SIGMA = 3233.0
 _REVCOMP = None
 
 
+def _use_pallas(n: int, w: int, b: int) -> bool:
+    """Route the posterior through the fused Pallas kernel.
+
+    Measured on v5e (131k reads, dual 8nt 96-barcode + 16nt 384-barcode
+    flagship): XLA's fused matmul+epilogue runs the monolithic posterior at
+    1.13M reads/s vs 0.73M for the per-tile kernel — small per-tile matmuls
+    underutilize the MXU — so the kernel is opt-in (PHENIQS_PALLAS=1 on
+    TPU, =interpret for CPU testing) and kept decision-identical by test.
+    Panels beyond LARGE_PANEL_B take the chunked online path instead."""
+    import os
+
+    mode = os.environ.get("PHENIQS_PALLAS", "auto")
+    if mode in ("0", "auto"):
+        return False
+    from .kernels import TILE_N, pallas_supported
+
+    if n % TILE_N != 0 or not pallas_supported(5 * w, b):
+        return False
+    if mode == "interpret":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _revcomp_table():
     global _REVCOMP
     if _REVCOMP is None:
@@ -136,6 +159,98 @@ def observation_features(
     return features.reshape(n, w * 5)
 
 
+#: panels larger than this stream through the chunked online posterior
+#: instead of materializing the (N, B) matrix
+LARGE_PANEL_B = 1024
+
+
+def _posterior_chunked(
+    features: jnp.ndarray,      # (N, FW)
+    qpos_uniform: jnp.ndarray,  # (N,) — count(q>0) * UNIFORM
+    matrix: jnp.ndarray,        # (FW, B)
+    concentration: jnp.ndarray, # (B,)
+    adjusted_noise: float,
+    chunk: int = 1024,
+):
+    """Online posterior over barcode chunks (flash-style running
+    min/sum/argmax), so panels of any size never materialize (N, B).
+    Numerically identical role to the monolithic path: the running shift is
+    the global min sigma, rescaling partial sums as better barcodes appear.
+    """
+    n, fw = features.shape
+    b = matrix.shape[1]
+    padded_b = -(-b // chunk) * chunk
+    if padded_b != b:
+        matrix = jnp.pad(matrix, ((0, 0), (0, padded_b - b)))
+        # padding columns get zero concentration and +inf-ish sigma via a
+        # large additive mask so they can never win
+        concentration = jnp.pad(concentration, (0, padded_b - b))
+    mask = jnp.arange(padded_b) >= b  # padding columns
+    chunks = padded_b // chunk
+    matrix_chunks = matrix.reshape(fw, chunks, chunk).transpose(1, 0, 2)
+    conc_chunks = concentration.reshape(chunks, chunk)
+    mask_chunks = mask.reshape(chunks, chunk)
+
+    big = jnp.float32(3.0e38)
+    init = (
+        jnp.full((n,), big, dtype=jnp.float32),   # running min sigma (shift)
+        jnp.zeros((n,), dtype=jnp.float32),        # running sum
+        jnp.zeros((n,), dtype=jnp.float32),        # running best p (shifted)
+        jnp.zeros((n,), dtype=jnp.int32),          # running best index
+        jnp.full((n,), big, dtype=jnp.float32),    # sigma of best
+    )
+
+    def body(carry, inputs):
+        shift, total, best_p, best0, sigma_best = carry
+        chunk_index, g, conc, pad = inputs
+        sigma_c = (
+            jnp.dot(
+                features,
+                g,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + qpos_uniform[:, None]
+        )
+        sigma_c = jnp.where(pad[None, :], big, sigma_c)
+        new_shift = jnp.minimum(shift, sigma_c.min(axis=1))
+        rescale = jnp.exp(LN_PHRED_BASE * (shift - new_shift))
+        cond = jnp.exp(LN_PHRED_BASE * (sigma_c - new_shift[:, None]))
+        p = cond * conc[None, :]
+        total = total * rescale + p.sum(axis=1)
+        best_p = best_p * rescale
+        chunk_best_p = p.max(axis=1)
+        chunk_best = jnp.argmax(p, axis=1).astype(jnp.int32)
+        better = chunk_best_p > best_p
+        best_p = jnp.where(better, chunk_best_p, best_p)
+        best0 = jnp.where(better, chunk_index * chunk + chunk_best, best0)
+        sigma_best = jnp.where(
+            better,
+            jnp.take_along_axis(sigma_c, chunk_best[:, None], axis=1)[:, 0],
+            sigma_best,
+        )
+        return (new_shift, total, best_p, best0, sigma_best), None
+
+    (shift, total, best_p, best0, sigma_best), _ = jax.lax.scan(
+        body,
+        init,
+        (
+            jnp.arange(chunks, dtype=jnp.int32),
+            matrix_chunks,
+            conc_chunks,
+            mask_chunks,
+        ),
+    )
+
+    if adjusted_noise > 0.0:
+        log_noise = float(np.log(adjusted_noise))
+        noise_shifted = jnp.exp(log_noise - LN_PHRED_BASE * shift)
+    else:
+        noise_shifted = jnp.zeros(n, dtype=jnp.float32)
+    sigma_p = total + noise_shifted
+    return best0, best_p, sigma_p, sigma_best
+
+
 def pamld_classify_device(
     instrument: DeviceInstrument,
     dec: DeviceDecoder,
@@ -148,39 +263,65 @@ def pamld_classify_device(
     q_positive = (obs_qual > 0).astype(jnp.float32).sum(axis=1)  # (N,)
 
     features = observation_features(instrument, obs_code, obs_qual)
-    # full-f32 contraction: the TPU MXU's default precision truncates
-    # operands to bfloat16, which costs ~0.1 phred units of sigma — enough
-    # to move posterior confidences; HIGHEST runs the 6-pass f32 algorithm
-    sigma_q = (
-        jnp.dot(
-            features,
-            dec.likelihood_matrix,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        + q_positive[:, None] * UNIFORM_BASE_QUALITY
-    )  # (N, B)
-
-    # log-sum-exp stabilization: shift by the per-read minimum sigma (the
-    # max-likelihood barcode) so the decoded conditional is exactly 1.0 and
-    # nothing underflows f32 — ratios (confidence) are shift-invariant.
-    shift = sigma_q.min(axis=1, keepdims=True)  # (N, 1)
-    conditional = jnp.exp(LN_PHRED_BASE * (sigma_q - shift))  # in (0, 1]
-    prior_adjusted = conditional * dec.concentration[None, :]
-
-    # noise term rescaled into the shifted frame: noise*rbp / 10^(-0.1*shift)
     adjusted_noise = dec.noise * dec.random_barcode_probability
-    if adjusted_noise > 0.0:
-        log_noise = float(np.log(adjusted_noise))
-        noise_shifted = jnp.exp(log_noise - LN_PHRED_BASE * shift[:, 0])
-    else:
-        noise_shifted = jnp.zeros(n, dtype=jnp.float32)
 
-    sigma_p = prior_adjusted.sum(axis=1) + noise_shifted
-    best_p = prior_adjusted.max(axis=1)
-    # first max wins, matching the strict `p > best` update rule
-    best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
-    sigma_decoded = jnp.take_along_axis(sigma_q, best0[:, None], axis=1)[:, 0]
+    if dec.barcode_count > LARGE_PANEL_B:
+        best0, best_p, sigma_p, sigma_decoded = _posterior_chunked(
+            features,
+            q_positive * UNIFORM_BASE_QUALITY,
+            dec.likelihood_matrix,
+            dec.concentration,
+            float(adjusted_noise),
+        )
+    elif _use_pallas(n, w, dec.barcode_count):
+        import os
+
+        from .kernels import pamld_posterior_pallas
+
+        best0, best_p, sigma_p, sigma_decoded = pamld_posterior_pallas(
+            features,
+            (q_positive * UNIFORM_BASE_QUALITY)[:, None],
+            dec.likelihood_matrix,
+            dec.concentration,
+            float(adjusted_noise),
+            interpret=os.environ.get("PHENIQS_PALLAS") == "interpret",
+        )
+    else:
+        # full-f32 contraction: the TPU MXU's default precision truncates
+        # operands to bfloat16, which costs ~0.1 phred units of sigma —
+        # enough to move posterior confidences; HIGHEST runs the multi-pass
+        # f32 algorithm
+        sigma_q = (
+            jnp.dot(
+                features,
+                dec.likelihood_matrix,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + q_positive[:, None] * UNIFORM_BASE_QUALITY
+        )  # (N, B)
+
+        # log-sum-exp stabilization: shift by the per-read minimum sigma
+        # (the max-likelihood barcode) so the decoded conditional is exactly
+        # 1.0 and nothing underflows f32 — confidence is shift-invariant.
+        shift = sigma_q.min(axis=1, keepdims=True)  # (N, 1)
+        conditional = jnp.exp(LN_PHRED_BASE * (sigma_q - shift))  # in (0, 1]
+        prior_adjusted = conditional * dec.concentration[None, :]
+
+        # noise term rescaled into the shifted frame:
+        # noise*rbp / 10^(-0.1*shift)
+        if adjusted_noise > 0.0:
+            log_noise = float(np.log(adjusted_noise))
+            noise_shifted = jnp.exp(log_noise - LN_PHRED_BASE * shift[:, 0])
+        else:
+            noise_shifted = jnp.zeros(n, dtype=jnp.float32)
+
+        sigma_p = prior_adjusted.sum(axis=1) + noise_shifted
+        best_p = prior_adjusted.max(axis=1)
+        # first max wins, matching the strict `p > best` update rule
+        best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
+        sigma_decoded = jnp.take_along_axis(sigma_q, best0[:, None], axis=1)[:, 0]
+
     # p > 0 in the float64 oracle fails only when 10^(-0.1*sigma) underflows
     # a double (sigma beyond the subnormal limit)
     decoded_any = sigma_decoded < _F64_UNDERFLOW_SIGMA

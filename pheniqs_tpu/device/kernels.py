@@ -1,0 +1,135 @@
+"""Pallas TPU kernels for the PAMLD hot loop.
+
+The fused posterior kernel computes, per read tile, the likelihood
+contraction sigma_q = F @ G (MXU), the shifted-exp conditionals, the
+prior-weighted posterior sums/max, and the decoded-barcode statistics —
+without materializing any (N, B) intermediate in HBM. One pass over the
+read features per decoder; outputs are per-read scalars.
+
+Numerics match ``classify.pamld_classify_device``: the contraction runs in
+full f32 (the default MXU path truncates to bf16), the exp is shifted by
+the per-read minimum sigma, and the noise term is rescaled into the
+shifted frame in log space.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .instrument import LN_PHRED_BASE
+
+#: reads per kernel tile
+TILE_N = 512
+
+
+def _posterior_kernel(
+    features_ref,      # (TILE_N, 5W) f32
+    qpos_ref,          # (TILE_N, 1)  f32 — count(q>0) * UNIFORM, pre-scaled
+    matrix_ref,        # (5W, B) f32
+    concentration_ref, # (1, B) f32
+    best0_ref,         # (TILE_N, 1) int32
+    best_p_ref,        # (TILE_N, 1) f32
+    sigma_p_ref,       # (TILE_N, 1) f32
+    sigma_dec_ref,     # (TILE_N, 1) f32
+    *,
+    log_noise: float,
+):
+    sigma_q = (
+        jnp.dot(
+            features_ref[:],
+            matrix_ref[:],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        + qpos_ref[:]
+    )  # (TILE_N, B)
+
+    shift = sigma_q.min(axis=1, keepdims=True)
+    conditional = jnp.exp(LN_PHRED_BASE * (sigma_q - shift))
+    prior_adjusted = conditional * concentration_ref[:]
+
+    best_p = prior_adjusted.max(axis=1, keepdims=True)
+    best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)[:, None]
+    if math.isfinite(log_noise):
+        noise_shifted = jnp.exp(log_noise - LN_PHRED_BASE * shift)
+    else:
+        noise_shifted = jnp.zeros_like(shift)
+    sigma_p = prior_adjusted.sum(axis=1, keepdims=True) + noise_shifted
+
+    # decoded-barcode sigma via a one-hot contraction (stays in VMEM)
+    b = sigma_q.shape[1]
+    columns = jax.lax.broadcasted_iota(jnp.int32, sigma_q.shape, 1)
+    onehot = (columns == best0).astype(jnp.float32)
+    sigma_dec = (sigma_q * onehot).sum(axis=1, keepdims=True)
+
+    best0_ref[:] = best0
+    best_p_ref[:] = best_p
+    sigma_p_ref[:] = sigma_p
+    sigma_dec_ref[:] = sigma_dec
+
+
+@functools.partial(jax.jit, static_argnames=("adjusted_noise", "interpret"))
+def pamld_posterior_pallas(
+    features: jnp.ndarray,       # (N, 5W) f32, N a multiple of TILE_N
+    qpos_uniform: jnp.ndarray,   # (N, 1) f32
+    matrix: jnp.ndarray,         # (5W, B) f32
+    concentration: jnp.ndarray,  # (B,) f32
+    adjusted_noise: float,
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, fw = features.shape
+    b = matrix.shape[1]
+    assert n % TILE_N == 0, n
+    log_noise = (
+        float(np.log(adjusted_noise)) if adjusted_noise > 0.0 else float("-inf")
+    )
+
+    grid = (n // TILE_N,)
+    kernel = functools.partial(_posterior_kernel, log_noise=log_noise)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, fw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fw, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(features, qpos_uniform, matrix, concentration[None, :])
+    best0, best_p, sigma_p, sigma_dec = out
+    return (
+        best0[:, 0],
+        best_p[:, 0],
+        sigma_p[:, 0],
+        sigma_dec[:, 0],
+    )
+
+
+def posterior_vmem_bytes(n_tile: int, fw: int, b: int) -> int:
+    """Rough VMEM footprint of one tile (inputs + (TILE_N, B) live values)."""
+    return 4 * (n_tile * fw + fw * b + n_tile * b * 3 + n_tile * 8)
+
+
+def pallas_supported(fw: int, b: int, budget: int = 12 * 1024 * 1024) -> bool:
+    return posterior_vmem_bytes(TILE_N, fw, b) <= budget
