@@ -249,4 +249,79 @@ int32_t pq_fastq_read_batch(
     return count;
 }
 
+// BAM nibble -> IUPAC ASCII (mirrors pheniqs_tpu.iupac.BAM_TO_ASCII)
+static const char kBamToAscii[17] = "=ACMGRSVTWYHKDBN";
+
+// Format a batch of SAM alignment lines into `out`.
+//   names / name_offset : NUL-free name arena with (n+1) prefix offsets
+//   flag                : per-record SAM flags
+//   code, qual          : (n, width) row-major BAM codes / phred values
+//   length              : per-record sequence lengths
+//   tags / tag_offset   : per-record pre-rendered aux suffix (may be empty)
+//   line_offset         : (n+1) output prefix offsets
+// Returns bytes written, or -(bytes required) when out_capacity is too
+// small (caller grows and retries).
+int64_t pq_sam_format_batch(
+    int32_t n,
+    const char* names,
+    const int64_t* name_offset,
+    const int32_t* flag,
+    const uint8_t* code,
+    const uint8_t* qual,
+    const int32_t* length,
+    int32_t width,
+    int32_t phred_offset,
+    const char* tags,
+    const int64_t* tag_offset,
+    char* out,
+    int64_t out_capacity,
+    int64_t* line_offset
+) {
+    // worst-case size estimate
+    int64_t required = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        int64_t name_length = name_offset[r + 1] - name_offset[r];
+        int64_t tag_length = tag_offset[r + 1] - tag_offset[r];
+        int64_t l = length[r] > 0 ? length[r] : 1;
+        required += name_length + 32 + 2 * l + tag_length + 2;
+    }
+    if (required > out_capacity) return -required;
+
+    char* cursor = out;
+    line_offset[0] = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        int64_t name_length = name_offset[r + 1] - name_offset[r];
+        std::memcpy(cursor, names + name_offset[r], name_length);
+        cursor += name_length;
+        cursor += std::sprintf(cursor, "\t%d\t*\t0\t0\t*\t*\t0\t0\t", flag[r]);
+        int32_t l = length[r];
+        const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
+        const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
+        if (l <= 0) {
+            *cursor++ = '*';
+            *cursor++ = '\t';
+            *cursor++ = '*';
+        } else {
+            for (int32_t i = 0; i < l; ++i) {
+                cursor[i] = kBamToAscii[code_row[i] & 0xF];
+            }
+            cursor += l;
+            *cursor++ = '\t';
+            for (int32_t i = 0; i < l; ++i) {
+                cursor[i] = static_cast<char>(qual_row[i] + phred_offset);
+            }
+            cursor += l;
+        }
+        int64_t tag_length = tag_offset[r + 1] - tag_offset[r];
+        if (tag_length > 0) {
+            *cursor++ = '\t';
+            std::memcpy(cursor, tags + tag_offset[r], tag_length);
+            cursor += tag_length;
+        }
+        *cursor++ = '\n';
+        line_offset[r + 1] = cursor - out;
+    }
+    return cursor - out;
+}
+
 }  // extern "C"

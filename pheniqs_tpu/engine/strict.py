@@ -284,25 +284,30 @@ def build_tag_data(
     corrected: bool = True,
 ) -> BarcodeTagData:
     """Vectorized equivalent of append_to_raw/corrected_*_barcode
-    (reference read.h:269-348, sequence.h:382-398)."""
+    (reference read.h:269-348, sequence.h:382-398).
+
+    ASCII conversion happens once per batch (one big decode per segment);
+    per-read values are string slices, so the per-read cost is O(1) slices
+    and a join."""
     observation = result.observation
     n = observation[0].length.shape[0] if observation else 0
     data = BarcodeTagData(n)
 
-    raw_seq_parts = []
-    raw_qual_parts = []
-    cor_seq_parts = []
-    cor_qual_parts = []
+    seg_views = []  # per segment: (seq_str, qual_str, width, lengths, uniform)
+    cor_views = []
     for segment_index, segment in enumerate(observation):
         width = segment.width
-        ascii_seq = BAM_TO_ASCII[segment.code]
-        ascii_qual = segment.quality + phred_offset
-        raw_seq_parts.append(ascii_seq)
-        raw_qual_parts.append(ascii_qual)
+        seq_str = BAM_TO_ASCII[segment.code].tobytes().decode("latin-1")
+        qual_str = (
+            (segment.quality.astype(np.uint8) + phred_offset)
+            .tobytes()
+            .decode("latin-1")
+        )
+        lengths = segment.length
+        uniform = bool((lengths == width).all())
+        seg_views.append((seq_str, qual_str, width, lengths, uniform))
         if corrected and spec.panel is not None:
             sl = spec.panel.segment_slices()[segment_index]
-            # barcode codes for the decoded tag of each read; index 0 is the
-            # undetermined '=' padded barcode
             barcode_codes = np.vstack(
                 [
                     np.zeros(sl.stop - sl.start, dtype=np.uint8),
@@ -318,31 +323,53 @@ def build_tag_data(
                 segment.quality[:, :ws],
                 np.uint8(spec.corrected_quality),
             )
-            cor_seq_parts.append(BAM_TO_ASCII[cor_code])
-            cor_qual_parts.append(cor_qual + phred_offset)
-
-    for i in range(n):
-        seq_chunks = []
-        qual_chunks = []
-        cor_chunks = []
-        cor_qual_chunks = []
-        for s, segment in enumerate(observation):
-            length = int(segment.length[i])
-            seq_chunks.append(raw_seq_parts[s][i, :length].tobytes())
-            qual_chunks.append(
-                raw_qual_parts[s][i, :length].astype(np.uint8).tobytes()
+            cor_seq_str = BAM_TO_ASCII[cor_code].tobytes().decode("latin-1")
+            cor_qual_str = (
+                (cor_qual.astype(np.uint8) + phred_offset)
+                .tobytes()
+                .decode("latin-1")
             )
-            if corrected and spec.panel is not None:
-                cor_len = min(length, cor_seq_parts[s].shape[1])
-                cor_chunks.append(cor_seq_parts[s][i, :cor_len].tobytes())
-                cor_qual_chunks.append(
-                    cor_qual_parts[s][i, :cor_len].astype(np.uint8).tobytes()
-                )
-        data.raw_seq[i] = b"".join(seq_chunks).decode("ascii")
-        data.raw_qual[i] = b"".join(qual_chunks).decode("ascii")
-        if corrected and spec.panel is not None:
-            data.corrected_seq[i] = b"".join(cor_chunks).decode("ascii")
-            data.corrected_qual[i] = b"".join(cor_qual_chunks).decode("ascii")
+            cor_views.append((cor_seq_str, cor_qual_str, ws, lengths))
+
+    single = len(observation) == 1
+    for i in range(n):
+        if single:
+            seq_str, qual_str, width, lengths, uniform = seg_views[0]
+            length = width if uniform else int(lengths[i])
+            base = i * width
+            data.raw_seq[i] = seq_str[base : base + length]
+            data.raw_qual[i] = qual_str[base : base + length]
+        else:
+            seq_parts = []
+            qual_parts = []
+            for seq_str, qual_str, width, lengths, uniform in seg_views:
+                length = width if uniform else int(lengths[i])
+                base = i * width
+                seq_parts.append(seq_str[base : base + length])
+                qual_parts.append(qual_str[base : base + length])
+            data.raw_seq[i] = "".join(seq_parts)
+            data.raw_qual[i] = "".join(qual_parts)
+
+    if corrected and spec.panel is not None:
+        if len(cor_views) == 1:
+            cor_seq_str, cor_qual_str, ws, lengths = cor_views[0]
+            uniform = bool((lengths >= ws).all())
+            for i in range(n):
+                length = ws if uniform else min(int(lengths[i]), ws)
+                base = i * ws
+                data.corrected_seq[i] = cor_seq_str[base : base + length]
+                data.corrected_qual[i] = cor_qual_str[base : base + length]
+        else:
+            for i in range(n):
+                seq_parts = []
+                qual_parts = []
+                for cor_seq_str, cor_qual_str, ws, lengths in cor_views:
+                    length = min(int(lengths[i]), ws)
+                    base = i * ws
+                    seq_parts.append(cor_seq_str[base : base + length])
+                    qual_parts.append(cor_qual_str[base : base + length])
+                data.corrected_seq[i] = "".join(seq_parts)
+                data.corrected_qual[i] = "".join(qual_parts)
     return data
 
 
@@ -775,7 +802,7 @@ class StrictEngine:
             flags.append(flag)
 
         # raw molecular (naive + pamld) concatenate in decoder order
-        out = []
+        tag_list = []
         for i in range(n):
             name = batch.names[i].decode()
             tags = AuxTags()
@@ -823,27 +850,109 @@ class StrictEngine:
             if 0 < cellular_conf[i] < 1:
                 tags.XC = 1.0 - cellular_conf[i]
 
-            fail = bool(qcfail[i])
-            out.append((int(channel_index[i]), fail, name, tags, i))
+            tag_list.append(tags)
 
-        for index, fail, name, tags, i in out:
-            channel = self.channels[index] if index < len(self.channels) else None
-            if channel is None or not channel.feeds:
+        self._route_and_write(
+            batch, output_segments, qcfail, channel_index, flags, tag_list
+        )
+
+    def _route_and_write(
+        self, batch, output_segments, qcfail, channel_index, flags, tag_list
+    ):
+        """Route classified reads to their channels\' output feeds in
+        global arrival order (the reference pushes per read under ordered
+        feed locks, so feeds shared by several channels interleave reads in
+        input order; goldens are produced single-threaded). SAM-format
+        feeds use the native batch formatter; other formats fall back to
+        per-read emission."""
+        n = batch.size
+        cardinality = len(output_segments)
+        fail_flags = qcfail.astype(np.int32) * FLAG_QCFAIL
+
+        # per-read keep mask after channel existence + outgoing filters
+        keep = np.zeros(n, dtype=bool)
+        channel_by_index = {}
+        for index, channel in enumerate(self.channels):
+            if not channel.feeds:
                 continue
-            if channel.filter_outgoing_qc_fail and fail:
-                continue
+            channel_by_index[index] = channel
+            selected = channel_index == index
+            if channel.filter_outgoing_qc_fail:
+                selected = selected & ~qcfail
+            keep |= selected
+        rows = np.flatnonzero(keep)
+        if rows.size == 0:
+            return
+
+        all_sam = all(
+            feed.format == "sam"
+            for channel in channel_by_index.values()
+            for feed in channel.feeds
+        )
+        native_format = None
+        if all_sam:
+            from ..native import load as native_load, sam_format_batch
+
+            if native_load() is not None:
+                native_format = sam_format_batch
+
+        if native_format is not None:
+            names_blob = b"".join(batch.names)
+            name_offsets = np.zeros(n + 1, dtype=np.int64)
+            name_offsets[1:] = np.cumsum([len(x) for x in batch.names])
+            tag_bytes = [t.encode().encode() for t in tag_list]
+            tag_blob = b"".join(tag_bytes)
+            tag_offsets = np.zeros(n + 1, dtype=np.int64)
+            tag_offsets[1:] = np.cumsum([len(x) for x in tag_bytes])
+            arenas = []
             for s in range(cardinality):
                 segment = output_segments[s]
-                flag = flags[s] | (FLAG_QCFAIL if fail else 0)
-                channel.feeds[s].emit(
-                    name,
-                    flag,
-                    segment.code[i],
-                    segment.quality[i],
-                    int(segment.length[i]),
-                    tags,
-                    s,
+                arenas.append(
+                    native_format(
+                        names_blob,
+                        name_offsets,
+                        np.full(n, flags[s], dtype=np.int32) | fail_flags,
+                        segment.code,
+                        segment.quality,
+                        segment.length,
+                        self.output_phred_offset,
+                        tag_blob,
+                        tag_offsets,
+                    )
                 )
+            # feed -> {channel index -> ordered segment list}
+            feed_routes: dict[int, tuple] = {}
+            for index, channel in channel_by_index.items():
+                for s, feed in enumerate(channel.feeds):
+                    entry = feed_routes.setdefault(id(feed), (feed, {}))
+                    entry[1].setdefault(index, []).append(s)
+            channels_of_row = channel_index
+            for feed, by_channel in feed_routes.values():
+                pieces = []
+                for i in rows:
+                    segment_list = by_channel.get(int(channels_of_row[i]))
+                    if segment_list is None:
+                        continue
+                    for s in segment_list:
+                        arena, offsets = arenas[s]
+                        pieces.append(arena[offsets[i] : offsets[i + 1]])
+                if pieces:
+                    feed.write(b"".join(pieces))
+        else:
+            for i in rows:
+                channel = channel_by_index[int(channel_index[i])]
+                name = batch.names[i].decode()
+                for s in range(cardinality):
+                    segment = output_segments[s]
+                    channel.feeds[s].emit(
+                        name,
+                        int(flags[s] | fail_flags[i]),
+                        segment.code[i],
+                        segment.quality[i],
+                        int(segment.length[i]),
+                        tag_list[i],
+                        s,
+                    )
 
     # --- report ----------------------------------------------------------------
     def finalize_report(self, include_job: dict | None = None) -> dict:

@@ -76,8 +76,74 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_sam_format_batch.restype = ctypes.c_int64
+        lib.pq_sam_format_batch.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
+
+
+def sam_format_batch(
+    names_blob: bytes,
+    name_offsets: np.ndarray,
+    flags: np.ndarray,
+    code: np.ndarray,
+    quality: np.ndarray,
+    length: np.ndarray,
+    phred_offset: int,
+    tag_blob: bytes,
+    tag_offsets: np.ndarray,
+) -> tuple[bytes, np.ndarray] | None:
+    """Format N SAM lines natively; returns (arena, line_offsets) or None
+    when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = flags.shape[0]
+    width = code.shape[1] if code.ndim == 2 else 0
+    code = np.ascontiguousarray(code, dtype=np.uint8)
+    quality = np.ascontiguousarray(quality, dtype=np.uint8)
+    length = np.ascontiguousarray(length, dtype=np.int32)
+    flags = np.ascontiguousarray(flags, dtype=np.int32)
+    name_offsets = np.ascontiguousarray(name_offsets, dtype=np.int64)
+    tag_offsets = np.ascontiguousarray(tag_offsets, dtype=np.int64)
+    line_offsets = np.zeros(n + 1, dtype=np.int64)
+    capacity = len(names_blob) + len(tag_blob) + n * (40 + 2 * max(width, 1))
+    while True:
+        out = ctypes.create_string_buffer(capacity)
+        used = lib.pq_sam_format_batch(
+            n,
+            names_blob,
+            name_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            quality.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            width,
+            phred_offset,
+            tag_blob,
+            tag_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out,
+            capacity,
+            line_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if used >= 0:
+            return out.raw[:used], line_offsets
+        capacity = -used
 
 
 def available() -> bool:
