@@ -47,18 +47,38 @@ class DeviceEngine(StrictEngine):
         self._runtimes.extend(self.molecular)
         self._runtimes.extend(self.cellular)
         self._step_cache: dict[tuple, object] = {}
+        self._mesh_cache = None
         self._current_batch: ReadBatch | None = None
         self._batch_results: list[dict] | None = None
 
     # --- device dispatch -------------------------------------------------
+    def _mesh(self):
+        """Data-parallel mesh over local devices (>1 device), else None."""
+        if self._mesh_cache is not None:
+            return self._mesh_cache or None
+        import jax
+
+        devices = jax.devices()
+        if len(devices) > 1:
+            from ..device.distributed import reads_mesh
+
+            self._mesh_cache = reads_mesh(devices)
+        else:
+            self._mesh_cache = False
+        return self._mesh_cache or None
+
     def _get_step(self, signature: tuple):
         step = self._step_cache.get(signature)
         if step is None:
             import jax
 
-            from ..device.step import make_decode_step
+            from ..device.step import make_decode_step, make_sharded_decode_step
 
-            step = jax.jit(make_decode_step(self.instrument))
+            mesh = self._mesh()
+            if mesh is not None:
+                step = make_sharded_decode_step(self.instrument, mesh)
+            else:
+                step = jax.jit(make_decode_step(self.instrument))
             self._step_cache[signature] = step
         return step
 
@@ -68,6 +88,9 @@ class DeviceEngine(StrictEngine):
 
         n = batch.size
         padded_n = max(_round_up(n, 1024), 1024)
+        mesh = self._mesh()
+        if mesh is not None:
+            padded_n = _round_up(padded_n, mesh.devices.size)
         segments = []
         widths = []
         for segment_index in self.instrument.used_segments:

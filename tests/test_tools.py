@@ -87,3 +87,14 @@ def test_illumina_api_goldens(reference_root, illumina_results):
         golden = open(os.path.join(valid, name)).read()
         generated = open(os.path.join(illumina_results, name)).read()
         assert generated == golden, f"{name} differs from golden"
+
+
+def test_configuration_zsh_deterministic():
+    from pheniqs_tpu.tools.configuration import generate_zsh
+
+    first = generate_zsh()
+    second = generate_zsh()
+    assert first == second
+    assert first.startswith("#compdef pheniqs-tpu")
+    assert "_pheniqs_tpu_mux" in first
+    assert "--fidelity" in first
