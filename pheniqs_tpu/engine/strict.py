@@ -15,6 +15,7 @@ but vectorized over batches instead of per read.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -373,6 +374,38 @@ def build_tag_data(
     return data
 
 
+def _prefetch(iterator, depth: int = 4):
+    """Run `iterator` in a background thread with a bounded queue — the
+    batch analog of the reference's one-io-thread-per-feed double buffering
+    (reference feed.h:281-456). The native parser and file writes release
+    the GIL, so ingest genuinely overlaps decode + emission."""
+    import queue
+    import threading
+
+    fifo: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    failure: list[BaseException] = []
+
+    def run():
+        try:
+            for item in iterator:
+                fifo.put(item)
+        except BaseException as error:  # propagate into the consumer
+            failure.append(error)
+        finally:
+            fifo.put(sentinel)
+
+    thread = threading.Thread(target=run, daemon=True, name="pheniqs-ingest")
+    thread.start()
+    while True:
+        item = fifo.get()
+        if item is sentinel:
+            if failure:
+                raise failure[0]
+            return
+        yield item
+
+
 # ---------------------------------------------------------------------------
 # the engine
 # ---------------------------------------------------------------------------
@@ -551,7 +584,12 @@ class StrictEngine:
             if id(feed) not in initiated:
                 feed.initiate(header)
                 initiated.add(id(feed))
-        for batch in self.read_batches(batch_size):
+        batches = self.read_batches(batch_size)
+        if os.environ.get("PHENIQS_PREFETCH") == "1":
+            # overlap ingest with processing; pays off only when the
+            # pipeline is not GIL-bound (e.g. fast engine on real TPU)
+            batches = _prefetch(batches)
+        for batch in batches:
             self.process_batch(batch)
         for feed in self.feeds_by_url.values():
             feed.close()
