@@ -35,6 +35,14 @@ BRANCH_NOISE = 2
 #: i.e. the only way the oracle's prior-adjusted probability can be zero
 _F64_UNDERFLOW_SIGMA = 3233.0
 
+#: hybrid-mode uncertainty margins: a decision is re-resolved in f64 when
+#: the f32 posterior is within this relative distance of an argmax tie or
+#: the confidence threshold, or within this many phred units of the noise
+#: filter boundary — both orders of magnitude beyond the f32 error bound of
+#: the likelihood contraction (~1e-3 phred over W <= 64 positions)
+_HYBRID_REL_EPS = 2e-3
+_HYBRID_SIGMA_EPS = 0.05
+
 _REVCOMP = None
 
 
@@ -198,10 +206,11 @@ def _posterior_chunked(
         jnp.zeros((n,), dtype=jnp.float32),        # running best p (shifted)
         jnp.zeros((n,), dtype=jnp.int32),          # running best index
         jnp.full((n,), big, dtype=jnp.float32),    # sigma of best
+        jnp.zeros((n,), dtype=jnp.float32),        # running second-best p
     )
 
     def body(carry, inputs):
-        shift, total, best_p, best0, sigma_best = carry
+        shift, total, best_p, best0, sigma_best, second_p = carry
         chunk_index, g, conc, pad = inputs
         sigma_c = (
             jnp.dot(
@@ -219,9 +228,17 @@ def _posterior_chunked(
         p = cond * conc[None, :]
         total = total * rescale + p.sum(axis=1)
         best_p = best_p * rescale
-        chunk_best_p = p.max(axis=1)
+        second_p = second_p * rescale
+        top2, _ = jax.lax.top_k(p, 2)
+        chunk_best_p = top2[:, 0]
+        chunk_second_p = top2[:, 1]
         chunk_best = jnp.argmax(p, axis=1).astype(jnp.int32)
         better = chunk_best_p > best_p
+        second_p = jnp.where(
+            better,
+            jnp.maximum(best_p, chunk_second_p),
+            jnp.maximum(second_p, chunk_best_p),
+        )
         best_p = jnp.where(better, chunk_best_p, best_p)
         best0 = jnp.where(better, chunk_index * chunk + chunk_best, best0)
         sigma_best = jnp.where(
@@ -229,9 +246,9 @@ def _posterior_chunked(
             jnp.take_along_axis(sigma_c, chunk_best[:, None], axis=1)[:, 0],
             sigma_best,
         )
-        return (new_shift, total, best_p, best0, sigma_best), None
+        return (new_shift, total, best_p, best0, sigma_best, second_p), None
 
-    (shift, total, best_p, best0, sigma_best), _ = jax.lax.scan(
+    (shift, total, best_p, best0, sigma_best, second_p), _ = jax.lax.scan(
         body,
         init,
         (
@@ -248,7 +265,7 @@ def _posterior_chunked(
     else:
         noise_shifted = jnp.zeros(n, dtype=jnp.float32)
     sigma_p = total + noise_shifted
-    return best0, best_p, sigma_p, sigma_best
+    return best0, best_p, sigma_p, sigma_best, second_p
 
 
 def pamld_classify_device(
@@ -257,23 +274,29 @@ def pamld_classify_device(
     obs_code: jnp.ndarray,
     obs_qual: jnp.ndarray,
     qcfail_in: jnp.ndarray,
+    want_uncertain: bool = False,
 ) -> dict:
-    """PamlDecoder::classify on device (reference pamld.cpp:37-123)."""
+    """PamlDecoder::classify on device (reference pamld.cpp:37-123).
+
+    With ``want_uncertain`` the result carries a boolean mask of reads whose
+    f32 posterior sits within rounding distance of an argmax tie or a filter
+    threshold — the hybrid engine re-resolves exactly those in float64."""
     n, w = obs_code.shape
     q_positive = (obs_qual > 0).astype(jnp.float32).sum(axis=1)  # (N,)
 
     features = observation_features(instrument, obs_code, obs_qual)
     adjusted_noise = dec.noise * dec.random_barcode_probability
 
+    second_p = None
     if dec.barcode_count > LARGE_PANEL_B:
-        best0, best_p, sigma_p, sigma_decoded = _posterior_chunked(
+        best0, best_p, sigma_p, sigma_decoded, second_p = _posterior_chunked(
             features,
             q_positive * UNIFORM_BASE_QUALITY,
             dec.likelihood_matrix,
             dec.concentration,
             float(adjusted_noise),
         )
-    elif _use_pallas(n, w, dec.barcode_count):
+    elif not want_uncertain and _use_pallas(n, w, dec.barcode_count):
         import os
 
         from .kernels import pamld_posterior_pallas
@@ -321,6 +344,9 @@ def pamld_classify_device(
         # first max wins, matching the strict `p > best` update rule
         best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
         sigma_decoded = jnp.take_along_axis(sigma_q, best0[:, None], axis=1)[:, 0]
+        if want_uncertain:
+            top2, _indices = jax.lax.top_k(prior_adjusted, 2)
+            second_p = top2[:, 1]
 
     # p > 0 in the float64 oracle fails only when 10^(-0.1*sigma) underflows
     # a double (sigma beyond the subnormal limit)
@@ -371,7 +397,7 @@ def pamld_classify_device(
         )
         qcfail = qcfail | hq_fail
 
-    return {
+    result = {
         "decoded": decoded,
         "confidence": out_confidence,
         "distance": out_distance,
@@ -379,6 +405,25 @@ def pamld_classify_device(
         "branch": branch,
         "argmax": best_index,
     }
+    if want_uncertain:
+        # f32 rounding can only flip a decision when the posterior sits
+        # within these (generous) margins of an argmax tie or a threshold
+        uncertain = jnp.zeros(n, dtype=bool)
+        if second_p is not None:
+            uncertain = uncertain | (second_p > best_p * (1.0 - _HYBRID_REL_EPS))
+        if dec.confidence_threshold > 0.0:
+            uncertain = uncertain | (
+                jnp.abs(confidence - dec.confidence_threshold) < _HYBRID_REL_EPS
+            )
+        if dec.random_barcode_probability > 0.0:
+            uncertain = uncertain | (
+                jnp.abs(sigma_decoded - noise_sigma_threshold) < _HYBRID_SIGMA_EPS
+            )
+        uncertain = uncertain | (
+            jnp.abs(sigma_decoded - _F64_UNDERFLOW_SIGMA) < 1.0
+        )
+        result["uncertain"] = uncertain
+    return result
 
 
 def mdd_classify_device(

@@ -93,6 +93,7 @@ def _classify_one(
     dec: DeviceDecoder,
     segments,
     qcfail,
+    want_uncertain: bool = False,
 ):
     n = qcfail.shape[0]
     if dec.algorithm == "passthrough" or not dec.plans:
@@ -117,13 +118,20 @@ def _classify_one(
     if dec.algorithm == "pamld":
         obs_code = jnp.concatenate([c for c, _, _ in observation], axis=1)
         obs_qual = jnp.concatenate([q for _, q, _ in observation], axis=1)
-        return pamld_classify_device(instrument, dec, obs_code, obs_qual, qcfail)
+        return pamld_classify_device(
+            instrument, dec, obs_code, obs_qual, qcfail,
+            want_uncertain=want_uncertain,
+        )
     if dec.algorithm == "mdd":
         return mdd_classify_device(dec, observation, qcfail)
     raise ValueError(f"unknown algorithm {dec.algorithm}")
 
 
-def make_decode_step(instrument: DeviceInstrument, axis_name: str | None = None):
+def make_decode_step(
+    instrument: DeviceInstrument,
+    axis_name: str | None = None,
+    want_uncertain: bool = False,
+):
     """Build the (batch) -> (per_read, counters) step function.
 
     ``batch`` is a dict: ``segments`` — list of (code (N, Wi) int32,
@@ -141,18 +149,23 @@ def make_decode_step(instrument: DeviceInstrument, axis_name: str | None = None)
         per_read = []
         counters = []
         for dec in instrument.decoders:
-            result = _classify_one(instrument, dec, segments, qcfail)
-            qcfail = result["qcfail"]
-            per_read.append(
-                {
-                    "decoded": result["decoded"],
-                    "confidence": result["confidence"],
-                    "distance": result["distance"],
-                    "branch": result["branch"],
-                    "argmax": result["argmax"],
-                    "qcfail": result["qcfail"],
-                }
+            result = _classify_one(
+                instrument, dec, segments, qcfail, want_uncertain=want_uncertain
             )
+            qcfail = result["qcfail"]
+            entry = {
+                "decoded": result["decoded"],
+                "confidence": result["confidence"],
+                "distance": result["distance"],
+                "branch": result["branch"],
+                "argmax": result["argmax"],
+                "qcfail": result["qcfail"],
+            }
+            if want_uncertain:
+                entry["uncertain"] = result.get(
+                    "uncertain", jnp.zeros(qcfail.shape[0], dtype=bool)
+                )
+            per_read.append(entry)
             counters.append(_counters(dec, result))
 
         if instrument.multiplexing_index >= 0:
@@ -172,7 +185,12 @@ def make_decode_step(instrument: DeviceInstrument, axis_name: str | None = None)
     return step
 
 
-def make_sharded_decode_step(instrument: DeviceInstrument, mesh: Mesh, jit: bool = True):
+def make_sharded_decode_step(
+    instrument: DeviceInstrument,
+    mesh: Mesh,
+    jit: bool = True,
+    want_uncertain: bool = False,
+):
     """SPMD decode step over a 1-D ``reads`` mesh axis.
 
     Batches must be padded to a multiple of the axis size; per-read outputs
@@ -180,7 +198,9 @@ def make_sharded_decode_step(instrument: DeviceInstrument, mesh: Mesh, jit: bool
     psum-merged global statistics).
     """
     (axis_name,) = mesh.axis_names
-    step = make_decode_step(instrument, axis_name=axis_name)
+    step = make_decode_step(
+        instrument, axis_name=axis_name, want_uncertain=want_uncertain
+    )
     sharded = jax.shard_map(
         step,
         mesh=mesh,

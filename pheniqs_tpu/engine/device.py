@@ -34,10 +34,21 @@ def _round_up(value: int, multiple: int) -> int:
 
 
 class DeviceEngine(StrictEngine):
-    def __init__(self, ontology: dict):
+    """Accelerator classification engine.
+
+    ``hybrid=True`` adds float64 re-resolution: the device step flags reads
+    whose f32 posterior lies within rounding distance of an argmax tie or a
+    filter threshold (plus reads with observations shorter than the decoder
+    token, whose strict semantics depend on the serial scratch carry); those
+    rows are re-classified with the exact NumPy oracle, guaranteeing
+    reference-identical classification decisions at device throughput.
+    """
+
+    def __init__(self, ontology: dict, hybrid: bool = False):
         super().__init__(ontology)
         from ..device.instrument import compile_instrument
 
+        self.hybrid = hybrid
         self.instrument = compile_instrument(ontology)
         # classify order must match device.instrument.compile_instrument:
         # sample, molecular*, cellular* (reference transcode.h:51-65)
@@ -76,9 +87,15 @@ class DeviceEngine(StrictEngine):
 
             mesh = self._mesh()
             if mesh is not None:
-                step = make_sharded_decode_step(self.instrument, mesh)
+                step = make_sharded_decode_step(
+                    self.instrument, mesh, want_uncertain=self.hybrid
+                )
             else:
-                step = jax.jit(make_decode_step(self.instrument))
+                step = jax.jit(
+                    make_decode_step(
+                        self.instrument, want_uncertain=self.hybrid
+                    )
+                )
             self._step_cache[signature] = step
         return step
 
@@ -117,18 +134,19 @@ class DeviceEngine(StrictEngine):
         n = batch.size
         results = []
         for entry in per_read["decoders"]:
-            results.append(
-                {
-                    "decoded": np.asarray(entry["decoded"])[:n],
-                    "confidence": np.asarray(entry["confidence"])[:n].astype(
-                        np.float64
-                    ),
-                    "distance": np.asarray(entry["distance"])[:n],
-                    "branch": np.asarray(entry["branch"])[:n],
-                    "argmax": np.asarray(entry["argmax"])[:n],
-                    "qcfail": np.asarray(entry["qcfail"])[:n],
-                }
-            )
+            result = {
+                "decoded": np.asarray(entry["decoded"])[:n],
+                "confidence": np.asarray(entry["confidence"])[:n].astype(
+                    np.float64
+                ),
+                "distance": np.asarray(entry["distance"])[:n],
+                "branch": np.asarray(entry["branch"])[:n],
+                "argmax": np.asarray(entry["argmax"])[:n],
+                "qcfail": np.asarray(entry["qcfail"])[:n],
+            }
+            if self.hybrid and "uncertain" in entry:
+                result["uncertain"] = np.asarray(entry["uncertain"])[:n]
+            results.append(result)
         return results
 
     # --- StrictEngine hook ----------------------------------------------
@@ -144,14 +162,73 @@ class DeviceEngine(StrictEngine):
         if spec.rule is not None and spec.algorithm != "passthrough":
             observation = spec.rule.apply(batch.segments)
 
+        # this decoder's own qcfail contribution: device chain delta
+        previous = (
+            self._batch_results[position - 1]["qcfail"].astype(bool)
+            if position > 0
+            else batch.qcfail
+        )
+        delta = device["qcfail"].astype(bool) & ~previous
+
+        decoded = device["decoded"].astype(np.int32)
+        confidence = device["confidence"].copy()
+        distance = device["distance"].astype(np.int32)
+        branch = device["branch"].astype(np.int8)
+        argmax = device["argmax"].astype(np.int32)
+        out_qcfail = qcfail | delta
+
+        if (
+            self.hybrid
+            and spec.algorithm == "pamld"
+            and runtime.scratch is not None
+        ):
+            out_qcfail = self._resolve_uncertain(
+                runtime, device, observation, qcfail,
+                decoded, confidence, distance, branch, argmax, out_qcfail,
+            )
+
         result = ClassifyResult(
-            decoded=device["decoded"].astype(np.int32),
-            confidence=device["confidence"],
-            edit_distance=device["distance"].astype(np.int32),
-            qcfail=device["qcfail"].astype(bool),
-            branch=device["branch"].astype(np.int8),
-            argmax=device["argmax"].astype(np.int32),
+            decoded=decoded,
+            confidence=confidence,
+            edit_distance=distance,
+            qcfail=out_qcfail,
+            branch=branch,
+            argmax=argmax,
             observation=observation,
         )
         runtime.record(result)
         return result
+
+    def _resolve_uncertain(
+        self, runtime, device, observation, qcfail_in,
+        decoded, confidence, distance, branch, argmax, out_qcfail,
+    ):
+        """Re-resolve flagged rows with the float64 oracle over the exact
+        (scratch-carrying) effective observation."""
+        from ..decode.oracle import pamld_classify
+
+        spec = runtime.spec
+        eff_codes = []
+        eff_quals = []
+        short = np.zeros(decoded.shape[0], dtype=bool)
+        for segment_index, segment in enumerate(observation):
+            code, qual = runtime.scratch.effective(segment_index, segment)
+            eff_codes.append(code)
+            eff_quals.append(qual)
+            short |= segment.length < segment.width
+        uncertain = device.get(
+            "uncertain", np.zeros(decoded.shape[0], dtype=bool)
+        ) | short
+        rows = np.flatnonzero(uncertain)
+        if rows.size == 0:
+            return out_qcfail
+        obs_code = np.concatenate([c[rows] for c in eff_codes], axis=1)
+        obs_qual = np.concatenate([q[rows] for q in eff_quals], axis=1)
+        oracle = pamld_classify(spec, obs_code, obs_qual, qcfail_in[rows])
+        decoded[rows] = oracle.decoded
+        confidence[rows] = oracle.confidence
+        distance[rows] = oracle.edit_distance
+        branch[rows] = oracle.branch
+        argmax[rows] = oracle.argmax
+        out_qcfail[rows] = oracle.qcfail
+        return out_qcfail

@@ -76,10 +76,20 @@ class TranscodeJob:
 
         if fidelity in ("strict", "exact", None):
             self.engine = StrictEngine(self.ontology)
-        else:
+        elif fidelity in ("fast", "device"):
             from .engine.device import DeviceEngine
 
             self.engine = DeviceEngine(self.ontology)
+        elif fidelity == "hybrid":
+            from .engine.device import DeviceEngine
+
+            self.engine = DeviceEngine(self.ontology, hybrid=True)
+        else:
+            from .errors import ConfigurationError
+
+            raise ConfigurationError(
+                f"unknown fidelity {fidelity}; expected strict, fast or hybrid"
+            )
         batch_size = int(self.interactive.get("batch size", 16384))
         self.engine.execute(batch_size=batch_size)
         include_job = (
