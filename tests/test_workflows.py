@@ -1,0 +1,123 @@
+"""End-to-end workflow coverage: gzip ingest, --sense-input, the
+in-process --prior two-pass flow, and report-driven prior parity."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_mux(cwd, args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux", *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_gzip_ingest_counts(reference_root, bdggg, tmp_path):
+    """The .gz fixtures hold 2500 reads (10x the plain files); a demux run
+    over them must count all of them."""
+    config = {
+        "import": [os.path.join(bdggg, "BDGGG_annotated.json")],
+        "base input url": os.path.join(reference_root, "test/BDGGG"),
+        "input": [
+            "BDGGG_s01.fastq.gz",
+            "BDGGG_s02.fastq.gz",
+            "BDGGG_s03.fastq.gz",
+        ],
+        "output": ["/dev/null"],
+        "report url": "/dev/stderr",
+    }
+    path = tmp_path / "gz_job.json"
+    path.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(path), "--precision", "15"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stderr)
+    assert report["incoming"]["count"] == 2500
+    assert report["sample"]["count"] + 0 > 0
+
+
+def test_sense_input_resolution(reference_root, tmp_path):
+    """--sense-input over one interleaved FASTQ: three consecutive records
+    share a read id, so the sensed resolution must be 3."""
+    source = os.path.join(reference_root, "test/BDGGG")
+    feeds = [open(os.path.join(source, f"BDGGG_s0{i}.fastq")) for i in (1, 2, 3)]
+    interleaved = tmp_path / "interleaved.fastq"
+    with open(interleaved, "w") as out:
+        while True:
+            records = []
+            for feed in feeds:
+                lines = [feed.readline() for _ in range(4)]
+                if not lines[0]:
+                    records = None
+                    break
+                records.append("".join(lines))
+            if records is None:
+                break
+            out.write("".join(records))
+    for feed in feeds:
+        feed.close()
+
+    config = {
+        "input": [str(interleaved)],
+        "output": ["/dev/null"],
+        "report url": "/dev/stderr",
+        "template": {"transform": {"token": ["0::", "2::"]}},
+    }
+    path = tmp_path / "sense_job.json"
+    path.write_text(json.dumps(config))
+    compiled = run_mux(
+        str(tmp_path),
+        ["--config", str(path), "--sense-input", "--compile", "--precision", "15"],
+    )
+    assert compiled.returncode == 0, compiled.stderr[-2000:]
+    document = json.loads(compiled.stdout)
+    assert document["input segment cardinality"] == 3
+    assert document["feed"]["input feed"][0]["resolution"] == 3
+
+    result = run_mux(
+        str(tmp_path), ["--config", str(path), "--sense-input", "--precision", "15"]
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stderr)
+    assert report["incoming"]["count"] == 250
+
+
+def test_in_process_prior_adjustment(reference_root, tmp_path):
+    """`--prior adjusted.json` after a live run must write a config whose
+    noise and concentrations equal the report's estimates (reference
+    transcode.cpp:1884-1941)."""
+    adjusted_path = tmp_path / "adjusted.json"
+    result = run_mux(
+        reference_root,
+        [
+            "--config", "test/BDGGG/BDGGG_annotated.json",
+            "--precision", "15",
+            "--output", "/dev/null",
+            "--prior", str(adjusted_path),
+        ],
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stderr)
+    adjusted = json.loads(adjusted_path.read_text())
+
+    assert adjusted["sample"]["noise"] == report["sample"]["estimated noise"]
+    estimated_by_barcode = {
+        "".join(entry["barcode"]): entry.get("estimated concentration")
+        for entry in report["sample"]["classified"]
+    }
+    for barcode in adjusted["sample"]["codec"].values():
+        key = "".join(barcode["barcode"])
+        expected = estimated_by_barcode.get(key)
+        if expected is not None:
+            assert barcode["concentration"] == expected
