@@ -240,6 +240,10 @@ class Rule:
             widths = self.output_widths({k: v.width for k, v in segments.items()})
         out = [SegmentBatch.empty(n, w) for w in widths]
 
+        # destination write offset per output segment: scalar while every
+        # prior size was uniform, else falls back to the per-read vector
+        uniform_offset: list[int | None] = [0] * self.output_segment_cardinality
+
         for tx in self.transform_array:
             src = segments[tx.token.input_segment_index]
             dst = out[tx.output_segment_index]
@@ -250,6 +254,41 @@ class Rule:
             wmax = int(size.max(initial=0))
             if wmax == 0:
                 continue
+
+            # fast path: forward copy from a constant start with
+            # positionally aligned source data (the overwhelmingly common
+            # case: whole-segment template tokens and fixed-width decoder
+            # tokens) lands as one block slice assignment
+            slot = tx.output_segment_index
+            offset = uniform_offset[slot]
+            start_scalar = int(start[0]) if start.size else 0
+            if (
+                not tx.reverse_complement
+                and offset is not None
+                and (start == start_scalar).all()
+            ):
+                stop = start_scalar + wmax
+                if stop <= src.width:
+                    block = slice(offset, offset + wmax)
+                    dst.code[:, block] = src.code[:, start_scalar:stop]
+                    dst.quality[:, block] = src.quality[:, start_scalar:stop]
+                    if not (size == wmax).all():
+                        # zero the tail past each read's extent
+                        past = (
+                            np.arange(wmax, dtype=np.int64)[None, :]
+                            >= size[:, None]
+                        )
+                        dst.code[:, block][past] = 0
+                        dst.quality[:, block][past] = 0
+                        uniform_offset[slot] = None
+                    else:
+                        uniform_offset[slot] = offset + wmax
+                    dst.length = (
+                        dst.length.astype(np.int64) + size
+                    ).astype(np.int32)
+                    continue
+
+            uniform_offset[slot] = None
             offsets = np.arange(wmax, dtype=np.int64)[None, :]
             valid = offsets < size[:, None]
             if tx.reverse_complement:
