@@ -58,6 +58,8 @@ class DeviceEngine(StrictEngine):
         self._runtimes.extend(self.molecular)
         self._runtimes.extend(self.cellular)
         self._step_cache: dict[tuple, object] = {}
+        self._pad_bucket: int | None = None
+        self._width_buckets: list[int] | None = None
         self._mesh_cache = None
         self._current_batch: ReadBatch | None = None
         self._batch_results: list[dict] | None = None
@@ -108,11 +110,22 @@ class DeviceEngine(StrictEngine):
         mesh = self._mesh()
         if mesh is not None:
             padded_n = _round_up(padded_n, mesh.devices.size)
+        # pin the batch-size bucket after the first (full) batch so the last
+        # partial batch reuses the compiled executable instead of paying a
+        # fresh XLA compile for a smaller shape
+        if self._pad_bucket is None or padded_n > self._pad_bucket:
+            self._pad_bucket = padded_n
+        padded_n = self._pad_bucket
         segments = []
         widths = []
-        for segment_index in self.instrument.used_segments:
+        if self._width_buckets is None:
+            self._width_buckets = [0] * len(self.instrument.used_segments)
+        for position, segment_index in enumerate(self.instrument.used_segments):
             segment = batch.segments[segment_index]
             w = _round_up(max(segment.width, 1), 8)
+            # sticky width buckets: only grow, so signatures stay stable
+            w = max(w, self._width_buckets[position])
+            self._width_buckets[position] = w
             widths.append(w)
             # uint8 on the wire; the step upcasts on device
             code = np.zeros((padded_n, w), dtype=np.uint8)

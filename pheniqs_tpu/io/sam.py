@@ -43,9 +43,21 @@ PG_FIELD_ORDER = ("ID", "PN", "CL", "PP", "DS", "VN")
 HD_DEFAULT = {"VN": "1.0", "SO": "unknown", "GO": "query"}
 
 
+_FLOAT_TAG_CACHE: dict[float, str] = {}
+
+
 def format_float_tag(value: float) -> str:
-    """htslib prints float aux values with %g from a float32."""
-    return "%g" % np.float32(value)
+    """htslib prints float aux values with %g from a float32.
+
+    Memoized: confidence values cluster heavily (identical quality strings
+    produce identical posteriors), so the cache hit rate is high."""
+    cached = _FLOAT_TAG_CACHE.get(value)
+    if cached is None:
+        if len(_FLOAT_TAG_CACHE) > 1 << 20:
+            _FLOAT_TAG_CACHE.clear()
+        cached = "%g" % np.float32(value)
+        _FLOAT_TAG_CACHE[value] = cached
+    return cached
 
 
 def head_HD_line(hd: dict | None = None) -> str:
@@ -148,53 +160,70 @@ class AuxTags:
         self.EE = 0.0
 
     def encode(self) -> str:
-        parts = []
+        append = [].append
+        parts = append.__self__
         if self.TC > 2:
             if self.FI > 0:
-                parts.append(f"FI:i:{self.FI}")
-            parts.append(f"TC:i:{self.TC}")
-        if self.FS:
-            parts.append(f"FS:Z:{self.FS}")
-        if self.RG:
-            parts.append(f"RG:Z:{self.RG}")
-        if self.PU:
-            parts.append(f"PU:Z:{self.PU}")
-        if self.LB:
-            parts.append(f"LB:Z:{self.LB}")
-        if self.PG:
-            parts.append(f"PG:Z:{self.PG}")
-        if self.CO:
-            parts.append(f"CO:Z:{self.CO}")
-        if self.BC:
-            parts.append(f"BC:Z:{self.BC}")
-        if self.QT:
-            parts.append(f"QT:Z:{self.QT}")
+                append(f"FI:i:{self.FI}")
+            append(f"TC:i:{self.TC}")
+        value = self.FS
+        if value:
+            append("FS:Z:" + value)
+        value = self.RG
+        if value:
+            append("RG:Z:" + value)
+        value = self.PU
+        if value:
+            append("PU:Z:" + value)
+        value = self.LB
+        if value:
+            append("LB:Z:" + value)
+        value = self.PG
+        if value:
+            append("PG:Z:" + value)
+        value = self.CO
+        if value:
+            append("CO:Z:" + value)
+        value = self.BC
+        if value:
+            append("BC:Z:" + value)
+        value = self.QT
+        if value:
+            append("QT:Z:" + value)
         if self.XB > 0:
-            parts.append(f"XB:f:{format_float_tag(self.XB)}")
-        if self.RX:
-            parts.append(f"RX:Z:{self.RX}")
-        if self.QX:
-            parts.append(f"QX:Z:{self.QX}")
-        if self.OX:
-            parts.append(f"OX:Z:{self.OX}")
-        if self.BZ:
-            parts.append(f"BZ:Z:{self.BZ}")
-        if self.MI:
-            parts.append(f"MI:Z:{self.MI}")
+            append("XB:f:" + format_float_tag(self.XB))
+        value = self.RX
+        if value:
+            append("RX:Z:" + value)
+        value = self.QX
+        if value:
+            append("QX:Z:" + value)
+        value = self.OX
+        if value:
+            append("OX:Z:" + value)
+        value = self.BZ
+        if value:
+            append("BZ:Z:" + value)
+        value = self.MI
+        if value:
+            append("MI:Z:" + value)
         if self.XM > 0:
-            parts.append(f"XM:f:{format_float_tag(self.XM)}")
-        if self.CB:
-            parts.append(f"CB:Z:{self.CB}")
-        if self.CR:
-            parts.append(f"CR:Z:{self.CR}")
-        if self.CY:
-            parts.append(f"CY:Z:{self.CY}")
+            append("XM:f:" + format_float_tag(self.XM))
+        value = self.CB
+        if value:
+            append("CB:Z:" + value)
+        value = self.CR
+        if value:
+            append("CR:Z:" + value)
+        value = self.CY
+        if value:
+            append("CY:Z:" + value)
         if self.XC > 0:
-            parts.append(f"XC:f:{format_float_tag(self.XC)}")
+            append("XC:f:" + format_float_tag(self.XC))
         if self.XO > 0:
-            parts.append(f"XO:f:{format_float_tag(self.XO)}")
+            append("XO:f:" + format_float_tag(self.XO))
         if self.EE > 0:
-            parts.append(f"EE:f:{format_float_tag(self.EE)}")
+            append("EE:f:" + format_float_tag(self.EE))
         return "\t".join(parts)
 
 
