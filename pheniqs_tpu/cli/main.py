@@ -14,3 +14,8 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def entrypoint() -> int:
+    """console_scripts shim: argv[0] becomes the installed binary name."""
+    return main(sys.argv)

@@ -131,6 +131,8 @@ def make_decode_step(
     instrument: DeviceInstrument,
     axis_name: str | None = None,
     want_uncertain: bool = False,
+    want_counters: bool = True,
+    pack_outputs: bool = False,
 ):
     """Build the (batch) -> (per_read, counters) step function.
 
@@ -166,19 +168,50 @@ def make_decode_step(
                     "uncertain", jnp.zeros(qcfail.shape[0], dtype=bool)
                 )
             per_read.append(entry)
-            counters.append(_counters(dec, result))
+            if want_counters:
+                counters.append(_counters(dec, result))
 
         if instrument.multiplexing_index >= 0:
             channel_index = per_read[instrument.multiplexing_index]["decoded"]
         else:
             channel_index = jnp.zeros(qcfail.shape[0], dtype=jnp.int32)
 
+        if pack_outputs:
+            # two dense matrices instead of ~7 arrays per decoder: a single
+            # device->host pull each (the tunneled transport pays per-array
+            # latency)
+            int_columns = []
+            float_columns = []
+            for entry in per_read:
+                int_columns += [
+                    entry["decoded"],
+                    entry["distance"],
+                    entry["argmax"],
+                    entry["branch"].astype(jnp.int32),
+                    entry["qcfail"].astype(jnp.int32)
+                    | (
+                        entry["uncertain"].astype(jnp.int32) << 1
+                        if want_uncertain
+                        else 0
+                    ),
+                ]
+                float_columns.append(entry["confidence"])
+            packed = {
+                "ints": jnp.stack(int_columns, axis=1),
+                "floats": jnp.stack(float_columns, axis=1),
+                "channel_index": channel_index,
+                "qcfail": qcfail,
+            }
+            if axis_name is not None and want_counters:
+                counters = jax.lax.psum(counters, axis_name)
+            return packed, counters
+
         per_read_out = {
             "decoders": per_read,
             "qcfail": qcfail,
             "channel_index": channel_index,
         }
-        if axis_name is not None:
+        if axis_name is not None and want_counters:
             counters = jax.lax.psum(counters, axis_name)
         return per_read_out, counters
 
@@ -190,6 +223,8 @@ def make_sharded_decode_step(
     mesh: Mesh,
     jit: bool = True,
     want_uncertain: bool = False,
+    want_counters: bool = True,
+    pack_outputs: bool = False,
 ):
     """SPMD decode step over a 1-D ``reads`` mesh axis.
 
@@ -199,7 +234,11 @@ def make_sharded_decode_step(
     """
     (axis_name,) = mesh.axis_names
     step = make_decode_step(
-        instrument, axis_name=axis_name, want_uncertain=want_uncertain
+        instrument,
+        axis_name=axis_name,
+        want_uncertain=want_uncertain,
+        want_counters=want_counters,
+        pack_outputs=pack_outputs,
     )
     sharded = jax.shard_map(
         step,

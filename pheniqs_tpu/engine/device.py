@@ -90,12 +90,19 @@ class DeviceEngine(StrictEngine):
             mesh = self._mesh()
             if mesh is not None:
                 step = make_sharded_decode_step(
-                    self.instrument, mesh, want_uncertain=self.hybrid
+                    self.instrument,
+                    mesh,
+                    want_uncertain=self.hybrid,
+                    want_counters=False,
+                    pack_outputs=True,
                 )
             else:
                 step = jax.jit(
                     make_decode_step(
-                        self.instrument, want_uncertain=self.hybrid
+                        self.instrument,
+                        want_uncertain=self.hybrid,
+                        want_counters=False,
+                        pack_outputs=True,
                     )
                 )
             self._step_cache[signature] = step
@@ -143,22 +150,25 @@ class DeviceEngine(StrictEngine):
     def _classify_batch_on_device(self, batch: ReadBatch):
         signature, device_batch = self._device_batch(batch)
         step = self._get_step(signature)
-        per_read, _counters = step(device_batch)
+        packed, _counters = step(device_batch)
         n = batch.size
+        # two pulls total: one int32 matrix, one f32 matrix
+        ints = np.asarray(packed["ints"])[:n]
+        floats = np.asarray(packed["floats"])[:n].astype(np.float64)
         results = []
-        for entry in per_read["decoders"]:
+        for k in range(len(self.instrument.decoders)):
+            base = 5 * k
+            flags = ints[:, base + 4]
             result = {
-                "decoded": np.asarray(entry["decoded"])[:n],
-                "confidence": np.asarray(entry["confidence"])[:n].astype(
-                    np.float64
-                ),
-                "distance": np.asarray(entry["distance"])[:n],
-                "branch": np.asarray(entry["branch"])[:n],
-                "argmax": np.asarray(entry["argmax"])[:n],
-                "qcfail": np.asarray(entry["qcfail"])[:n],
+                "decoded": ints[:, base + 0],
+                "confidence": floats[:, k],
+                "distance": ints[:, base + 1],
+                "argmax": ints[:, base + 2],
+                "branch": ints[:, base + 3].astype(np.int8),
+                "qcfail": (flags & 1).astype(bool),
             }
-            if self.hybrid and "uncertain" in entry:
-                result["uncertain"] = np.asarray(entry["uncertain"])[:n]
+            if self.hybrid:
+                result["uncertain"] = (flags & 2).astype(bool)
             results.append(result)
         return results
 
