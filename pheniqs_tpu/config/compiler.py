@@ -15,7 +15,6 @@ and report layout, so it must be bit-compatible.
 from __future__ import annotations
 
 import math
-import os
 
 from ..errors import (
     CommandLineError,

@@ -19,11 +19,9 @@ time (reference transcode.cpp:317-320).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .classify import (
     BRANCH_LOW_CONFIDENCE,

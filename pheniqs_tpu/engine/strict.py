@@ -32,7 +32,7 @@ from ..decode.oracle import (
 )
 from ..decode.spec import spec_from_ontology
 from ..errors import ConfigurationError
-from ..io.fastq import read_fastq, write_fastq_record
+from ..io.fastq import read_fastq
 from ..io.sam import (
     FLAG_MUNMAP,
     FLAG_PAIRED,

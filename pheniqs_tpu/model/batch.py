@@ -11,7 +11,7 @@ This replaces the reference's per-read `Read`/`Segment` object graph
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
