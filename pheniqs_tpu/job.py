@@ -75,7 +75,17 @@ class TranscodeJob:
         from .engine.strict import StrictEngine
 
         if fidelity in ("strict", "exact", None):
-            self.engine = StrictEngine(self.ontology)
+            workers = int(
+                self.ontology.get("decoding threads")
+                or self.ontology.get("threads")
+                or 1
+            )
+            if workers > 1:
+                from .engine.parallel import ParallelEngine
+
+                self.engine = ParallelEngine(self.ontology, workers)
+            else:
+                self.engine = StrictEngine(self.ontology)
         elif fidelity in ("fast", "device"):
             from .engine.device import DeviceEngine
 

@@ -121,3 +121,29 @@ def test_in_process_prior_adjustment(reference_root, tmp_path):
         expected = estimated_by_barcode.get(key)
         if expected is not None:
             assert barcode["concentration"] == expected
+
+
+def test_parallel_engine_byte_identical(reference_root):
+    """--threads 4 routes through the multiprocess engine; the BDGGG SAM
+    stream must stay byte-identical (ordered batch writes) and the report
+    counts must match the serial run."""
+    serial = run_mux(
+        reference_root,
+        ["--config", "test/BDGGG/BDGGG_annotated.json", "--precision", "15"],
+    )
+    parallel = run_mux(
+        reference_root,
+        [
+            "--config", "test/BDGGG/BDGGG_annotated.json", "--precision", "15",
+            "--threads", "4", "--decoding-threads", "4",
+        ],
+    )
+    assert parallel.returncode == 0, parallel.stderr[-2000:]
+    strip = lambda text: "\n".join(
+        line for line in text.split("\n") if not line.startswith("@PG")
+    )
+    assert strip(parallel.stdout) == strip(serial.stdout)
+    serial_report = json.loads(serial.stderr)
+    parallel_report = json.loads(parallel.stderr)
+    for key in ("count", "pf count", "classified count"):
+        assert serial_report["sample"][key] == parallel_report["sample"][key]
