@@ -87,10 +87,7 @@ class _HeaderlessBam:
         return proxy
 
     def flush_block(self):
-        # close flushes pending block but also writes EOF; emit block only
-        if self._writer.buffer:
-            self._writer._emit(bytes(self._writer.buffer))
-            self._writer.buffer.clear()
+        self._writer.flush_block()
 
 
 class _BamProxy:
@@ -188,6 +185,12 @@ class ParallelEngine(StrictEngine):
             if id(feed) not in initiated:
                 feed.initiate(header)
                 initiated.add(id(feed))
+
+        # BAM feeds buffer their header block inside the BamWriter; force
+        # it out before worker payload blocks are appended to the stream
+        for feed in self.feeds_by_url.values():
+            if getattr(feed, "bam", None) is not None:
+                feed.bam.bgzf.flush_block()
 
         ontology_blob = pickle.dumps(self.ontology)
         context = mp.get_context("fork")

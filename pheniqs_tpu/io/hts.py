@@ -64,10 +64,14 @@ class BgzfWriter:
         trailer = struct.pack("<II", zlib.crc32(payload), len(payload))
         self.stream.write(header + body + trailer)
 
-    def close(self):
+    def flush_block(self):
+        """Emit pending payload as a complete BGZF block immediately."""
         if self.buffer:
             self._emit(bytes(self.buffer))
             self.buffer.clear()
+
+    def close(self):
+        self.flush_block()
         self.stream.write(BGZF_EOF)
         self.stream.flush()
 
