@@ -324,4 +324,119 @@ int64_t pq_sam_format_batch(
     return cursor - out;
 }
 
+// Format a batch of SAM lines with tag columns rendered natively.
+//
+// Column kinds:
+//   0 SPAN  — per-read byte span: buffers[k] + starts[k][r] + lens[k][r];
+//             emitted as "\t<prefix><bytes>" when lens[k][r] > 0
+//   1 FLOAT — floats[k][r] printed with %g (float32 semantics, like
+//             htslib) when masks[k][r] != 0
+//   2 CONST — buffers[k] (prefix_len bytes in prefixes[k]) emitted for
+//             every read; used for per-segment FI/TC tags
+int64_t pq_sam_format_full(
+    int32_t n,
+    const char* names,
+    const int64_t* name_offset,
+    const int32_t* flag,
+    const uint8_t* code,
+    const uint8_t* qual,
+    const int32_t* length,
+    int32_t width,
+    int32_t phred_offset,
+    int32_t n_columns,
+    const uint8_t* kinds,
+    const char* const* prefixes,
+    const int32_t* prefix_lens,
+    const char* const* buffers,
+    const int64_t* const* starts,
+    const int32_t* const* lens,
+    const float* const* floats,
+    const uint8_t* const* masks,
+    char* out,
+    int64_t out_capacity,
+    int64_t* line_offset
+) {
+    // worst-case estimate
+    int64_t required = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        int64_t l = length[r] > 0 ? length[r] : 1;
+        required += (name_offset[r + 1] - name_offset[r]) + 34 + 2 * l;
+    }
+    for (int32_t k = 0; k < n_columns; ++k) {
+        if (kinds[k] == 0) {
+            for (int32_t r = 0; r < n; ++r) {
+                if (lens[k][r] > 0) {
+                    required += 1 + prefix_lens[k] + lens[k][r];
+                }
+            }
+        } else if (kinds[k] == 1) {
+            required += static_cast<int64_t>(n) * (1 + prefix_lens[k] + 16);
+        } else {
+            required += static_cast<int64_t>(n) * (1 + prefix_lens[k]);
+        }
+    }
+    if (required > out_capacity) return -required;
+
+    char* cursor = out;
+    line_offset[0] = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        int64_t name_length = name_offset[r + 1] - name_offset[r];
+        std::memcpy(cursor, names + name_offset[r], name_length);
+        cursor += name_length;
+        cursor += std::sprintf(cursor, "\t%d\t*\t0\t0\t*\t*\t0\t0\t", flag[r]);
+        int32_t l = length[r];
+        const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
+        const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
+        if (l <= 0) {
+            *cursor++ = '*';
+            *cursor++ = '\t';
+            *cursor++ = '*';
+        } else {
+            for (int32_t i = 0; i < l; ++i) {
+                cursor[i] = kBamToAscii[code_row[i] & 0xF];
+            }
+            cursor += l;
+            *cursor++ = '\t';
+            for (int32_t i = 0; i < l; ++i) {
+                cursor[i] = static_cast<char>(qual_row[i] + phred_offset);
+            }
+            cursor += l;
+        }
+        for (int32_t k = 0; k < n_columns; ++k) {
+            switch (kinds[k]) {
+                case 0: {
+                    int32_t span = lens[k][r];
+                    if (span > 0) {
+                        *cursor++ = '\t';
+                        std::memcpy(cursor, prefixes[k], prefix_lens[k]);
+                        cursor += prefix_lens[k];
+                        std::memcpy(cursor, buffers[k] + starts[k][r], span);
+                        cursor += span;
+                    }
+                    break;
+                }
+                case 1: {
+                    if (masks[k][r]) {
+                        *cursor++ = '\t';
+                        std::memcpy(cursor, prefixes[k], prefix_lens[k]);
+                        cursor += prefix_lens[k];
+                        cursor += std::sprintf(
+                            cursor, "%g", static_cast<double>(floats[k][r]));
+                    }
+                    break;
+                }
+                default: {
+                    *cursor++ = '\t';
+                    std::memcpy(cursor, prefixes[k], prefix_lens[k]);
+                    cursor += prefix_lens[k];
+                    break;
+                }
+            }
+        }
+        *cursor++ = '\n';
+        line_offset[r + 1] = cursor - out;
+    }
+    return cursor - out;
+}
+
 }  // extern "C"

@@ -810,6 +810,186 @@ class StrictEngine:
         )
         return virtual
 
+    def _sam_native_ready(self):
+        """True when every routed feed is SAM text and the native library
+        is loadable (the full-native render path)."""
+        routed = [c for c in self.channels if c.feeds]
+        if not routed:
+            return False
+        if not all(f.format == "sam" for c in routed for f in c.feeds):
+            return False
+        from ..native import load as native_load
+
+        return native_load() is not None
+
+    def _tag_columns(
+        self,
+        n,
+        rg_values,
+        sample_tags,
+        sample_conf,
+        molecular_results,
+        molecular_conf,
+        cellular_results,
+        cellular_conf,
+    ):
+        """Vectorized tag material in the AuxTags emission order (reference
+        auxiliary.cpp:327-359): span columns for string tags, float columns
+        for XB/XM/XC (mask = confidence strictly inside (0, 1))."""
+        from ..native import FloatColumn, SpanColumn
+
+        columns = []
+
+        def combine(tag_sets, field):
+            values = [getattr(t, field) for t in tag_sets]
+            if len(values) == 1:
+                return values[0]
+            return ["".join(parts) for parts in zip(*values)]
+
+        if rg_values is not None:
+            columns.append(SpanColumn.from_strings(b"RG:Z:", rg_values))
+        if sample_tags is not None:
+            columns.append(
+                SpanColumn.from_strings(b"BC:Z:", sample_tags.raw_seq)
+            )
+            columns.append(
+                SpanColumn.from_strings(b"QT:Z:", sample_tags.raw_qual)
+            )
+        columns.append(
+            FloatColumn(
+                b"XB:f:",
+                (1.0 - sample_conf).astype(np.float32),
+                (sample_conf > 0) & (sample_conf < 1),
+            )
+        )
+
+        mol_tags = [
+            (runtime, tags)
+            for runtime, _result, tags in molecular_results
+            if tags is not None
+        ]
+        pamld_mol = [
+            tags for runtime, tags in mol_tags
+            if runtime.spec.algorithm == "pamld"
+        ]
+        if pamld_mol:
+            columns.append(
+                SpanColumn.from_strings(
+                    b"RX:Z:", combine(pamld_mol, "corrected_seq")
+                )
+            )
+            columns.append(
+                SpanColumn.from_strings(
+                    b"QX:Z:", combine(pamld_mol, "corrected_qual")
+                )
+            )
+        if mol_tags:
+            raw_seq = combine([t for _, t in mol_tags], "raw_seq")
+            raw_qual = combine([t for _, t in mol_tags], "raw_qual")
+            # BZ accompanies OX only where OX is non-empty (reference
+            # read.h:301-326 appends both together)
+            columns.append(SpanColumn.from_strings(b"OX:Z:", raw_seq))
+            bz = SpanColumn.from_strings(b"BZ:Z:", raw_qual)
+            ox_lens = columns[-1].lens
+            bz.lens = np.where(ox_lens > 0, bz.lens, 0).astype(np.int32)
+            columns.append(bz)
+        columns.append(
+            FloatColumn(
+                b"XM:f:",
+                (1.0 - molecular_conf).astype(np.float32),
+                (molecular_conf > 0) & (molecular_conf < 1),
+            )
+        )
+
+        cell_tags = [
+            tags for _runtime, _result, tags in cellular_results
+            if tags is not None
+        ]
+        if cell_tags:
+            cor_seq = combine(cell_tags, "corrected_seq")
+            raw_seq = combine(cell_tags, "raw_seq")
+            raw_qual = combine(cell_tags, "raw_qual")
+            columns.append(SpanColumn.from_strings(b"CB:Z:", cor_seq))
+            cr = SpanColumn.from_strings(b"CR:Z:", raw_seq)
+            cy = SpanColumn.from_strings(b"CY:Z:", raw_qual)
+            cy.lens = np.where(cr.lens > 0, cy.lens, 0).astype(np.int32)
+            columns.append(cr)
+            columns.append(cy)
+        columns.append(
+            FloatColumn(
+                b"XC:f:",
+                (1.0 - cellular_conf).astype(np.float32),
+                (cellular_conf > 0) & (cellular_conf < 1),
+            )
+        )
+        return columns
+
+    def _route_and_write_columns(
+        self, batch, output_segments, qcfail, channel_index, flags, columns
+    ):
+        """Native full-render routing: one formatted arena per output
+        segment, written per feed in global arrival order."""
+        from ..native import ConstColumn, sam_format_full
+
+        n = batch.size
+        cardinality = len(output_segments)
+        fail_flags = qcfail.astype(np.int32) * FLAG_QCFAIL
+
+        keep = np.zeros(n, dtype=bool)
+        channel_by_index = {}
+        for index, channel in enumerate(self.channels):
+            if not channel.feeds:
+                continue
+            channel_by_index[index] = channel
+            selected = channel_index == index
+            if channel.filter_outgoing_qc_fail:
+                selected = selected & ~qcfail
+            keep |= selected
+        rows = np.flatnonzero(keep)
+        if rows.size == 0:
+            return
+
+        names_blob = batch.names_blob
+        name_offsets = batch.name_offsets
+
+        arenas = []
+        for s in range(cardinality):
+            segment = output_segments[s]
+            segment_columns = columns
+            if cardinality > 2:
+                segment_columns = [
+                    ConstColumn(f"FI:i:{s + 1}\tTC:i:{cardinality}".encode())
+                ] + columns
+            arenas.append(
+                sam_format_full(
+                    names_blob,
+                    name_offsets,
+                    np.full(n, flags[s], dtype=np.int32) | fail_flags,
+                    segment.code,
+                    segment.quality,
+                    segment.length,
+                    self.output_phred_offset,
+                    segment_columns,
+                )
+            )
+
+        feed_routes: dict[int, tuple] = {}
+        for index, channel in channel_by_index.items():
+            for s, feed in enumerate(channel.feeds):
+                entry = feed_routes.setdefault(id(feed), (feed, {}))
+                entry[1].setdefault(index, []).append(s)
+        for feed, by_channel in feed_routes.values():
+            pieces = []
+            for i in rows:
+                segment_list = by_channel.get(int(channel_index[i]))
+                if segment_list is None:
+                    continue
+                for s in segment_list:
+                    arena, offsets = arenas[s]
+                    pieces.append(arena[offsets[i] : offsets[i + 1]])
+            if pieces:
+                feed.write(b"".join(pieces))
+
     def _emit(
         self,
         batch,
@@ -839,7 +1019,23 @@ class StrictEngine:
                     flag |= FLAG_READ2
             flags.append(flag)
 
-        # raw molecular (naive + pamld) concatenate in decoder order
+        if self._sam_native_ready():
+            columns = self._tag_columns(
+                n,
+                rg_values,
+                sample_tags,
+                sample_conf,
+                molecular_results,
+                molecular_conf,
+                cellular_results,
+                cellular_conf,
+            )
+            self._route_and_write_columns(
+                batch, output_segments, qcfail, channel_index, flags, columns
+            )
+            return
+
+        # fallback path: per-read AuxTags assembly
         tag_list = []
         for i in range(n):
             name = batch.names[i].decode()
@@ -935,9 +1131,8 @@ class StrictEngine:
                 native_format = sam_format_batch
 
         if native_format is not None:
-            names_blob = b"".join(batch.names)
-            name_offsets = np.zeros(n + 1, dtype=np.int64)
-            name_offsets[1:] = np.cumsum([len(x) for x in batch.names])
+            names_blob = batch.names_blob
+            name_offsets = batch.name_offsets
             tag_bytes = [t.encode().encode() for t in tag_list]
             tag_blob = b"".join(tag_bytes)
             tag_offsets = np.zeros(n + 1, dtype=np.int64)

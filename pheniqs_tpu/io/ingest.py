@@ -69,16 +69,16 @@ def native_read_batches(
             reads = counts.pop()
 
             segments = []
-            names_baseline: list[bytes] | None = None
+            baseline = None  # (blob, offsets) or list[bytes]
             qcfail = np.zeros(reads, dtype=bool)
+            interleaved = any(r > 1 for r in resolution.values())
             for url, slot in segment_slot:
-                code, qual, length, fail, names = per_feed[url]
+                code, qual, length, fail, blob, offsets = per_feed[url]
                 stride = resolution[url]
                 code = code[slot::stride]
                 qual = qual[slot::stride]
                 length = length[slot::stride]
                 fail = fail[slot::stride]
-                names = names[slot::stride]
                 width = int(length.max(initial=1))
                 segments.append(
                     SegmentBatch(
@@ -88,18 +88,53 @@ def native_read_batches(
                     )
                 )
                 qcfail |= fail
-                if names_baseline is None:
-                    names_baseline = names
-                elif names != names_baseline:
-                    for got, expected in zip(names, names_baseline):
-                        if got != expected:
-                            raise SequenceError(
-                                f"read out of sync {got.decode()} and "
-                                f"{expected.decode()}"
-                            )
-            yield ReadBatch(
-                segments=segments, names=names_baseline, qcfail=qcfail
-            )
+                if interleaved:
+                    names = [
+                        blob[offsets[i] : offsets[i + 1]]
+                        for i in range(slot, offsets.shape[0] - 1, stride)
+                    ]
+                    if baseline is None:
+                        baseline = names
+                    elif names != baseline:
+                        for got, expected in zip(names, baseline):
+                            if got != expected:
+                                raise SequenceError(
+                                    f"read out of sync {got.decode()} and "
+                                    f"{expected.decode()}"
+                                )
+                else:
+                    # one record per feed: names agree iff the arenas agree
+                    if baseline is None:
+                        baseline = (blob, offsets)
+                    elif blob != baseline[0] or not np.array_equal(
+                        offsets, baseline[1]
+                    ):
+                        mine = [
+                            blob[offsets[i] : offsets[i + 1]]
+                            for i in range(offsets.shape[0] - 1)
+                        ]
+                        theirs = [
+                            baseline[0][baseline[1][i] : baseline[1][i + 1]]
+                            for i in range(baseline[1].shape[0] - 1)
+                        ]
+                        for got, expected in zip(mine, theirs):
+                            if got != expected:
+                                raise SequenceError(
+                                    f"read out of sync {got.decode()} and "
+                                    f"{expected.decode()}"
+                                )
+                        raise SequenceError("read feeds out of sync")
+            if interleaved:
+                yield ReadBatch(
+                    segments=segments, names=baseline, qcfail=qcfail
+                )
+            else:
+                yield ReadBatch(
+                    segments=segments,
+                    names_blob=baseline[0],
+                    name_offsets=baseline[1],
+                    qcfail=qcfail,
+                )
     finally:
         for reader in readers.values():
             reader.close()

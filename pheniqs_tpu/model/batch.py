@@ -11,22 +11,51 @@ This replaces the reference's per-read `Read`/`Segment` object graph
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from ..transform import SegmentBatch
 
 
-@dataclass
 class ReadBatch:
-    segments: list[SegmentBatch]
-    names: list[bytes]
-    qcfail: np.ndarray  # (N,) bool - incoming QC fail flag
+    """N reads as SoA arrays. Names are held as one NUL-free byte arena
+    plus (N+1) prefix offsets (the native parser's layout); the per-read
+    list materializes lazily for consumers that need it."""
+
+    __slots__ = ("segments", "qcfail", "names_blob", "name_offsets", "_names")
+
+    def __init__(
+        self,
+        segments: list[SegmentBatch],
+        qcfail: np.ndarray,
+        names: list[bytes] | None = None,
+        names_blob: bytes | None = None,
+        name_offsets: np.ndarray | None = None,
+    ):
+        self.segments = segments
+        self.qcfail = qcfail
+        if names_blob is None:
+            assert names is not None
+            names_blob = b"".join(names)
+            name_offsets = np.zeros(len(names) + 1, dtype=np.int64)
+            name_offsets[1:] = np.cumsum([len(x) for x in names])
+        self.names_blob = names_blob
+        self.name_offsets = name_offsets
+        self._names = names
+
+    @property
+    def names(self) -> list[bytes]:
+        if self._names is None:
+            blob = self.names_blob
+            offsets = self.name_offsets
+            self._names = [
+                blob[offsets[i] : offsets[i + 1]]
+                for i in range(offsets.shape[0] - 1)
+            ]
+        return self._names
 
     @property
     def size(self) -> int:
-        return len(self.names)
+        return self.name_offsets.shape[0] - 1
 
     @property
     def segment_cardinality(self) -> int:
@@ -35,6 +64,7 @@ class ReadBatch:
     def select(self, mask: np.ndarray) -> "ReadBatch":
         """Subset the batch by boolean mask, preserving order."""
         idx = np.flatnonzero(mask)
+        names = self.names
         return ReadBatch(
             segments=[
                 SegmentBatch(
@@ -44,7 +74,7 @@ class ReadBatch:
                 )
                 for s in self.segments
             ],
-            names=[self.names[i] for i in idx],
+            names=[names[i] for i in idx],
             qcfail=self.qcfail[idx],
         )
 

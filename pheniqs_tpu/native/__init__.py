@@ -76,6 +76,30 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_sam_format_full.restype = ctypes.c_int64
+        lib.pq_sam_format_full.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.pq_sam_format_batch.restype = ctypes.c_int64
         lib.pq_sam_format_batch.argtypes = [
             ctypes.c_int32,
@@ -201,16 +225,19 @@ class NativeFastqReader:
             raise SequenceError(message or "native FASTQ parse error")
         if count == 0:
             return None
-        blob = names.raw
-        name_list = [
-            blob[name_offset[i] : name_offset[i + 1] - 1] for i in range(count)
-        ]
+        # the C arena NUL-separates names; rebuild as a NUL-free blob with
+        # prefix offsets (one memcomprehension, no per-record slicing cost
+        # for downstream consumers that keep the blob form)
+        raw = names.raw
+        blob = raw[: name_offset[count]].replace(b"\x00", b"")
+        offsets = name_offset[: count + 1] - np.arange(count + 1, dtype=np.int64)
         return (
             code[:count],
             qual[:count],
             length[:count],
             qcfail[:count].astype(bool),
-            name_list,
+            blob,
+            offsets,
         )
 
     def close(self):
@@ -223,3 +250,144 @@ class NativeFastqReader:
             self.close()
         except Exception:
             pass
+
+
+class SpanColumn:
+    """Per-read byte span tag column: '\\t<prefix><bytes>' when len > 0."""
+
+    kind = 0
+
+    def __init__(self, prefix: bytes, buffer: bytes, starts: np.ndarray, lens: np.ndarray):
+        self.prefix = prefix
+        self.buffer = buffer
+        self.starts = np.ascontiguousarray(starts, dtype=np.int64)
+        self.lens = np.ascontiguousarray(lens, dtype=np.int32)
+
+    @classmethod
+    def from_strings(cls, prefix: bytes, values: list) -> "SpanColumn":
+        joined = "".join(values).encode("latin-1")
+        lens = np.fromiter(
+            (len(v) for v in values), dtype=np.int32, count=len(values)
+        )
+        starts = np.zeros(len(values), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return cls(prefix, joined, starts, lens)
+
+
+class FloatColumn:
+    """float32 %g tag column, emitted where mask is set."""
+
+    kind = 1
+
+    def __init__(self, prefix: bytes, values: np.ndarray, mask: np.ndarray):
+        self.prefix = prefix
+        self.values = np.ascontiguousarray(values, dtype=np.float32)
+        self.mask = np.ascontiguousarray(mask, dtype=np.uint8)
+
+
+class ConstColumn:
+    """Constant bytes emitted for every read (per-segment FI/TC)."""
+
+    kind = 2
+
+    def __init__(self, prefix: bytes):
+        self.prefix = prefix
+
+
+def sam_format_full(
+    names_blob: bytes,
+    name_offsets: np.ndarray,
+    flags: np.ndarray,
+    code: np.ndarray,
+    quality: np.ndarray,
+    length: np.ndarray,
+    phred_offset: int,
+    columns: list,
+):
+    """Format N SAM lines with native tag rendering; returns (arena,
+    line_offsets) or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = int(flags.shape[0])
+    k = len(columns)
+    width = code.shape[1] if code.ndim == 2 else 0
+    code = np.ascontiguousarray(code, dtype=np.uint8)
+    quality = np.ascontiguousarray(quality, dtype=np.uint8)
+    length = np.ascontiguousarray(length, dtype=np.int32)
+    flags = np.ascontiguousarray(flags, dtype=np.int32)
+    name_offsets = np.ascontiguousarray(name_offsets, dtype=np.int64)
+
+    kinds = np.fromiter((c.kind for c in columns), dtype=np.uint8, count=k)
+    prefixes = (ctypes.c_char_p * k)(*(c.prefix for c in columns))
+    prefix_lens = np.fromiter(
+        (len(c.prefix) for c in columns), dtype=np.int32, count=k
+    )
+    null_char = ctypes.c_char_p()
+    null_i64 = ctypes.POINTER(ctypes.c_int64)()
+    null_i32 = ctypes.POINTER(ctypes.c_int32)()
+    null_f32 = ctypes.POINTER(ctypes.c_float)()
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    buffers = (ctypes.c_char_p * k)()
+    starts = (ctypes.POINTER(ctypes.c_int64) * k)()
+    lens = (ctypes.POINTER(ctypes.c_int32) * k)()
+    floats = (ctypes.POINTER(ctypes.c_float) * k)()
+    masks = (ctypes.POINTER(ctypes.c_uint8) * k)()
+    span_payload = 0
+    for j, column in enumerate(columns):
+        if column.kind == 0:
+            buffers[j] = column.buffer
+            starts[j] = column.starts.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)
+            )
+            lens[j] = column.lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            floats[j] = null_f32
+            masks[j] = null_u8
+            span_payload += len(column.buffer) + n * (len(column.prefix) + 1)
+        elif column.kind == 1:
+            buffers[j] = null_char
+            starts[j] = null_i64
+            lens[j] = null_i32
+            floats[j] = column.values.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            )
+            masks[j] = column.mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            span_payload += n * (len(column.prefix) + 17)
+        else:
+            buffers[j] = null_char
+            starts[j] = null_i64
+            lens[j] = null_i32
+            floats[j] = null_f32
+            masks[j] = null_u8
+            span_payload += n * (len(column.prefix) + 1)
+
+    line_offsets = np.zeros(n + 1, dtype=np.int64)
+    capacity = len(names_blob) + span_payload + n * (40 + 2 * max(width, 1))
+    while True:
+        out = ctypes.create_string_buffer(capacity)
+        used = lib.pq_sam_format_full(
+            n,
+            names_blob,
+            name_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            quality.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            width,
+            phred_offset,
+            k,
+            kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            prefixes,
+            prefix_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            buffers,
+            starts,
+            lens,
+            floats,
+            masks,
+            out,
+            capacity,
+            line_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if used >= 0:
+            return out.raw[:used], line_offsets
+        capacity = -used

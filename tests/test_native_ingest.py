@@ -27,7 +27,10 @@ def test_native_reader_matches_python(native, bdggg, suffix):
         batch = reader.read_batch(1024)
         if batch is None:
             break
-        code, qual, length, qcfail, names = batch
+        code, qual, length, qcfail, blob, offsets = batch
+        names = [
+            blob[offsets[i] : offsets[i + 1]] for i in range(code.shape[0])
+        ]
         for i in range(code.shape[0]):
             reference = records[parsed + i]
             n = len(reference.sequence)
