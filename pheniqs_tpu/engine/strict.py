@@ -613,19 +613,25 @@ class StrictEngine:
 
         qcfail = batch.qcfail.copy()
 
+        # string tag material is only needed on the python fallback path or
+        # when the template references corrected-barcode virtual segments;
+        # the native render path builds byte spans straight from the
+        # observation matrices
+        need_strings = not self._sam_native_ready() or any(
+            tx.token.input_segment_index < 0
+            for tx in self.template_rule.transform_array
+        )
+
         sample_result = None
         sample_tags = None
         if self.sample is not None:
             sample_result = self._run_classifier(self.sample, batch, qcfail)
             qcfail = sample_result.qcfail
-            if sample_result.observation:
-                sample_tags = build_tag_data(
-                    sample_result, self.sample.spec, corrected=True
-                )
-            elif self.sample.spec.rule is not None:
+            if not sample_result.observation and self.sample.spec.rule is not None:
                 sample_result.observation = self.sample.spec.rule.apply(
                     batch.segments
                 )
+            if need_strings and sample_result.observation:
                 sample_tags = build_tag_data(
                     sample_result, self.sample.spec, corrected=True
                 )
@@ -640,7 +646,7 @@ class StrictEngine:
                     runtime.spec,
                     corrected=runtime.spec.algorithm == "pamld",
                 )
-                if result.observation
+                if need_strings and result.observation
                 else None
             )
             molecular_results.append((runtime, result, tags))
@@ -651,7 +657,7 @@ class StrictEngine:
             qcfail = result.qcfail
             tags = (
                 build_tag_data(result, runtime.spec, corrected=True)
-                if result.observation
+                if need_strings and result.observation
                 else None
             )
             cellular_results.append((runtime, result, tags))
@@ -822,11 +828,120 @@ class StrictEngine:
 
         return native_load() is not None
 
+    def _observation_spans(self, result, spec, corrected: bool):
+        """(buffer, starts, lens) byte spans for the raw (and corrected)
+        barcode sequence/quality of one classifier, straight from the
+        observation matrices when row data is contiguous (single segment,
+        or every segment filled to width); string fallback otherwise."""
+        observation = result.observation
+        n = observation[0].length.shape[0]
+        single = len(observation) == 1
+        uniform = all(
+            bool((seg.length == seg.width).all()) for seg in observation
+        )
+        if not (single or uniform):
+            tags = build_tag_data(
+                result, spec, phred_offset=33, corrected=corrected
+            )
+            from ..native import SpanColumn
+
+            def spans(values):
+                column = SpanColumn.from_strings(b"", values)
+                return column.buffer, column.starts, column.lens
+
+            out = {
+                "raw_seq": spans(tags.raw_seq),
+                "raw_qual": spans(tags.raw_qual),
+            }
+            if corrected and spec.panel is not None:
+                out["cor_seq"] = spans(tags.corrected_seq)
+                out["cor_qual"] = spans(tags.corrected_qual)
+            return out
+
+        if single:
+            code_m = observation[0].code
+            qual_m = observation[0].quality
+            lens = np.minimum(
+                observation[0].length, observation[0].width
+            ).astype(np.int32)
+        else:
+            code_m = np.hstack([seg.code for seg in observation])
+            qual_m = np.hstack([seg.quality for seg in observation])
+            lens = np.full(n, code_m.shape[1], dtype=np.int32)
+        width = code_m.shape[1]
+        starts = np.arange(n, dtype=np.int64) * width
+        out = {
+            "raw_seq": (BAM_TO_ASCII[code_m].tobytes(), starts, lens),
+            "raw_qual": (
+                (qual_m.astype(np.uint8) + 33).tobytes(), starts, lens
+            ),
+        }
+        if corrected and spec.panel is not None:
+            cor_codes = []
+            cor_quals = []
+            cor_lens = np.zeros(n, dtype=np.int32)
+            for segment_index, segment in enumerate(observation):
+                sl = spec.panel.segment_slices()[segment_index]
+                barcode_codes = np.vstack(
+                    [
+                        np.zeros(sl.stop - sl.start, dtype=np.uint8),
+                        spec.panel.codes[:, sl],
+                    ]
+                )
+                chosen = barcode_codes[result.decoded]
+                ws = min(segment.width, chosen.shape[1])
+                cor_code = chosen[:, :ws]
+                keep_original = (
+                    segment.code[:, :ws] == cor_code
+                ) | (cor_code == 0)
+                cor_qual = np.where(
+                    keep_original,
+                    segment.quality[:, :ws],
+                    np.uint8(spec.corrected_quality),
+                )
+                cor_codes.append(cor_code)
+                cor_quals.append(cor_qual)
+                cor_lens += np.minimum(segment.length, ws).astype(np.int32)
+            cor_code_m = (
+                cor_codes[0] if single else np.hstack(cor_codes)
+            )
+            cor_qual_m = (
+                cor_quals[0] if single else np.hstack(cor_quals)
+            )
+            cor_width = cor_code_m.shape[1]
+            cor_starts = np.arange(n, dtype=np.int64) * cor_width
+            out["cor_seq"] = (
+                BAM_TO_ASCII[cor_code_m].tobytes(), cor_starts, cor_lens
+            )
+            out["cor_qual"] = (
+                (cor_qual_m.astype(np.uint8) + 33).tobytes(),
+                cor_starts,
+                cor_lens,
+            )
+        return out
+
+    @staticmethod
+    def _combine_spans(spans_list):
+        """Concatenate per-read spans of several classifiers into one span
+        set (used for multi-round cellular / multiple molecular tags)."""
+        if len(spans_list) == 1:
+            return spans_list[0]
+        n = spans_list[0][2].shape[0]
+        total = sum(spans[2] for spans in spans_list)
+        # materialize combined per-read bytes
+        pieces = []
+        for i in range(n):
+            for buffer, starts, lens in spans_list:
+                pieces.append(buffer[starts[i] : starts[i] + lens[i]])
+        combined = b"".join(pieces)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(total[:-1], out=starts[1:])
+        return combined, starts, total.astype(np.int32)
+
     def _tag_columns(
         self,
         n,
-        rg_values,
-        sample_tags,
+        sample_result,
         sample_conf,
         molecular_results,
         molecular_conf,
@@ -834,27 +949,49 @@ class StrictEngine:
         cellular_conf,
     ):
         """Vectorized tag material in the AuxTags emission order (reference
-        auxiliary.cpp:327-359): span columns for string tags, float columns
-        for XB/XM/XC (mask = confidence strictly inside (0, 1))."""
+        auxiliary.cpp:327-359): byte-span columns for string tags, float
+        columns for XB/XM/XC (mask = confidence strictly inside (0, 1))."""
         from ..native import FloatColumn, SpanColumn
 
         columns = []
 
-        def combine(tag_sets, field):
-            values = [getattr(t, field) for t in tag_sets]
-            if len(values) == 1:
-                return values[0]
-            return ["".join(parts) for parts in zip(*values)]
+        def span_column(prefix, spans):
+            return SpanColumn(prefix, spans[0], spans[1], spans[2])
 
-        if rg_values is not None:
-            columns.append(SpanColumn.from_strings(b"RG:Z:", rg_values))
-        if sample_tags is not None:
-            columns.append(
-                SpanColumn.from_strings(b"BC:Z:", sample_tags.raw_seq)
+        # RG: read-group table indexed by the decoded sample barcode
+        if (
+            self.sample is not None
+            and self.sample.spec.rg_by_barcode_index
+            and sample_result is not None
+        ):
+            table = self.sample.spec.rg_by_barcode_index
+            arena = "".join(table).encode("latin-1")
+            table_lens = np.fromiter(
+                (len(v) for v in table), dtype=np.int32, count=len(table)
             )
+            table_starts = np.zeros(len(table), dtype=np.int64)
+            np.cumsum(table_lens[:-1], out=table_starts[1:])
+            decoded = sample_result.decoded
             columns.append(
-                SpanColumn.from_strings(b"QT:Z:", sample_tags.raw_qual)
+                SpanColumn(
+                    b"RG:Z:",
+                    arena,
+                    table_starts[decoded],
+                    table_lens[decoded],
+                )
             )
+
+        sample_spans = None
+        if (
+            self.sample is not None
+            and sample_result is not None
+            and sample_result.observation
+        ):
+            sample_spans = self._observation_spans(
+                sample_result, self.sample.spec, corrected=True
+            )
+            columns.append(span_column(b"BC:Z:", sample_spans["raw_seq"]))
+            columns.append(span_column(b"QT:Z:", sample_spans["raw_qual"]))
         columns.append(
             FloatColumn(
                 b"XB:f:",
@@ -863,36 +1000,40 @@ class StrictEngine:
             )
         )
 
-        mol_tags = [
-            (runtime, tags)
-            for runtime, _result, tags in molecular_results
-            if tags is not None
+        mol_spans = [
+            (runtime, self._observation_spans(
+                result, runtime.spec,
+                corrected=runtime.spec.algorithm == "pamld",
+            ))
+            for runtime, result, _tags in molecular_results
+            if result.observation
         ]
         pamld_mol = [
-            tags for runtime, tags in mol_tags
+            spans for runtime, spans in mol_spans
             if runtime.spec.algorithm == "pamld"
         ]
         if pamld_mol:
             columns.append(
-                SpanColumn.from_strings(
-                    b"RX:Z:", combine(pamld_mol, "corrected_seq")
+                span_column(
+                    b"RX:Z:",
+                    self._combine_spans([s["cor_seq"] for s in pamld_mol]),
                 )
             )
             columns.append(
-                SpanColumn.from_strings(
-                    b"QX:Z:", combine(pamld_mol, "corrected_qual")
+                span_column(
+                    b"QX:Z:",
+                    self._combine_spans([s["cor_qual"] for s in pamld_mol]),
                 )
             )
-        if mol_tags:
-            raw_seq = combine([t for _, t in mol_tags], "raw_seq")
-            raw_qual = combine([t for _, t in mol_tags], "raw_qual")
-            # BZ accompanies OX only where OX is non-empty (reference
-            # read.h:301-326 appends both together)
-            columns.append(SpanColumn.from_strings(b"OX:Z:", raw_seq))
-            bz = SpanColumn.from_strings(b"BZ:Z:", raw_qual)
-            ox_lens = columns[-1].lens
-            bz.lens = np.where(ox_lens > 0, bz.lens, 0).astype(np.int32)
-            columns.append(bz)
+        if mol_spans:
+            ox = self._combine_spans([s["raw_seq"] for _, s in mol_spans])
+            bz = self._combine_spans([s["raw_qual"] for _, s in mol_spans])
+            columns.append(span_column(b"OX:Z:", ox))
+            bz_column = span_column(b"BZ:Z:", bz)
+            bz_column.lens = np.where(ox[2] > 0, bz_column.lens, 0).astype(
+                np.int32
+            )
+            columns.append(bz_column)
         columns.append(
             FloatColumn(
                 b"XM:f:",
@@ -901,20 +1042,26 @@ class StrictEngine:
             )
         )
 
-        cell_tags = [
-            tags for _runtime, _result, tags in cellular_results
-            if tags is not None
+        cell_spans = [
+            self._observation_spans(result, runtime.spec, corrected=True)
+            for runtime, result, _tags in cellular_results
+            if result.observation
         ]
-        if cell_tags:
-            cor_seq = combine(cell_tags, "corrected_seq")
-            raw_seq = combine(cell_tags, "raw_seq")
-            raw_qual = combine(cell_tags, "raw_qual")
-            columns.append(SpanColumn.from_strings(b"CB:Z:", cor_seq))
-            cr = SpanColumn.from_strings(b"CR:Z:", raw_seq)
-            cy = SpanColumn.from_strings(b"CY:Z:", raw_qual)
-            cy.lens = np.where(cr.lens > 0, cy.lens, 0).astype(np.int32)
-            columns.append(cr)
-            columns.append(cy)
+        if cell_spans:
+            columns.append(
+                span_column(
+                    b"CB:Z:",
+                    self._combine_spans([s["cor_seq"] for s in cell_spans]),
+                )
+            )
+            cr = self._combine_spans([s["raw_seq"] for s in cell_spans])
+            cy = self._combine_spans([s["raw_qual"] for s in cell_spans])
+            columns.append(span_column(b"CR:Z:", cr))
+            cy_column = span_column(b"CY:Z:", cy)
+            cy_column.lens = np.where(cr[2] > 0, cy_column.lens, 0).astype(
+                np.int32
+            )
+            columns.append(cy_column)
         columns.append(
             FloatColumn(
                 b"XC:f:",
@@ -1022,8 +1169,7 @@ class StrictEngine:
         if self._sam_native_ready():
             columns = self._tag_columns(
                 n,
-                rg_values,
-                sample_tags,
+                sample_result,
                 sample_conf,
                 molecular_results,
                 molecular_conf,
