@@ -139,7 +139,7 @@ void pq_fastq_close(void* handle) {
 //   length            : (max_records,) int32 — sequence lengths (clipped to
 //                       max_length when longer; full length reported)
 //   qcfail            : (max_records,) uint8 — Illumina comment filter flag
-//   names             : byte arena receiving NUL-separated read names
+//   names             : byte arena receiving concatenated read names
 //   name_offset       : (max_records + 1,) int64 prefix offsets into names
 // Returns number parsed; 0 at EOF; -1 on malformed input (see
 // pq_fastq_error); -2 when the names arena is exhausted.
@@ -221,7 +221,7 @@ int32_t pq_fastq_read_batch(
             return -1;
         }
 
-        if (names_used + static_cast<int64_t>(name.size()) + 1 > names_capacity) {
+        if (names_used + static_cast<int64_t>(name.size()) > names_capacity) {
             return count > 0 ? count : -2;
         }
 
@@ -242,7 +242,6 @@ int32_t pq_fastq_read_batch(
         qcfail[count] = fail;
         std::memcpy(names + names_used, name.data(), name.size());
         names_used += static_cast<int64_t>(name.size());
-        names[names_used++] = '\0';
         name_offset[count + 1] = names_used;
         ++count;
     }
@@ -435,6 +434,28 @@ int64_t pq_sam_format_full(
         }
         *cursor++ = '\n';
         line_offset[r + 1] = cursor - out;
+    }
+    return cursor - out;
+}
+
+// Concatenate spans from up to 255 arenas into `out` in piece order.
+// Returns bytes written, or -(bytes required) when capacity is too small.
+int64_t pq_concat_spans(
+    int64_t n_pieces,
+    const char* const* arenas,
+    const uint8_t* piece_arena,
+    const int64_t* piece_start,
+    const int32_t* piece_len,
+    char* out,
+    int64_t out_capacity
+) {
+    int64_t required = 0;
+    for (int64_t i = 0; i < n_pieces; ++i) required += piece_len[i];
+    if (required > out_capacity) return -required;
+    char* cursor = out;
+    for (int64_t i = 0; i < n_pieces; ++i) {
+        std::memcpy(cursor, arenas[piece_arena[i]] + piece_start[i], piece_len[i]);
+        cursor += piece_len[i];
     }
     return cursor - out;
 }

@@ -1125,7 +1125,44 @@ class StrictEngine:
             for s, feed in enumerate(channel.feeds):
                 entry = feed_routes.setdefault(id(feed), (feed, {}))
                 entry[1].setdefault(index, []).append(s)
+
+        from ..native import concat_spans
+
         for feed, by_channel in feed_routes.values():
+            segment_lists = {tuple(v) for v in by_channel.values()}
+            if len(segment_lists) == 1:
+                # uniform routing (the usual case): gather all spans with
+                # one native concat — no per-read Python
+                segs = list(segment_lists.pop())
+                member = np.isin(
+                    channel_index[rows], np.fromiter(by_channel, dtype=np.int64)
+                )
+                feed_rows = rows[member]
+                if feed_rows.size == 0:
+                    continue
+                k = len(segs)
+                piece_arena = np.tile(
+                    np.arange(k, dtype=np.uint8), feed_rows.size
+                )
+                piece_start = np.stack(
+                    [arenas[s][1][feed_rows] for s in segs], axis=1
+                ).reshape(-1)
+                piece_len = np.stack(
+                    [
+                        arenas[s][1][feed_rows + 1] - arenas[s][1][feed_rows]
+                        for s in segs
+                    ],
+                    axis=1,
+                ).reshape(-1)
+                payload = concat_spans(
+                    [arenas[s][0] for s in segs],
+                    piece_arena,
+                    piece_start,
+                    piece_len,
+                )
+                if payload:
+                    feed.write(payload)
+                continue
             pieces = []
             for i in rows:
                 segment_list = by_channel.get(int(channel_index[i]))

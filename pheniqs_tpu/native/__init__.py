@@ -76,6 +76,16 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_concat_spans.restype = ctypes.c_int64
+        lib.pq_concat_spans.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         lib.pq_sam_format_full.restype = ctypes.c_int64
         lib.pq_sam_format_full.argtypes = [
             ctypes.c_int32,
@@ -225,12 +235,8 @@ class NativeFastqReader:
             raise SequenceError(message or "native FASTQ parse error")
         if count == 0:
             return None
-        # the C arena NUL-separates names; rebuild as a NUL-free blob with
-        # prefix offsets (one memcomprehension, no per-record slicing cost
-        # for downstream consumers that keep the blob form)
-        raw = names.raw
-        blob = raw[: name_offset[count]].replace(b"\x00", b"")
-        offsets = name_offset[: count + 1] - np.arange(count + 1, dtype=np.int64)
+        blob = names.raw[: name_offset[count]]
+        offsets = name_offset[: count + 1].copy()
         return (
             code[:count],
             qual[:count],
@@ -391,3 +397,28 @@ def sam_format_full(
         if used >= 0:
             return out.raw[:used], line_offsets
         capacity = -used
+
+
+def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray, piece_len: np.ndarray) -> bytes | None:
+    """Concatenate spans from several arenas in piece order, natively."""
+    lib = load()
+    if lib is None:
+        return None
+    piece_arena = np.ascontiguousarray(piece_arena, dtype=np.uint8)
+    piece_start = np.ascontiguousarray(piece_start, dtype=np.int64)
+    piece_len = np.ascontiguousarray(piece_len, dtype=np.int32)
+    arena_pointers = (ctypes.c_char_p * len(arenas))(*arenas)
+    capacity = int(piece_len.sum()) + 1
+    out = ctypes.create_string_buffer(capacity)
+    used = lib.pq_concat_spans(
+        len(piece_arena),
+        arena_pointers,
+        piece_arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        piece_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        piece_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out,
+        capacity,
+    )
+    if used < 0:
+        return None
+    return out.raw[:used]
