@@ -578,12 +578,16 @@ class StrictEngine:
 
     # --- execution ---------------------------------------------------------------
     def execute(self, batch_size: int = 4096):
+        import time
+
         header = SamHeader(self.ontology, self.ontology.get("program"))
         initiated = set()
         for url, feed in self.feeds_by_url.items():
             if id(feed) not in initiated:
                 feed.initiate(header)
                 initiated.add(id(feed))
+        trace = os.environ.get("PHENIQS_TRACE") == "1"
+        start = time.perf_counter()
         batches = self.read_batches(batch_size)
         if os.environ.get("PHENIQS_PREFETCH") == "1":
             # overlap ingest with processing; pays off only when the
@@ -593,6 +597,14 @@ class StrictEngine:
             self.process_batch(batch)
         for feed in self.feeds_by_url.values():
             feed.close()
+        if trace:
+            # throughput observability the reference lacks (SURVEY §5)
+            elapsed = time.perf_counter() - start
+            sys.stderr.write(
+                f"[pheniqs-tpu] {self.incoming_count} reads in "
+                f"{elapsed:.2f}s = {self.incoming_count / max(elapsed, 1e-9):,.0f} "
+                f"reads/s ({type(self).__name__})\n"
+            )
 
     def process_batch(self, batch: ReadBatch):
         n = batch.size
