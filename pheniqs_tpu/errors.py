@@ -1,7 +1,9 @@
 """Typed error taxonomy with process exit codes.
 
-Mirrors the reference error model (reference error.h:32-134): every failure
-mode maps to a stable exit code so shell pipelines can dispatch on it, and
+Mirrors the reference error model and exit codes exactly (reference
+error.h:31-44: internal 2, configuration 3, out-of-memory 4, command line
+5, IO 6, sequence 7, overflow 8, corrupt auxiliary 9, JSON validation 10);
+shell pipelines can dispatch on the code, and
 errors carry a push-down context stack describing where in the configuration
 compilation or IO stack they originated.
 """
@@ -34,50 +36,49 @@ class PheniqsError(Exception):
 
 
 class InternalError(PheniqsError):
-    code = 1
+    code = 2
     name = "Internal error"
 
 
 class ConfigurationError(PheniqsError):
-    code = 2
+    code = 3
     name = "Configuration error"
 
 
 class OutOfMemoryError(PheniqsError):
-    code = 3
+    code = 4
     name = "Out of memory error"
 
 
 class CommandLineError(PheniqsError):
-    code = 4
+    code = 5
     name = "Command line error"
 
 
 class IOError_(PheniqsError):
-    code = 5
+    code = 6
     name = "IO error"
 
 
 class SequenceError(PheniqsError):
-    code = 6
+    code = 7
     name = "Sequence error"
 
 
 class OverflowError_(PheniqsError):
-    code = 7
+    code = 8
     name = "Overflow error"
 
 
 class CorruptAuxiliaryError(PheniqsError):
-    code = 8
+    code = 9
     name = "Corrupt auxiliary error"
 
 
 class JsonError(PheniqsError):
-    code = 9
+    code = 10
     name = "JSON error"
 
 
-class BadConfigurationFileError(PheniqsError):
-    code = 10
+class BadConfigurationFileError(ConfigurationError):
     name = "Bad configuration file error"

@@ -81,11 +81,11 @@ def test_scirnaseq_combinatorial_cellular(reference_root):
 
 def test_base_only_configs_fail_like_reference(reference_root):
     """Decoder-repository configs with no usable input must fail with a
-    configuration error (exit 2), matching the reference's token
+    configuration error (exit 3, reference error.h:36), matching the reference's token
     validation (reference transcode.cpp:836-841)."""
     for directory, name in example_configs(reference_root):
         if name not in BASE_ONLY:
             continue
         result = compile_config(directory, name)
-        assert result.returncode == 2, (name, result.returncode)
+        assert result.returncode == 3, (name, result.returncode)
         assert "invalid input feed reference" in result.stderr
