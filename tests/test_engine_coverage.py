@@ -1,0 +1,136 @@
+"""Cross-engine coverage: MDD demux parity, QC under the multiprocess
+engine, and a large-panel (chunked posterior) end-to-end run."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASES = "ACGT"
+
+
+def run_mux(cwd, args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux", *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def write_reads(path, panel, n, seed, error_rate=0.08):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as stream:
+        for i in range(n):
+            word = list(panel[rng.integers(len(panel))])
+            quality = rng.integers(15, 41, size=len(word))
+            for position in range(len(word)):
+                if rng.random() < error_rate:
+                    word[position] = BASES[rng.integers(4)]
+                    quality[position] = rng.integers(2, 20)
+            qual = "".join(chr(q + 33) for q in quality)
+            stream.write(f"@r{i}\n{''.join(word)}\n+\n{qual}\n")
+
+
+@pytest.fixture(scope="module")
+def mdd_job(tmp_path_factory):
+    base = tmp_path_factory.mktemp("mdd")
+    rng = np.random.default_rng(17)
+    panel = []
+    while len(panel) < 8:
+        word = "".join(rng.choice(list(BASES), size=10))
+        if word not in panel:
+            panel.append(word)
+    write_reads(base / "reads.fastq", panel, 3000, seed=2)
+    config = {
+        "input": [str(base / "reads.fastq")],
+        "template": {"transform": {"token": ["0::"]}},
+        "sample": {
+            "algorithm": "mdd",
+            "distance tolerance": [2],
+            "transform": {"token": ["0::10"]},
+            "codec": {f"@{w}": {"barcode": [w]} for w in panel},
+        },
+    }
+    return base, config
+
+
+def run_job(base, config, name, extra=()):
+    job = dict(config)
+    out = base / f"{name}.sam"
+    job["output"] = [str(out)]
+    path = base / f"{name}.json"
+    path.write_text(json.dumps(job))
+    result = run_mux(
+        str(base), ["--config", str(path), "--precision", "15", *extra]
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    return out.read_text(), result.stderr
+
+
+def body(text):
+    return [l for l in text.split("\n") if l and not l.startswith("@")]
+
+
+def test_mdd_demux_fast_matches_strict(mdd_job):
+    base, config = mdd_job
+    strict, _ = run_job(base, config, "mdd_strict")
+    fast, _ = run_job(base, config, "mdd_fast", ("--fidelity", "fast"))
+    assert body(strict) == body(fast)  # MDD is integer-exact on device
+
+
+def test_quality_report_parallel_matches_serial(mdd_job):
+    base, config = mdd_job
+    _, serial_report = run_job(base, config, "qc_serial", ("--quality",))
+    _, parallel_report = run_job(
+        base, config, "qc_parallel",
+        ("--quality", "--threads", "3", "--decoding-threads", "3"),
+    )
+    serial = json.loads(serial_report)
+    parallel = json.loads(parallel_report)
+    assert serial["multiplex"] == parallel["multiplex"]
+
+
+def test_large_panel_engine_end_to_end(tmp_path):
+    """A 1500-barcode cellular panel routes through the chunked online
+    posterior inside the fast engine; decisions must match strict."""
+    rng = np.random.default_rng(3)
+    panel = set()
+    while len(panel) < 1500:
+        panel.add("".join(rng.choice(list(BASES), size=12)))
+    panel = sorted(panel)
+    write_reads(tmp_path / "reads.fastq", panel, 600, seed=4, error_rate=0.03)
+    config = {
+        "input": [str(tmp_path / "reads.fastq")],
+        "template": {"transform": {"token": ["0::"]}},
+        "cellular": [
+            {
+                "algorithm": "pamld",
+                "confidence threshold": 0.9,
+                "noise": 0.05,
+                "transform": {"token": ["0::12"]},
+                "codec": {f"@{w}": {"barcode": [w]} for w in panel},
+            }
+        ],
+    }
+    strict, _ = run_job(tmp_path, config, "large_strict")
+    fast, _ = run_job(tmp_path, config, "large_fast", ("--fidelity", "hybrid"))
+    strict_tags = [
+        [f for f in line.split("\t") if f[:5] not in ("XB:f:", "XM:f:", "XC:f:")]
+        for line in body(strict)
+    ]
+    fast_tags = [
+        [f for f in line.split("\t") if f[:5] not in ("XB:f:", "XM:f:", "XC:f:")]
+        for line in body(fast)
+    ]
+    assert strict_tags == fast_tags
