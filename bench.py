@@ -60,7 +60,11 @@ def main():
     ]
     qcfail = batch_np["qcfail"]
 
-    step = jax.jit(make_decode_step(instrument))
+    # the production DeviceEngine configuration: packed per-read outputs,
+    # statistics accumulated host-side from them
+    step = jax.jit(
+        make_decode_step(instrument, want_counters=False, pack_outputs=True)
+    )
 
     def ship_and_run(host_segs):
         batch = {
