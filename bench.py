@@ -6,8 +6,10 @@ reads — the union shape of the reference's bundled workloads (BDGGG +
 H7LT2DSXX; reference test/BDGGG/, example/H7LT2DSXX/).
 
 Measures steady-state classified reads/s through the jitted device decode
-step, *including* host->device transfer of the barcode-bearing segments
-each iteration (the biological payload stays on host by design).
+step — the full production round trip: host->device transfer of the
+barcode-bearing segments, the decode program (production configuration:
+packed per-read outputs, host-side statistics), and device->host pull of
+the packed decisions each iteration.
 
 Baseline: the strict float64 NumPy engine — the host path whose decisions
 the device path replicates — on the same batch, single core. The reference
@@ -86,7 +88,10 @@ def main():
     start = time.perf_counter()
     for i in range(ITERS):
         out = ship_and_run(variants[i % 2])
-    jax.block_until_ready(out)
+        # pull the packed per-read results back — the full production round
+        # trip (H2D transfer + decode + D2H of decisions)
+        np.asarray(out[0]["ints"])
+        np.asarray(out[0]["floats"])
     elapsed = time.perf_counter() - start
     device_rps = BATCH * ITERS / elapsed
 

@@ -69,6 +69,7 @@ class OutputFeed:
         self.phred_offset = int(proxy.get("phred offset", 33))
         self.format = self.url.format_type or "sam"
         self.platform = str(ontology.get("platform", "ILLUMINA"))
+        self.compression_threads = int(ontology.get("htslib threads", 1) or 1)
         self.stream = None
         self._owns_stream = False
         self.bam = None
@@ -106,6 +107,7 @@ class OutputFeed:
                     self.stream,
                     header.encode().decode() if header is not None else "",
                     level,
+                    threads=self.compression_threads,
                 )
 
     def write(self, payload: bytes):

@@ -33,13 +33,46 @@ BGZF_BLOCK = 0xFF00
 UNMAPPED_BIN = 4680
 
 
-class BgzfWriter:
-    """Block-gzip writer over a binary stream."""
+def _deflate_block(payload: bytes, level: int) -> bytes:
+    """Compress one payload into a complete standalone BGZF block."""
+    deflater = zlib.compressobj(
+        level, zlib.DEFLATED, -15, zlib.DEF_MEM_LEVEL, 0
+    )
+    body = deflater.compress(payload) + deflater.flush()
+    bsize = len(body) + 25 + 1  # header(12) + XLEN block(6) + body + crc+isize(8)
+    header = struct.pack(
+        "<BBBBIBBHBBHH",
+        0x1F, 0x8B, 8, 4,  # gzip magic, deflate, FEXTRA
+        0, 0, 0xFF,        # mtime, xfl, os
+        6,                 # XLEN
+        0x42, 0x43, 2,     # 'B' 'C', subfield length
+        bsize - 1,
+    )
+    trailer = struct.pack("<II", zlib.crc32(payload), len(payload))
+    return header + body + trailer
 
-    def __init__(self, stream, level: int = 5):
+
+class BgzfWriter:
+    """Block-gzip writer over a binary stream.
+
+    With ``threads > 1`` block compression runs on a thread pool (zlib
+    releases the GIL) while blocks stream out strictly in order — the
+    analog of htslib's compression thread pool (reference
+    transcode.cpp:1599-1605, `--htslib-threads`)."""
+
+    def __init__(self, stream, level: int = 5, threads: int = 1):
         self.stream = stream
         self.level = level
         self.buffer = bytearray()
+        self._pool = None
+        self._pending = None
+        if threads > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=threads)
+            self._pending = deque()
+            self._max_pending = threads * 4
 
     def write(self, data: bytes):
         self.buffer += data
@@ -48,30 +81,35 @@ class BgzfWriter:
             del self.buffer[:BGZF_BLOCK]
 
     def _emit(self, payload: bytes):
-        deflater = zlib.compressobj(
-            self.level, zlib.DEFLATED, -15, zlib.DEF_MEM_LEVEL, 0
+        if self._pool is None:
+            self.stream.write(_deflate_block(payload, self.level))
+            return
+        self._pending.append(
+            self._pool.submit(_deflate_block, payload, self.level)
         )
-        body = deflater.compress(payload) + deflater.flush()
-        bsize = len(body) + 25 + 1  # header(12) + XLEN block(6) + body + crc+isize(8)
-        header = struct.pack(
-            "<BBBBIBBHBBHH",
-            0x1F, 0x8B, 8, 4,  # gzip magic, deflate, FEXTRA
-            0, 0, 0xFF,        # mtime, xfl, os
-            6,                 # XLEN
-            0x42, 0x43, 2,     # 'B' 'C', subfield length
-            bsize - 1,
-        )
-        trailer = struct.pack("<II", zlib.crc32(payload), len(payload))
-        self.stream.write(header + body + trailer)
+        # drain completed prefix; block when too far ahead
+        while self._pending and (
+            self._pending[0].done() or len(self._pending) > self._max_pending
+        ):
+            self.stream.write(self._pending.popleft().result())
+
+    def _drain(self):
+        if self._pending:
+            while self._pending:
+                self.stream.write(self._pending.popleft().result())
 
     def flush_block(self):
         """Emit pending payload as a complete BGZF block immediately."""
         if self.buffer:
             self._emit(bytes(self.buffer))
             self.buffer.clear()
+        self._drain()
 
     def close(self):
         self.flush_block()
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
         self.stream.write(BGZF_EOF)
         self.stream.flush()
 
@@ -79,8 +117,8 @@ class BgzfWriter:
 class BamWriter:
     """Minimal BAM emitter for unaligned classified reads."""
 
-    def __init__(self, stream, header_text: str, level: int = 5):
-        self.bgzf = BgzfWriter(stream, level)
+    def __init__(self, stream, header_text: str, level: int = 5, threads: int = 1):
+        self.bgzf = BgzfWriter(stream, level, threads)
         text = header_text.encode()
         self.bgzf.write(b"BAM\x01")
         self.bgzf.write(struct.pack("<i", len(text)))
