@@ -460,4 +460,67 @@ int64_t pq_concat_spans(
     return cursor - out;
 }
 
+// Format a batch of FASTQ records: '@name[ <seg>:<Y|N>:0:<BC>]\nSEQ\n+\nQUAL\n'.
+// bc_* may be null (empty barcode spans). Returns bytes written or
+// -(required).
+int64_t pq_fastq_format_batch(
+    int32_t n,
+    const char* names,
+    const int64_t* name_offset,
+    const uint8_t* qcfail,
+    int32_t segment_number,   // 1-based; 0 = omit the comment entirely
+    const uint8_t* code,
+    const uint8_t* qual,
+    const int32_t* length,
+    int32_t width,
+    int32_t phred_offset,
+    const char* bc_buffer,
+    const int64_t* bc_start,
+    const int32_t* bc_len,
+    char* out,
+    int64_t out_capacity,
+    int64_t* rec_offset
+) {
+    int64_t required = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        required += (name_offset[r + 1] - name_offset[r]) + 24 + 2 * length[r];
+        if (bc_len != nullptr) required += bc_len[r];
+    }
+    if (required > out_capacity) return -required;
+    char* cursor = out;
+    rec_offset[0] = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        *cursor++ = '@';
+        int64_t name_length = name_offset[r + 1] - name_offset[r];
+        std::memcpy(cursor, names + name_offset[r], name_length);
+        cursor += name_length;
+        if (segment_number > 0) {
+            cursor += std::sprintf(cursor, " %d:%c:0:", segment_number,
+                                   qcfail[r] ? 'Y' : 'N');
+            if (bc_len != nullptr && bc_len[r] > 0) {
+                std::memcpy(cursor, bc_buffer + bc_start[r], bc_len[r]);
+                cursor += bc_len[r];
+            }
+        }
+        *cursor++ = '\n';
+        int32_t l = length[r];
+        const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
+        const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
+        for (int32_t i = 0; i < l; ++i) {
+            cursor[i] = kBamToAscii[code_row[i] & 0xF];
+        }
+        cursor += l;
+        *cursor++ = '\n';
+        *cursor++ = '+';
+        *cursor++ = '\n';
+        for (int32_t i = 0; i < l; ++i) {
+            cursor[i] = static_cast<char>(qual_row[i] + phred_offset);
+        }
+        cursor += l;
+        *cursor++ = '\n';
+        rec_offset[r + 1] = cursor - out;
+    }
+    return cursor - out;
+}
+
 }  // extern "C"

@@ -72,6 +72,7 @@ class OutputFeed:
         self.compression_threads = int(ontology.get("htslib threads", 1) or 1)
         self.stream = None
         self._owns_stream = False
+        self._raw = None
         self.bam = None
         self.header: bytes = b""
         if self.format == "cram":
@@ -89,10 +90,15 @@ class OutputFeed:
         else:
             compression = self.url.compression
             if self.format != "bam" and compression in ("gz", "bgzf"):
-                import gzip
+                from ..io.hts import BgzfWriter
 
+                # BGZF is valid gzip; htslib writes .gz text feeds the same
+                # way, and the block pool parallelizes compression
                 level = int(self.url.compression_level or 5)
-                self.stream = gzip.open(self.url.path, "wb", compresslevel=level)
+                self._raw = open(self.url.path, "wb")
+                self.stream = BgzfWriter(
+                    self._raw, level, threads=self.compression_threads
+                )
             else:
                 self.stream = open(self.url.path, "wb")
             self._owns_stream = True
@@ -149,6 +155,9 @@ class OutputFeed:
             self.stream.flush()
             if self._owns_stream:
                 self.stream.close()
+            if self._raw is not None:
+                self._raw.close()
+                self._raw = None
             self.stream = None
 
 
@@ -631,7 +640,7 @@ class StrictEngine:
         # when the template references corrected-barcode virtual segments;
         # the native render path builds byte spans straight from the
         # observation matrices
-        need_strings = not self._sam_native_ready() or any(
+        need_strings = self._native_mode() is None or any(
             tx.token.input_segment_index < 0
             for tx in self.template_rule.transform_array
         )
@@ -830,17 +839,24 @@ class StrictEngine:
         )
         return virtual
 
-    def _sam_native_ready(self):
-        """True when every routed feed is SAM text and the native library
-        is loadable (the full-native render path)."""
+    def _native_mode(self):
+        """"sam" / "fastq" when every routed feed shares that format and the
+        native library is loadable (full-native render paths); None
+        otherwise (per-read Python fallback)."""
         routed = [c for c in self.channels if c.feeds]
         if not routed:
-            return False
-        if not all(f.format == "sam" for c in routed for f in c.feeds):
-            return False
+            return None
+        formats = {f.format for c in routed for f in c.feeds}
+        if formats not in ({"sam"}, {"fastq"}):
+            return None
         from ..native import load as native_load
 
-        return native_load() is not None
+        if native_load() is None:
+            return None
+        return next(iter(formats))
+
+    def _sam_native_ready(self):
+        return self._native_mode() == "sam"
 
     def _observation_spans(self, result, spec, corrected: bool):
         """(buffer, starts, lens) byte spans for the raw (and corrected)
@@ -1188,6 +1204,96 @@ class StrictEngine:
             if pieces:
                 feed.write(b"".join(pieces))
 
+    def _route_and_write_fastq(
+        self, batch, output_segments, qcfail, channel_index, bc_span
+    ):
+        """Native FASTQ rendering with the reconstructed Illumina comment
+        (reference fastq.h:180-198), routed per feed in arrival order."""
+        from ..native import concat_spans, fastq_format_batch
+
+        n = batch.size
+        cardinality = len(output_segments)
+        platform = str(self.ontology.get("platform", "ILLUMINA"))
+        with_comment = platform in ("ILLUMINA", "ELEMENT")
+
+        keep = np.zeros(n, dtype=bool)
+        channel_by_index = {}
+        for index, channel in enumerate(self.channels):
+            if not channel.feeds:
+                continue
+            channel_by_index[index] = channel
+            selected = channel_index == index
+            if channel.filter_outgoing_qc_fail:
+                selected = selected & ~qcfail
+            keep |= selected
+        rows = np.flatnonzero(keep)
+        if rows.size == 0:
+            return
+
+        arenas = []
+        for s in range(cardinality):
+            segment = output_segments[s]
+            arenas.append(
+                fastq_format_batch(
+                    batch.names_blob,
+                    batch.name_offsets,
+                    qcfail,
+                    (s + 1) if with_comment else 0,
+                    segment.code,
+                    segment.quality,
+                    segment.length,
+                    self.output_phred_offset,
+                    bc_span,
+                )
+            )
+
+        feed_routes: dict[int, tuple] = {}
+        for index, channel in channel_by_index.items():
+            for s, feed in enumerate(channel.feeds):
+                entry = feed_routes.setdefault(id(feed), (feed, {}))
+                entry[1].setdefault(index, []).append(s)
+        for feed, by_channel in feed_routes.values():
+            segment_lists = {tuple(v) for v in by_channel.values()}
+            segs = sorted({s for v in by_channel.values() for s in v})
+            if len(segment_lists) == 1:
+                member = np.isin(
+                    channel_index[rows], np.fromiter(by_channel, dtype=np.int64)
+                )
+                feed_rows = rows[member]
+                if feed_rows.size == 0:
+                    continue
+                segs = list(segment_lists.pop())
+                k = len(segs)
+                piece_arena = np.tile(
+                    np.arange(k, dtype=np.uint8), feed_rows.size
+                )
+                piece_start = np.stack(
+                    [arenas[s][1][feed_rows] for s in segs], axis=1
+                ).reshape(-1)
+                piece_len = np.stack(
+                    [
+                        arenas[s][1][feed_rows + 1] - arenas[s][1][feed_rows]
+                        for s in segs
+                    ],
+                    axis=1,
+                ).reshape(-1)
+                payload = concat_spans(
+                    [arenas[s][0] for s in segs],
+                    piece_arena,
+                    piece_start,
+                    piece_len,
+                )
+                if payload:
+                    feed.write(payload)
+                continue
+            for i in rows:
+                segment_list = by_channel.get(int(channel_index[i]))
+                if segment_list is None:
+                    continue
+                for s in segment_list:
+                    arena, offsets = arenas[s]
+                    feed.write(arena[offsets[i] : offsets[i + 1]])
+
     def _emit(
         self,
         batch,
@@ -1217,7 +1323,8 @@ class StrictEngine:
                     flag |= FLAG_READ2
             flags.append(flag)
 
-        if self._sam_native_ready():
+        mode = self._native_mode()
+        if mode == "sam":
             columns = self._tag_columns(
                 n,
                 sample_result,
@@ -1229,6 +1336,20 @@ class StrictEngine:
             )
             self._route_and_write_columns(
                 batch, output_segments, qcfail, channel_index, flags, columns
+            )
+            return
+        if mode == "fastq":
+            bc_span = None
+            if (
+                self.sample is not None
+                and sample_result is not None
+                and sample_result.observation
+            ):
+                bc_span = self._observation_spans(
+                    sample_result, self.sample.spec, corrected=False
+                )["raw_seq"]
+            self._route_and_write_fastq(
+                batch, output_segments, qcfail, channel_index, bc_span
             )
             return
 

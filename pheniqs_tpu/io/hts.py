@@ -105,6 +105,9 @@ class BgzfWriter:
             self.buffer.clear()
         self._drain()
 
+    def flush(self):
+        pass  # blocks flush on close; partial flushes would fragment blocks
+
     def close(self):
         self.flush_block()
         if self._pool is not None:

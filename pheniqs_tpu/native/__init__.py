@@ -76,6 +76,25 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_fastq_format_batch.restype = ctypes.c_int64
+        lib.pq_fastq_format_batch.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.pq_concat_spans.restype = ctypes.c_int64
         lib.pq_concat_spans.argtypes = [
             ctypes.c_int64,
@@ -422,3 +441,66 @@ def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray,
     if used < 0:
         return None
     return out.raw[:used]
+
+
+def fastq_format_batch(
+    names_blob: bytes,
+    name_offsets: np.ndarray,
+    qcfail: np.ndarray,
+    segment_number: int,
+    code: np.ndarray,
+    quality: np.ndarray,
+    length: np.ndarray,
+    phred_offset: int,
+    bc_span=None,
+):
+    """Format N FASTQ records natively; returns (arena, record_offsets)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = int(length.shape[0])
+    width = code.shape[1] if code.ndim == 2 else 0
+    code = np.ascontiguousarray(code, dtype=np.uint8)
+    quality = np.ascontiguousarray(quality, dtype=np.uint8)
+    length = np.ascontiguousarray(length, dtype=np.int32)
+    qcfail = np.ascontiguousarray(qcfail, dtype=np.uint8)
+    name_offsets = np.ascontiguousarray(name_offsets, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    capacity = len(names_blob) + n * (28 + 2 * max(width, 1))
+    if bc_span is not None:
+        bc_buffer, bc_start, bc_len = bc_span
+        bc_start = np.ascontiguousarray(bc_start, dtype=np.int64)
+        bc_len = np.ascontiguousarray(bc_len, dtype=np.int32)
+        capacity += int(bc_len.sum())
+        bc_args = (
+            bc_buffer,
+            bc_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bc_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        bc_args = (
+            ctypes.c_char_p(),
+            ctypes.POINTER(ctypes.c_int64)(),
+            ctypes.POINTER(ctypes.c_int32)(),
+        )
+    while True:
+        out = ctypes.create_string_buffer(capacity)
+        used = lib.pq_fastq_format_batch(
+            n,
+            names_blob,
+            name_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qcfail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            segment_number,
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            quality.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            width,
+            phred_offset,
+            *bc_args,
+            out,
+            capacity,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if used >= 0:
+            return out.raw[:used], offsets
+        capacity = -used
