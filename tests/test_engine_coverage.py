@@ -134,3 +134,53 @@ def test_large_panel_engine_end_to_end(tmp_path):
         for line in body(fast)
     ]
     assert strict_tags == fast_tags
+
+
+def test_split_library_fastq_outputs(reference_root, tmp_path):
+    """Per-barcode split fastq.gz output (the production layout tools/io
+    generates): every channel file holds exactly its classified reads."""
+    import gzip
+
+    config = {
+        "import": [
+            os.path.join(reference_root, "test/BDGGG/BDGGG_annotated.json")
+        ],
+        "base input url": os.path.join(reference_root, "test/BDGGG"),
+        "report url": "/dev/stderr",
+        "sample": {
+            "base": "BDGGG_sample",
+            "algorithm": "pamld",
+            "undetermined": {
+                "output": [str(tmp_path / "undetermined.fastq.gz")]
+            },
+            "codec": {
+                f"@{w}": {"output": [str(tmp_path / f"{w}.fastq.gz")]}
+                for w in (
+                    "AGGCAGAA", "CGTACTAG", "GGACTCCT", "TAAGGCGA", "TCCTGAGC"
+                )
+            },
+        },
+        "template": {"transform": {"token": ["0::"]}},
+    }
+    path = tmp_path / "split.json"
+    path.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(path), "--precision", "15"])
+    assert result.returncode == 0, result.stderr[-3000:]
+    report = json.loads(result.stderr)
+
+    def fastq_count(name):
+        target = tmp_path / name
+        if not target.exists():
+            return 0
+        with gzip.open(target, "rt") as stream:
+            return sum(1 for _ in stream) // 4
+
+    classified = {
+        "".join(entry["barcode"]): entry["count"]
+        for entry in report["sample"]["classified"]
+    }
+    for word, count in classified.items():
+        assert fastq_count(f"{word}.fastq.gz") == count, word
+    assert fastq_count("undetermined.fastq.gz") == report["sample"][
+        "unclassified"
+    ]["count"]
