@@ -9,7 +9,8 @@ Measures steady-state classified reads/s through the jitted device decode
 step — the full production round trip: host->device transfer of the
 barcode-bearing segments, the decode program (production configuration:
 packed per-read outputs, host-side statistics), and device->host pull of
-the packed decisions each iteration.
+the packed decisions, pipelined with one batch of lookahead (as the
+engine runs).
 
 Baseline: the strict float64 NumPy engine — the host path whose decisions
 the device path replicates — on the same batch, single core. The reference
@@ -86,12 +87,17 @@ def main():
         [(c.copy(), q.copy(), l.copy()) for c, q, l in host_segments],
     ]
     start = time.perf_counter()
+    pending = None
     for i in range(ITERS):
         out = ship_and_run(variants[i % 2])
-        # pull the packed per-read results back — the full production round
-        # trip (H2D transfer + decode + D2H of decisions)
-        np.asarray(out[0]["ints"])
-        np.asarray(out[0]["floats"])
+        # one-batch lookahead, exactly like the engine: pull the previous
+        # batch's packed decisions while this one is in flight
+        if pending is not None:
+            np.asarray(pending[0]["ints"])
+            np.asarray(pending[0]["floats"])
+        pending = out
+    np.asarray(pending[0]["ints"])
+    np.asarray(pending[0]["floats"])
     elapsed = time.perf_counter() - start
     device_rps = BATCH * ITERS / elapsed
 

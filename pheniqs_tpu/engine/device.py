@@ -22,6 +22,8 @@ stream.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..decode.oracle import ClassifyResult
@@ -63,6 +65,7 @@ class DeviceEngine(StrictEngine):
         self._mesh_cache = None
         self._current_batch: ReadBatch | None = None
         self._batch_results: list[dict] | None = None
+        self._predispatched = None
 
     # --- device dispatch -------------------------------------------------
     def _mesh(self):
@@ -147,10 +150,57 @@ class DeviceEngine(StrictEngine):
         signature = (padded_n, tuple(widths))
         return signature, {"segments": segments, "qcfail": jnp.asarray(qcfail)}
 
-    def _classify_batch_on_device(self, batch: ReadBatch):
+    # --- pipelined execution ---------------------------------------------
+    def execute(self, batch_size: int = 16384):
+        """One-batch lookahead pipeline: dispatch batch k+1 to the device
+        before pulling k's decisions and doing its host work, so transfer
+        and decode overlap host processing (the engine analog of the
+        reference's feed double-buffering)."""
+        import time
+
+        self._initiate_feeds()
+        start = time.perf_counter()
+        batches = self.read_batches(batch_size)
+        if os.environ.get("PHENIQS_PREFETCH") == "1":
+            from .strict import _prefetch
+
+            batches = _prefetch(batches)
+        pending = None
+        for batch in batches:
+            # account + filter BEFORE dispatch so device rows match exactly
+            self.incoming_count += batch.size
+            self.incoming_pf_count += int((~batch.qcfail).sum())
+            batch = self._apply_input_filters(batch)
+            if batch.size == 0:
+                continue
+            handles = self._dispatch(batch)
+            if pending is not None:
+                self._finish(*pending)
+            pending = (batch, handles)
+        if pending is not None:
+            self._finish(*pending)
+        self._close_feeds()
+        self._trace_summary(start)
+
+    def _dispatch(self, batch: ReadBatch):
         signature, device_batch = self._device_batch(batch)
         step = self._get_step(signature)
-        packed, _counters = step(device_batch)
+        return step(device_batch)
+
+    def _finish(self, batch: ReadBatch, handles):
+        self._predispatched = handles
+        try:
+            self.process_batch(batch, filtered=True)
+        finally:
+            self._predispatched = None
+
+    def _classify_batch_on_device(self, batch: ReadBatch):
+        if self._predispatched is not None:
+            packed, _counters = self._predispatched
+        else:
+            signature, device_batch = self._device_batch(batch)
+            step = self._get_step(signature)
+            packed, _counters = step(device_batch)
         n = batch.size
         # two pulls total: one int32 matrix, one f32 matrix
         ints = np.asarray(packed["ints"])[:n]

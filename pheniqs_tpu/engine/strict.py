@@ -588,27 +588,22 @@ class StrictEngine:
             yield ReadBatch.from_records(records)
 
     # --- execution ---------------------------------------------------------------
-    def execute(self, batch_size: int = 4096):
-        import time
-
+    def _initiate_feeds(self):
         header = SamHeader(self.ontology, self.ontology.get("program"))
         initiated = set()
         for url, feed in self.feeds_by_url.items():
             if id(feed) not in initiated:
                 feed.initiate(header)
                 initiated.add(id(feed))
-        trace = os.environ.get("PHENIQS_TRACE") == "1"
-        start = time.perf_counter()
-        batches = self.read_batches(batch_size)
-        if os.environ.get("PHENIQS_PREFETCH") == "1":
-            # overlap ingest with processing; pays off only when the
-            # pipeline is not GIL-bound (e.g. fast engine on real TPU)
-            batches = _prefetch(batches)
-        for batch in batches:
-            self.process_batch(batch)
+
+    def _close_feeds(self):
         for feed in self.feeds_by_url.values():
             feed.close()
-        if trace:
+
+    def _trace_summary(self, start):
+        if os.environ.get("PHENIQS_TRACE") == "1":
+            import time
+
             # throughput observability the reference lacks (SURVEY §5)
             elapsed = time.perf_counter() - start
             sys.stderr.write(
@@ -617,11 +612,24 @@ class StrictEngine:
                 f"reads/s ({type(self).__name__})\n"
             )
 
-    def process_batch(self, batch: ReadBatch):
-        n = batch.size
-        self.incoming_count += n
-        self.incoming_pf_count += int((~batch.qcfail).sum())
+    def execute(self, batch_size: int = 4096):
+        import time
 
+        self._initiate_feeds()
+        start = time.perf_counter()
+        batches = self.read_batches(batch_size)
+        if os.environ.get("PHENIQS_PREFETCH") == "1":
+            # overlap ingest with processing; pays off only when the
+            # pipeline is not GIL-bound (e.g. fast engine on real TPU)
+            batches = _prefetch(batches)
+        for batch in batches:
+            self.process_batch(batch)
+        self._close_feeds()
+        self._trace_summary(start)
+
+    def _apply_input_filters(self, batch: ReadBatch) -> ReadBatch:
+        """Incoming qcfail + min-input-length filters (idempotent)."""
+        n = batch.size
         keep = np.ones(n, dtype=bool)
         if self.filter_incoming_qc_fail:
             keep &= ~batch.qcfail
@@ -630,7 +638,14 @@ class StrictEngine:
                 keep &= batch.segments[i].length >= self.min_input_length[i]
         if not keep.all():
             batch = batch.select(keep)
-            n = batch.size
+        return batch
+
+    def process_batch(self, batch: ReadBatch, filtered: bool = False):
+        if not filtered:
+            self.incoming_count += batch.size
+            self.incoming_pf_count += int((~batch.qcfail).sum())
+            batch = self._apply_input_filters(batch)
+        n = batch.size
         if n == 0:
             return
 
