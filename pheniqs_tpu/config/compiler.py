@@ -386,9 +386,26 @@ class InstructionCompiler:
         for index, url in enumerate(unique):
             if url.is_dev_null():
                 raise ConfigurationError("/dev/null can not be used for input")
-            resolution = sense_resolution(
-                url.path, int(ontology.get("input phred offset", 33))
-            )
+            fmt = url.format_type or "fastq"
+            if fmt in ("sam", "bam"):
+                # HTS feeds declare their cardinality in flags/TC
+                # (reference transcode.cpp:559-682 via total_segments)
+                from ..io.hts import read_bam, read_sam
+
+                reader = (
+                    read_bam(url.path) if fmt == "bam" else read_sam(url.path)
+                )
+                try:
+                    first = next(iter(reader), None)
+                finally:
+                    close = getattr(reader, "close", None)
+                    if close:
+                        close()
+                resolution = first.total_segments if first is not None else 1
+            else:
+                resolution = sense_resolution(
+                    url.path, int(ontology.get("input phred offset", 33))
+                )
             proxy = {
                 "index": index,
                 "url": url.encoded,

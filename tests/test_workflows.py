@@ -147,3 +147,41 @@ def test_parallel_engine_byte_identical(reference_root):
     parallel_report = json.loads(parallel.stderr)
     for key in ("count", "pf count", "classified count"):
         assert serial_report["sample"][key] == parallel_report["sample"][key]
+
+
+def test_sense_input_hts(reference_root, tmp_path):
+    """--sense-input over a paired interleaved BAM feed: cardinality comes
+    from the paired flag (reference hts total_segments sensing)."""
+    bam = tmp_path / "sense.bam"
+    result = run_mux(
+        reference_root,
+        [
+            "--config", "test/BDGGG/BDGGG_annotated.json",
+            "--precision", "15", "--output", str(bam),
+        ],
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+
+    config = {
+        "input": [str(bam)],
+        "output": ["/dev/null"],
+        "report url": "/dev/stderr",
+        "template": {"transform": {"token": ["0::", "1::"]}},
+    }
+    path = tmp_path / "sense_bam.json"
+    path.write_text(json.dumps(config))
+    compiled = run_mux(
+        str(tmp_path),
+        ["--config", str(path), "--sense-input", "--compile", "--precision", "15"],
+    )
+    assert compiled.returncode == 0, compiled.stderr[-2000:]
+    document = json.loads(compiled.stdout)
+    assert document["input segment cardinality"] == 2
+    assert document["feed"]["input feed"][0]["resolution"] == 2
+
+    executed = run_mux(
+        str(tmp_path), ["--config", str(path), "--sense-input", "--precision", "15"]
+    )
+    assert executed.returncode == 0, executed.stderr[-2000:]
+    report = json.loads(executed.stderr)
+    assert report["incoming"]["count"] == 248
