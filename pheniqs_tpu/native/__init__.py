@@ -43,8 +43,11 @@ def _build() -> str | None:
 
 
 def load():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+    PHENIQS_NATIVE=0 disables it (pure-Python fallbacks everywhere)."""
     global _lib, _build_error
+    if os.environ.get("PHENIQS_NATIVE") == "0":
+        return None
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib

@@ -79,3 +79,29 @@ def test_validate_interleave_byte_identical(reference_root):
         os.path.join(reference_root, "test/BDGGG/valid/validate_interleave.out")
     ).read()
     assert result.stdout == golden
+
+
+def test_annotated_run_pure_python_fallback(reference_root):
+    """PHENIQS_NATIVE=0 forces every pure-Python fallback path; the run
+    must still be byte-identical."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("JAX_PLATFORMS", None)
+    env["PHENIQS_NATIVE"] = "0"
+    result = subprocess.run(
+        [
+            sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+            "--config", "test/BDGGG/BDGGG_annotated.json",
+            "--precision", "15",
+        ],
+        cwd=reference_root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[:2000]
+    golden = open(
+        os.path.join(reference_root, "test/BDGGG/valid/annotated.out")
+    ).read()
+    assert strip_pg(result.stdout) == strip_pg(golden)
