@@ -9,6 +9,10 @@ def main(argv: list[str] | None = None) -> int:
     from ..job import run_job
 
     argv = list(sys.argv if argv is None else argv)
+    if argv and argv[0].endswith(("main.py", "__main__.py")):
+        # `python -m pheniqs_tpu` leaves the module path in argv[0];
+        # normalize so @PG/CL lines carry the program name
+        argv[0] = "pheniqs-tpu"
     return run_job(argv)
 
 
