@@ -66,3 +66,48 @@ def test_native_reader_malformed(native, tmp_path):
     reader = native.NativeFastqReader(str(bad))
     with pytest.raises(SequenceError):
         reader.read_batch(10)
+
+
+def test_concat_spans(native):
+    from pheniqs_tpu.native import concat_spans
+
+    arenas = [b"HELLOWORLD", b"abcdef"]
+    piece_arena = np.array([0, 1, 0], dtype=np.uint8)
+    piece_start = np.array([0, 2, 5], dtype=np.int64)
+    piece_len = np.array([5, 3, 5], dtype=np.int32)
+    assert concat_spans(arenas, piece_arena, piece_start, piece_len) == (
+        b"HELLO" + b"cde" + b"WORLD"
+    )
+
+
+def test_fastq_format_batch(native):
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+    from pheniqs_tpu.native import fastq_format_batch
+
+    names = b"read1read22"
+    offsets = np.array([0, 5, 11], dtype=np.int64)
+    code = ASCII_TO_BAM[
+        np.frombuffer(b"ACGTNACGTN", dtype=np.uint8)
+    ].reshape(2, 5)
+    quality = np.tile(np.arange(30, 35, dtype=np.uint8), (2, 1))
+    length = np.array([5, 4], dtype=np.int32)
+    qcfail = np.array([0, 1], dtype=np.uint8)
+    bc = (b"AAGG", np.array([0, 2], dtype=np.int64), np.array([2, 2], dtype=np.int32))
+
+    arena, rec = fastq_format_batch(
+        names, offsets, qcfail, 2, code, quality, length, 33, bc
+    )
+    records = arena.decode().rstrip("\n").split("\n")
+    assert records[0] == "@read1 2:N:0:AA"
+    assert records[1] == "ACGTN"
+    assert records[2] == "+"
+    assert records[3] == chr(63) + chr(64) + chr(65) + chr(66) + chr(67)
+    assert records[4] == "@read22 2:Y:0:GG"
+    assert records[5] == "ACGT"
+    assert rec[2] == len(arena)
+
+    # comment omitted entirely for non-Illumina platforms
+    arena2, _ = fastq_format_batch(
+        names, offsets, qcfail, 0, code, quality, length, 33, None
+    )
+    assert arena2.decode().split("\n")[0] == "@read1"
