@@ -94,9 +94,11 @@ def main():
         # batch's packed decisions while this one is in flight
         if pending is not None:
             np.asarray(pending[0]["ints"])
+            np.asarray(pending[0]["flags"])
             np.asarray(pending[0]["floats"])
         pending = out
     np.asarray(pending[0]["ints"])
+    np.asarray(pending[0]["flags"])
     np.asarray(pending[0]["floats"])
     elapsed = time.perf_counter() - start
     device_rps = BATCH * ITERS / elapsed

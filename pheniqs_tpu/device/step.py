@@ -175,30 +175,34 @@ def make_decode_step(
             channel_index = jnp.zeros(qcfail.shape[0], dtype=jnp.int32)
 
         if pack_outputs:
-            # two dense matrices instead of ~7 arrays per decoder: a single
-            # device->host pull each (the tunneled transport pays per-array
-            # latency)
+            # dense matrices instead of ~7 arrays per decoder: minimal
+            # device->host pull (the tunneled transport pays per-array
+            # latency AND bandwidth). Indices/distances fit int16 unless a
+            # panel exceeds that; branch/qcfail/uncertain pack into int8.
+            wide = any(
+                dec.barcode_count >= 32000 for dec in instrument.decoders
+            )
+            index_dtype = jnp.int32 if wide else jnp.int16
             int_columns = []
+            flag_columns = []
             float_columns = []
             for entry in per_read:
                 int_columns += [
-                    entry["decoded"],
-                    entry["distance"],
-                    entry["argmax"],
-                    entry["branch"].astype(jnp.int32),
-                    entry["qcfail"].astype(jnp.int32)
-                    | (
-                        entry["uncertain"].astype(jnp.int32) << 1
-                        if want_uncertain
-                        else 0
-                    ),
+                    entry["decoded"].astype(index_dtype),
+                    entry["distance"].astype(index_dtype),
+                    entry["argmax"].astype(index_dtype),
                 ]
+                flags = entry["branch"].astype(jnp.int8) | (
+                    entry["qcfail"].astype(jnp.int8) << 2
+                )
+                if want_uncertain:
+                    flags = flags | (entry["uncertain"].astype(jnp.int8) << 3)
+                flag_columns.append(flags)
                 float_columns.append(entry["confidence"])
             packed = {
                 "ints": jnp.stack(int_columns, axis=1),
+                "flags": jnp.stack(flag_columns, axis=1),
                 "floats": jnp.stack(float_columns, axis=1),
-                "channel_index": channel_index,
-                "qcfail": qcfail,
             }
             if axis_name is not None and want_counters:
                 counters = jax.lax.psum(counters, axis_name)

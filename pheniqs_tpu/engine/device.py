@@ -202,23 +202,24 @@ class DeviceEngine(StrictEngine):
             step = self._get_step(signature)
             packed, _counters = step(device_batch)
         n = batch.size
-        # two pulls total: one int32 matrix, one f32 matrix
-        ints = np.asarray(packed["ints"])[:n]
+        # three pulls total: index matrix (int16/int32), flag bytes, f32
+        ints = np.asarray(packed["ints"])[:n].astype(np.int32)
+        flag_bytes = np.asarray(packed["flags"])[:n]
         floats = np.asarray(packed["floats"])[:n].astype(np.float64)
         results = []
         for k in range(len(self.instrument.decoders)):
-            base = 5 * k
-            flags = ints[:, base + 4]
+            base = 3 * k
+            flags = flag_bytes[:, k]
             result = {
                 "decoded": ints[:, base + 0],
                 "confidence": floats[:, k],
                 "distance": ints[:, base + 1],
                 "argmax": ints[:, base + 2],
-                "branch": ints[:, base + 3].astype(np.int8),
-                "qcfail": (flags & 1).astype(bool),
+                "branch": (flags & 3).astype(np.int8),
+                "qcfail": ((flags >> 2) & 1).astype(bool),
             }
             if self.hybrid:
-                result["uncertain"] = (flags & 2).astype(bool)
+                result["uncertain"] = ((flags >> 3) & 1).astype(bool)
             results.append(result)
         return results
 
