@@ -503,7 +503,21 @@ class StrictEngine:
     # --- input -----------------------------------------------------------------
     def read_batches(self, batch_size: int = 4096):
         """Stream ReadBatches: native C++ parser when available and every
-        feed is FASTQ, Python fallback otherwise."""
+        feed is FASTQ, Python fallback otherwise.
+
+        PHENIQS_SHARD="k:H" makes this process own batches k, k+H, ... —
+        the per-host input slicing of the multi-host plan (each host reads
+        a disjoint slice; merged statistics are order-insensitive sums)."""
+        shard = os.environ.get("PHENIQS_SHARD")
+        if shard:
+            mine, hosts = (int(x) for x in shard.split(":"))
+            for index, batch in enumerate(self._all_read_batches(batch_size)):
+                if index % hosts == mine:
+                    yield batch
+            return
+        yield from self._all_read_batches(batch_size)
+
+    def _all_read_batches(self, batch_size: int = 4096):
         segment_proxies = self.ontology["feed"]["input feed by segment"]
         all_fastq = all(
             URL(proxy["url"]).format_type == "fastq" for proxy in segment_proxies

@@ -185,3 +185,39 @@ def test_sense_input_hts(reference_root, tmp_path):
     assert executed.returncode == 0, executed.stderr[-2000:]
     report = json.loads(executed.stderr)
     assert report["incoming"]["count"] == 248
+
+
+def test_host_shard_slicing(reference_root, tmp_path):
+    """PHENIQS_SHARD=k:2 splits batches across two runs whose report counts
+    sum to the full run (the multi-host ingest plan)."""
+    def run(shard=None, batch="100"):
+        env_extra = {"PHENIQS_SHARD": shard} if shard else {}
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.update(env_extra)
+        result = subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config", "test/BDGGG/BDGGG_annotated.json",
+                "--precision", "15", "--output", "/dev/null",
+                "--batch-size", batch,
+            ],
+            cwd=reference_root, env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        return json.loads(result.stderr)
+
+    full = run()
+    part0 = run("0:2")
+    part1 = run("1:2")
+    assert (
+        part0["incoming"]["count"] + part1["incoming"]["count"]
+        == full["incoming"]["count"]
+    )
+    assert (
+        part0["sample"]["classified count"] + part1["sample"]["classified count"]
+        == full["sample"]["classified count"]
+    )
