@@ -69,12 +69,14 @@ class DeviceEngine(StrictEngine):
 
     # --- device dispatch -------------------------------------------------
     def _mesh(self):
-        """Data-parallel mesh over local devices (>1 device), else None."""
+        """Data-parallel mesh over this process's addressable devices (>1),
+        else None. Under jax.distributed each host runs its own engine over
+        its input slice (PHENIQS_SHARD), so the mesh stays local."""
         if self._mesh_cache is not None:
             return self._mesh_cache or None
         import jax
 
-        devices = jax.devices()
+        devices = jax.local_devices()
         if len(devices) > 1:
             from ..device.distributed import reads_mesh
 
