@@ -162,6 +162,10 @@ int32_t pq_fastq_read_batch(
     const int offset = reader->phred_offset;
 
     while (count < max_records) {
+        // reserve generous headroom so the name copy below cannot overflow
+        if (names_capacity - names_used < 4096) {
+            return count > 0 ? count : -2;
+        }
         const char* header;
         size_t header_length;
         if (!reader->line(&header, &header_length)) break;  // EOF
@@ -171,10 +175,12 @@ int32_t pq_fastq_read_batch(
             reader->error.append(header, std::min<size_t>(header_length, 64));
             return -1;
         }
-        // header spans may be invalidated by later fill(); copy what we keep
         size_t name_end = 1;
         while (name_end < header_length && header[name_end] != ' ') ++name_end;
-        std::string name(header + 1, name_end - 1);
+        size_t name_length = std::min<size_t>(name_end - 1, 4000);
+        // copy the name into the arena NOW — later line() calls may
+        // invalidate the header span
+        std::memcpy(names + names_used, header + 1, name_length);
         // Illumina comment: "<segment>:<filter Y/N>:<control>:<barcode>"
         uint8_t fail = 0;
         if (name_end < header_length) {
@@ -200,7 +206,17 @@ int32_t pq_fastq_read_batch(
             reader->error = "truncated FASTQ record (missing sequence)";
             return -1;
         }
-        std::string sequence_copy(sequence, sequence_length);
+        // encode the sequence into its row immediately, before the span can
+        // be invalidated
+        uint8_t* code_row = code + static_cast<int64_t>(count) * max_length;
+        uint8_t* qual_row = qual + static_cast<int64_t>(count) * max_length;
+        size_t keep = sequence_length;
+        if (keep > static_cast<size_t>(max_length)) keep = max_length;
+        for (size_t i = 0; i < keep; ++i) {
+            code_row[i] = kAsciiToBam.table[
+                static_cast<unsigned char>(sequence[i])];
+        }
+        std::memset(code_row + keep, 0, max_length - keep);
 
         const char* separator;
         size_t separator_length;
@@ -216,32 +232,20 @@ int32_t pq_fastq_read_batch(
             reader->error = "truncated FASTQ record (missing quality)";
             return -1;
         }
-        if (quality_length != sequence_copy.size()) {
-            reader->error = "sequence/quality length mismatch for " + name;
+        if (quality_length != sequence_length) {
+            reader->error = "sequence/quality length mismatch for ";
+            reader->error.append(names + names_used, name_length);
             return -1;
         }
-
-        if (names_used + static_cast<int64_t>(name.size()) > names_capacity) {
-            return count > 0 ? count : -2;
-        }
-
-        uint8_t* code_row = code + static_cast<int64_t>(count) * max_length;
-        uint8_t* qual_row = qual + static_cast<int64_t>(count) * max_length;
-        size_t keep = sequence_copy.size();
-        if (keep > static_cast<size_t>(max_length)) keep = max_length;
         for (size_t i = 0; i < keep; ++i) {
-            code_row[i] = kAsciiToBam.table[
-                static_cast<unsigned char>(sequence_copy[i])];
             int q = static_cast<unsigned char>(quality[i]) - offset;
             qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
         }
-        std::memset(code_row + keep, 0, max_length - keep);
         std::memset(qual_row + keep, 0, max_length - keep);
 
-        length[count] = static_cast<int32_t>(sequence_copy.size());
+        length[count] = static_cast<int32_t>(sequence_length);
         qcfail[count] = fail;
-        std::memcpy(names + names_used, name.data(), name.size());
-        names_used += static_cast<int64_t>(name.size());
+        names_used += static_cast<int64_t>(name_length);
         name_offset[count + 1] = names_used;
         ++count;
     }
