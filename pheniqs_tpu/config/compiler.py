@@ -701,10 +701,12 @@ class InstructionCompiler:
         if not suffix:
             return None
         buffer = ""
-        if "flowcell id" in container:
-            buffer = str(container["flowcell id"]) + ":"
-            if "flowcell lane number" in container:
-                buffer += str(container["flowcell lane number"]) + ":"
+        flowcell = container.get("flowcell id")
+        if flowcell is not None:
+            buffer = str(flowcell) + ":"
+            lane = container.get("flowcell lane number")
+            if lane is not None:
+                buffer += str(lane) + ":"
         buffer += suffix
         container["PU"] = buffer
         return buffer

@@ -1522,7 +1522,14 @@ class StrictEngine:
             for i in rows:
                 channel = channel_by_index[int(channel_index[i])]
                 name = batch.names[i].decode()
+                tags = tag_list[i]
+                if cardinality > 2:
+                    tags.TC = cardinality
                 for s in range(cardinality):
+                    if cardinality > 2:
+                        # per-segment FI with the read's TC (reference
+                        # read.h flush; emitted only when TC > 2)
+                        tags.FI = s + 1
                     segment = output_segments[s]
                     channel.feeds[s].emit(
                         name,
@@ -1530,7 +1537,7 @@ class StrictEngine:
                         segment.code[i],
                         segment.quality[i],
                         int(segment.length[i]),
-                        tag_list[i],
+                        tags,
                         s,
                     )
 

@@ -184,3 +184,27 @@ def test_split_library_fastq_outputs(reference_root, tmp_path):
     assert fastq_count("undetermined.fastq.gz") == report["sample"][
         "unclassified"
     ]["count"]
+
+
+def test_three_segment_output_fi_tc_tags(reference_root, tmp_path):
+    """Output cardinality > 2 emits FI/TC per segment (reference
+    auxiliary.cpp:327-333) and RG inference skips null flowcell fields."""
+    base = os.path.join(reference_root, "test/BDGGG")
+    config = {
+        "input": [
+            os.path.join(base, f"BDGGG_s0{i}.fastq") for i in (1, 2, 3)
+        ],
+        "output": [str(tmp_path / "out.sam")],
+        "template": {"transform": {"token": ["0::", "1::", "2::"]}},
+    }
+    path = tmp_path / "tc3.json"
+    path.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(path), "--precision", "15"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = body((tmp_path / "out.sam").read_text())
+    assert len(lines) == 750
+    for index, line in enumerate(lines[:6]):
+        fields = line.split("\t")
+        assert f"FI:i:{index % 3 + 1}" in fields
+        assert "TC:i:3" in fields
+        assert "RG:Z:undetermined" in fields  # no None:None prefix
