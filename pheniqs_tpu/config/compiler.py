@@ -470,7 +470,7 @@ class InstructionCompiler:
         value["barcode length"] = barcode_length
 
         lower_bound = 1.0 / float(pow(4, nucleotide_cardinality))
-        if "random barcode probability" in value:
+        if value.get("random barcode probability") is not None:
             if float(value["random barcode probability"]) < lower_bound:
                 raise ConfigurationError(
                     "random barcode probability is smaller than lower bound"
@@ -691,7 +691,7 @@ class InstructionCompiler:
             value["distance tolerance"] = list(shannon_bound)
 
     def infer_PU(self, container: dict, undetermined_tag: bool = False):
-        if "PU" in container:
+        if container.get("PU") is not None:
             return container["PU"]
         if undetermined_tag:
             suffix = "undetermined"
@@ -712,9 +712,9 @@ class InstructionCompiler:
         return buffer
 
     def infer_ID(self, container: dict):
-        if "ID" in container:
+        if container.get("ID") is not None:
             return container["ID"]
-        if "PU" in container:
+        if container.get("PU") is not None:
             container["ID"] = container["PU"]
             return container["ID"]
         return None
