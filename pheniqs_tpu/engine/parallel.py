@@ -18,11 +18,7 @@ are defined at threads=1 (reference test/BDGGG/BDGGG_interleave.json:57).
 from __future__ import annotations
 
 import multiprocessing as mp
-import os
 import pickle
-import sys
-
-import numpy as np
 
 from .strict import StrictEngine
 
@@ -42,8 +38,6 @@ class CaptureFeed:
     # OutputFeed interface -------------------------------------------------
     def initiate(self, header):
         if self.format == "bam":
-            from ..io.hts import BgzfWriter
-
             # headerless BGZF stream: the parent writes the header block
             self.bam = _HeaderlessBam(self)
 
