@@ -532,6 +532,7 @@ class StrictEngine:
                     [URL(proxy["url"]).path for proxy in segment_proxies],
                     self.input_phred_offset,
                     batch_size,
+                    leading_segment_index=self.leading_segment_index,
                 )
                 return
         yield from self._python_read_batches(batch_size)
@@ -596,10 +597,12 @@ class StrictEngine:
                     )
             records.append(list(read))
             if len(records) >= batch_size:
-                yield ReadBatch.from_records(records)
+                yield ReadBatch.from_records(
+                    records, self.leading_segment_index
+                )
                 records = []
         if records:
-            yield ReadBatch.from_records(records)
+            yield ReadBatch.from_records(records, self.leading_segment_index)
 
     # --- execution ---------------------------------------------------------------
     def _initiate_feeds(self):

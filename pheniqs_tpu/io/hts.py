@@ -447,7 +447,7 @@ def hts_read_batches(path: str, format_type: str, batch_size: int):
             segments=segments,
             names=[read[0].name for read in pending],
             qcfail=np.array(
-                [any(r.qcfail for r in read) for read in pending], dtype=bool
+                [read[0].qcfail for read in pending], dtype=bool
             ),
         )
         pending = []

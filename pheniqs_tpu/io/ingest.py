@@ -23,6 +23,7 @@ def native_read_batches(
     phred_offset: int,
     batch_size: int,
     max_length: int = 1024,
+    leading_segment_index: int = 0,
 ):
     """Yield ReadBatch objects via the native parser.
 
@@ -72,7 +73,7 @@ def native_read_batches(
             baseline = None  # (blob, offsets) or list[bytes]
             qcfail = np.zeros(reads, dtype=bool)
             interleaved = any(r > 1 for r in resolution.values())
-            for url, slot in segment_slot:
+            for segment_position, (url, slot) in enumerate(segment_slot):
                 code, qual, length, fail, blob, offsets = per_feed[url]
                 stride = resolution[url]
                 code = code[slot::stride]
@@ -87,7 +88,10 @@ def native_read_batches(
                         length=length,
                     )
                 )
-                qcfail |= fail
+                if segment_position == leading_segment_index:
+                    # the read's qcfail state comes from the leading
+                    # segment only (reference read.h:262, transcode.h:206)
+                    qcfail = fail.copy()
                 if interleaved:
                     names = [
                         blob[offsets[i] : offsets[i + 1]]

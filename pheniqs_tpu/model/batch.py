@@ -80,7 +80,9 @@ class ReadBatch:
 
     @classmethod
     def from_records(
-        cls, records: list[list[tuple[bytes, bytes, bytes, bool]]]
+        cls,
+        records: list[list[tuple[bytes, bytes, bytes, bool]]],
+        leading_segment_index: int = 0,
     ) -> "ReadBatch":
         """Build from per-read lists of (name, sequence_ascii, quality_phred,
         qcfail) tuples, one inner list entry per segment."""
@@ -100,5 +102,8 @@ class ReadBatch:
                 qual[i, : len(seq)] = np.frombuffer(r[s][2], dtype=np.uint8)
             segments.append(SegmentBatch(code=code, quality=qual, length=lengths))
         names = [r[0][0] for r in records]
-        qcfail = np.array([any(seg[3] for seg in r) for r in records], dtype=bool)
+        # qcfail comes from the leading segment (reference read.h:262)
+        qcfail = np.array(
+            [r[leading_segment_index][3] for r in records], dtype=bool
+        )
         return cls(segments=segments, names=names, qcfail=qcfail)
