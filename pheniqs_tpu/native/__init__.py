@@ -253,7 +253,8 @@ class NativeFastqReader:
         if count < 0:
             from ..errors import SequenceError
 
-            message = lib.pq_fastq_error(self.handle).decode()
+            raw_message = lib.pq_fastq_error(self.handle) or b""
+            message = raw_message.decode("utf-8", errors="replace")
             raise SequenceError(message or "native FASTQ parse error")
         if count == 0:
             return None

@@ -1,0 +1,146 @@
+"""Robustness fuzzing: malformed FASTQ never crashes the native parser
+(typed errors only), and randomized multi-decoder instruments agree
+between the strict and fast engines."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASES = "ACGT"
+
+
+def test_native_parser_garbage(tmp_path):
+    from pheniqs_tpu import native
+    from pheniqs_tpu.errors import SequenceError
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        blob = bytes(rng.integers(0, 256, size=rng.integers(0, 400), dtype=np.uint8))
+        path = tmp_path / f"garbage{trial}.fastq"
+        path.write_bytes(blob)
+        reader = native.NativeFastqReader(str(path))
+        try:
+            while reader.read_batch(64) is not None:
+                pass
+        except SequenceError:
+            pass  # typed failure is the contract
+        finally:
+            reader.close()
+
+
+def test_truncated_fastq_typed_error(tmp_path):
+    from pheniqs_tpu import native
+    from pheniqs_tpu.errors import SequenceError
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    path = tmp_path / "trunc.fastq"
+    path.write_text("@read1\nACGT\n+\n")  # missing quality line
+    reader = native.NativeFastqReader(str(path))
+    with pytest.raises(SequenceError):
+        reader.read_batch(4)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_instrument_strict_vs_fast(tmp_path, seed):
+    """Random multi-decoder instruments (pamld sample + mdd cellular +
+    naive molecular over random token layouts): fast decisions equal
+    strict."""
+    rng = np.random.default_rng(seed)
+
+    def panel(count, width):
+        out = set()
+        while len(out) < count:
+            out.add("".join(rng.choice(list(BASES), size=width)))
+        return sorted(out)
+
+    sample_width = int(rng.integers(6, 12))
+    cell_width = int(rng.integers(6, 12))
+    umi_width = int(rng.integers(4, 10))
+    read_length = sample_width + cell_width + umi_width + int(rng.integers(5, 20))
+    sample_panel = panel(int(rng.integers(4, 12)), sample_width)
+    cell_panel = panel(int(rng.integers(4, 12)), cell_width)
+
+    reads = tmp_path / f"reads{seed}.fastq"
+    n = 1500
+    with open(reads, "w") as stream:
+        for i in range(n):
+            sequence = [BASES[b] for b in rng.integers(4, size=read_length)]
+            sample_word = sample_panel[rng.integers(len(sample_panel))]
+            cell_word = cell_panel[rng.integers(len(cell_panel))]
+            sequence[0:sample_width] = list(sample_word)
+            sequence[sample_width : sample_width + cell_width] = list(cell_word)
+            quality = rng.integers(2, 41, size=read_length)
+            for position in range(read_length):
+                if rng.random() < 0.06:
+                    sequence[position] = BASES[rng.integers(4)]
+            qual = "".join(chr(q + 33) for q in quality)
+            stream.write(f"@f{i}\n{''.join(sequence)}\n+\n{qual}\n")
+
+    config = {
+        "input": [str(reads)],
+        "template": {"transform": {"token": ["0::"]}},
+        "sample": {
+            "algorithm": "pamld",
+            "confidence threshold": float(rng.choice([0.8, 0.95, 0.99])),
+            "noise": float(rng.choice([0.01, 0.05, 0.2])),
+            "transform": {"token": [f"0::{sample_width}"]},
+            "codec": {f"@{w}": {"barcode": [w]} for w in sample_panel},
+        },
+        "cellular": [
+            {
+                "algorithm": "mdd",
+                "distance tolerance": [int(rng.integers(0, 3))],
+                "transform": {
+                    "token": [f"0:{sample_width}:{sample_width + cell_width}"]
+                },
+                "codec": {f"@{w}": {"barcode": [w]} for w in cell_panel},
+            }
+        ],
+        "molecular": [
+            {
+                "algorithm": "naive",
+                "transform": {
+                    "token": [
+                        f"0:{sample_width + cell_width}:"
+                        f"{sample_width + cell_width + umi_width}"
+                    ]
+                },
+            }
+        ],
+    }
+
+    def run(fidelity):
+        job = dict(config)
+        out = tmp_path / f"{fidelity}{seed}.sam"
+        job["output"] = [str(out)]
+        path = tmp_path / f"job_{fidelity}{seed}.json"
+        path.write_text(json.dumps(job))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        result = subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config", str(path), "--precision", "15",
+                "--fidelity", fidelity,
+            ],
+            cwd=str(tmp_path), env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        return [
+            [f for f in line.split("\t") if f[:5] not in ("XB:f:", "XM:f:", "XC:f:")]
+            for line in out.read_text().split("\n")
+            if line and not line.startswith("@")
+        ]
+
+    assert run("strict") == run("hybrid")
