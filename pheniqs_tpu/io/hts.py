@@ -139,15 +139,14 @@ class BamWriter:
     ):
         raw_name = name.encode() + b"\x00"
         l_seq = max(length, 0)
-        packed = bytearray((l_seq + 1) // 2)
-        for i in range(l_seq):
-            if i % 2 == 0:
-                packed[i // 2] = (code[i] & 0xF) << 4
-            else:
-                packed[i // 2] |= code[i] & 0xF
-        qual = bytes(
-            int(q) & 0xFF for q in quality[:l_seq]
-        ) if l_seq else b""
+        if l_seq:
+            padded = np.zeros(l_seq + (l_seq & 1), dtype=np.uint8)
+            padded[:l_seq] = np.asarray(code[:l_seq], dtype=np.uint8) & 0xF
+            packed = ((padded[0::2] << 4) | padded[1::2]).tobytes()
+            qual = np.asarray(quality[:l_seq], dtype=np.uint8).tobytes()
+        else:
+            packed = b""
+            qual = b""
         aux = encode_bam_aux(tags)
         body = (
             struct.pack(
@@ -165,7 +164,7 @@ class BamWriter:
                 0,                       # tlen
             )
             + raw_name
-            + bytes(packed)
+            + packed
             + qual
             + aux
         )
