@@ -157,7 +157,27 @@ class DeviceEngine(StrictEngine):
         """One-batch lookahead pipeline: dispatch batch k+1 to the device
         before pulling k's decisions and doing its host work, so transfer
         and decode overlap host processing (the engine analog of the
-        reference's feed double-buffering)."""
+        reference's feed double-buffering).
+
+        PHENIQS_PROFILE=<dir> wraps the run in a jax.profiler trace —
+        device-level observability the reference never had (SURVEY §5)."""
+        import time
+
+        profile_dir = os.environ.get("PHENIQS_PROFILE")
+        if profile_dir:
+            import contextlib
+
+            import jax
+
+            profiler = jax.profiler.trace(profile_dir)
+        else:
+            import contextlib
+
+            profiler = contextlib.nullcontext()
+        with profiler:
+            return self._execute_pipeline(batch_size)
+
+    def _execute_pipeline(self, batch_size: int):
         import time
 
         self._initiate_feeds()
