@@ -45,13 +45,32 @@ def native_read_batches(
         seen[url] = slot + 1
 
     readers = {url: NativeFastqReader(url, phred_offset, max_length) for url in unique}
+    pool = None
+    if len(unique) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # the native parser releases the GIL: feeds parse concurrently,
+        # the thread analog of the reference's one io-thread per feed
+        pool = ThreadPoolExecutor(max_workers=len(unique))
     try:
         while True:
             per_feed: dict[str, tuple] = {}
             counts = set()
+            if pool is not None:
+                futures = {
+                    url: pool.submit(
+                        readers[url].read_batch, batch_size * resolution[url]
+                    )
+                    for url in unique
+                }
+                results = {url: futures[url].result() for url in unique}
+            else:
+                results = {
+                    url: readers[url].read_batch(batch_size * resolution[url])
+                    for url in unique
+                }
             for url in unique:
-                want = batch_size * resolution[url]
-                batch = readers[url].read_batch(want)
+                batch = results[url]
                 if batch is None:
                     per_feed[url] = None
                     counts.add(0)
@@ -140,5 +159,7 @@ def native_read_batches(
                     qcfail=qcfail,
                 )
     finally:
+        if pool is not None:
+            pool.shutdown()
         for reader in readers.values():
             reader.close()
