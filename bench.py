@@ -20,6 +20,11 @@ understates the advantage over the per-read reference loop.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": x}
+
+NOTE: on the tunneled axon platform the first (cold) XLA compile of the
+decode program takes 5-25 minutes depending on the remote compile
+service's load; budget the run timeout accordingly. Steady-state
+iterations take ~0.2-0.3 s per 131k-read batch.
 """
 
 import json
