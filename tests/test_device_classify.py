@@ -324,3 +324,36 @@ def test_large_panel_chunked_posterior_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(device["confidence"]), oracle.confidence, rtol=1e-3, atol=1e-6
     )
+
+
+def test_ambiguous_panel_codes_match_oracle():
+    """Panels containing IUPAC ambiguity codes (N, R, Y...) take the
+    UNIFORM likelihood branch; device decisions must match the oracle."""
+    rng = np.random.default_rng(41)
+    panel = ["ACGTNNACGT", "TGCARYTGCA", "GGTTCCAAGG", "NNNNNNNNNN"]
+    ontology = make_pamld_ontology(panel)
+    spec = spec_from_ontology(ontology, "sample")
+    code, qual, length = simulate_reads(
+        rng, ["ACGTAAACGT", "TGCAAGTGCA", "GGTTCCAAGG", "CATGCATGCA"], 512
+    )
+    # sprinkle observed N bases as well
+    n_mask = rng.random(code.shape) < 0.05
+    code = np.where(n_mask, np.uint8(15), code)
+    qcfail = np.zeros(code.shape[0], dtype=bool)
+    oracle = pamld_classify(spec, code, qual, qcfail)
+
+    instrument = compile_instrument(
+        {"sample": ontology, "input segment cardinality": 1}
+    )
+    device = pamld_classify_device(
+        instrument,
+        instrument.decoders[0],
+        jnp.asarray(code.astype(np.int32)),
+        jnp.asarray(qual.astype(np.int32)),
+        jnp.asarray(qcfail),
+    )
+    np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
+    np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
+    np.testing.assert_array_equal(
+        np.asarray(device["distance"]), oracle.edit_distance
+    )
