@@ -357,3 +357,30 @@ def test_ambiguous_panel_codes_match_oracle():
     np.testing.assert_array_equal(
         np.asarray(device["distance"]), oracle.edit_distance
     )
+
+
+def test_high_quality_distance_filter_matches_oracle():
+    """hqd filter active (threshold 1, like BDGGG): device qcfail must
+    match the oracle exactly on error-heavy reads."""
+    rng = np.random.default_rng(53)
+    panel = random_panel(rng, 12, 10)
+    ontology = make_pamld_ontology(panel, noise=0.02, confidence=0.9)
+    ontology["high quality distance threshold"] = 1
+    ontology["high quality threshold"] = 20
+    spec = spec_from_ontology(ontology, "sample")
+    code, qual, length = simulate_reads(rng, panel, 1024, error_rate=0.15)
+    qcfail = np.zeros(code.shape[0], dtype=bool)
+    oracle = pamld_classify(spec, code, qual, qcfail)
+
+    instrument = compile_instrument(
+        {"sample": ontology, "input segment cardinality": 1}
+    )
+    device = pamld_classify_device(
+        instrument,
+        instrument.decoders[0],
+        jnp.asarray(code.astype(np.int32)),
+        jnp.asarray(qual.astype(np.int32)),
+        jnp.asarray(qcfail),
+    )
+    np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
+    np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
