@@ -221,3 +221,76 @@ def test_host_shard_slicing(reference_root, tmp_path):
         part0["sample"]["classified count"] + part1["sample"]["classified count"]
         == full["sample"]["classified count"]
     )
+
+
+def test_empty_input(tmp_path):
+    """Zero-read feeds produce an empty (header-only) stream and a report
+    without incoming counts."""
+    empty = tmp_path / "empty.fastq"
+    empty.write_text("")
+    config = {
+        "input": [str(empty)],
+        "output": [str(tmp_path / "out.sam")],
+        "template": {"transform": {"token": ["0::"]}},
+    }
+    path = tmp_path / "empty.json"
+    path.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(path), "--precision", "15"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = (tmp_path / "out.sam").read_text().split("\n")
+    assert all(not l or l.startswith("@") for l in lines)
+
+
+def test_single_read(tmp_path):
+    single = tmp_path / "one.fastq"
+    single.write_text("@only 1:N:0:\nACGTACGT\n+\nIIIIIIII\n")
+    config = {
+        "input": [str(single)],
+        "output": [str(tmp_path / "out.sam")],
+        "report url": "/dev/stderr",
+        "template": {"transform": {"token": ["0::"]}},
+    }
+    path = tmp_path / "one.json"
+    path.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(path), "--precision", "15"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stderr)
+    assert report["incoming"]["count"] == 1
+    body = [
+        l for l in (tmp_path / "out.sam").read_text().split("\n")
+        if l and not l.startswith("@")
+    ]
+    assert len(body) == 1 and body[0].startswith("only\t")
+
+
+def test_leading_segment_qcfail(reference_root, tmp_path):
+    """--leading selects which segment's filter flag fails the read."""
+    r1 = tmp_path / "r1.fastq"
+    r2 = tmp_path / "r2.fastq"
+    # read a: segment 0 passes, segment 1 fails; read b: inverse
+    r1.write_text("@a 1:N:0:\nACGT\n+\nIIII\n@b 1:Y:0:\nACGT\n+\nIIII\n")
+    r2.write_text("@a 2:Y:0:\nTGCA\n+\nIIII\n@b 2:N:0:\nTGCA\n+\nIIII\n")
+    config = {
+        "input": [str(r1), str(r2)],
+        "output": [str(tmp_path / "out.sam")],
+        "template": {"transform": {"token": ["0::", "1::"]}},
+    }
+    path = tmp_path / "lead.json"
+    path.write_text(json.dumps(config))
+
+    def fails(extra):
+        result = run_mux(
+            str(tmp_path), ["--config", str(path), "--precision", "15", *extra]
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        out = {}
+        for line in (tmp_path / "out.sam").read_text().split("\n"):
+            if line and not line.startswith("@"):
+                fields = line.split("\t")
+                out[fields[0]] = bool(int(fields[1]) & 0x200)
+        return out
+
+    default = fails([])
+    assert default == {"a": False, "b": True}  # leader = segment 0
+    swapped = fails(["--leading", "1"])
+    assert swapped == {"a": True, "b": False}  # leader = segment 1
