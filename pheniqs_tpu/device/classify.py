@@ -64,7 +64,7 @@ def _use_pallas(n: int, w: int, b: int) -> bool:
 
     if n % TILE_N != 0 or not pallas_supported(5 * w, b):
         return False
-    if mode == "interpret":
+    if mode.endswith("interpret"):
         return True
     return jax.default_backend() in ("tpu", "axon")
 
@@ -299,16 +299,30 @@ def pamld_classify_device(
     elif not want_uncertain and _use_pallas(n, w, dec.barcode_count):
         import os
 
-        from .kernels import pamld_posterior_pallas
+        mode = os.environ.get("PHENIQS_PALLAS", "auto")
+        interpret = mode.endswith("interpret")
+        if mode.startswith("fused"):
+            from .kernels import pamld_fused_pallas
 
-        best0, best_p, sigma_p, sigma_decoded = pamld_posterior_pallas(
-            features,
-            (q_positive * UNIFORM_BASE_QUALITY)[:, None],
-            dec.likelihood_matrix,
-            dec.concentration,
-            float(adjusted_noise),
-            interpret=os.environ.get("PHENIQS_PALLAS") == "interpret",
-        )
+            best0, best_p, sigma_p, sigma_decoded = pamld_fused_pallas(
+                obs_code,
+                obs_qual,
+                dec.likelihood_matrix,
+                dec.concentration,
+                float(adjusted_noise),
+                interpret=interpret,
+            )
+        else:
+            from .kernels import pamld_posterior_pallas
+
+            best0, best_p, sigma_p, sigma_decoded = pamld_posterior_pallas(
+                features,
+                (q_positive * UNIFORM_BASE_QUALITY)[:, None],
+                dec.likelihood_matrix,
+                dec.concentration,
+                float(adjusted_noise),
+                interpret=interpret,
+            )
     else:
         # full-f32 contraction: the TPU MXU's default precision truncates
         # operands to bfloat16, which costs ~0.1 phred units of sigma —

@@ -133,3 +133,136 @@ def posterior_vmem_bytes(n_tile: int, fw: int, b: int) -> int:
 
 def pallas_supported(fw: int, b: int, budget: int = 12 * 1024 * 1024) -> bool:
     return posterior_vmem_bytes(TILE_N, fw, b) <= budget
+
+
+# ---------------------------------------------------------------------------
+# fully-fused classify kernel: obs codes/qualities -> posterior, all in VMEM
+# ---------------------------------------------------------------------------
+
+#: ln(10)/10 — phred-to-natural-log scale
+_LN10_10 = float(np.log(10.0) / 10.0)
+#: 10/ln(10)
+_TEN_OVER_LN10 = float(10.0 / np.log(10.0))
+
+from .instrument import UNIFORM_BASE_QUALITY
+
+
+def _fused_kernel(
+    code_ref,          # (TILE_N, W) int32
+    qual_ref,          # (TILE_N, W) int32
+    matrix_ref,        # (5W, B) f32
+    concentration_ref, # (1, B) f32
+    best0_ref,
+    best_p_ref,
+    sigma_p_ref,
+    sigma_dec_ref,
+    *,
+    log_noise: float,
+):
+    code = code_ref[:]
+    qual = qual_ref[:]
+    n, w = code.shape
+    q = qual.astype(jnp.float32)
+    qpos = (qual > 0)
+
+    # true-positive quality computed analytically (f32):
+    #   tpq = -10*log10(1 - 10^(-q/10))
+    expq = jnp.exp(-_LN10_10 * q)
+    tpq = jnp.where(
+        qpos, -_TEN_OVER_LN10 * jnp.log1p(-jnp.where(qpos, expq, 0.0)), 0.0
+    )
+
+    strict_o = (
+        ((code == 1) | (code == 2) | (code == 4) | (code == 8)) & qpos
+    ).astype(jnp.float32)
+    onehot4 = jnp.stack(
+        [((code == c) & qpos).astype(jnp.float32) for c in (1, 2, 4, 8)],
+        axis=-1,
+    )  # (N, W, 4)
+    f_match = onehot4 * (tpq - q)[..., None]
+    f_strict = (strict_o * (q - UNIFORM_BASE_QUALITY))[..., None]
+    features = jnp.concatenate([f_match, f_strict], axis=-1).reshape(n, w * 5)
+
+    sigma_q = (
+        jnp.dot(
+            features,
+            matrix_ref[:],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        + (qpos.astype(jnp.float32).sum(axis=1) * UNIFORM_BASE_QUALITY)[:, None]
+    )
+
+    shift = sigma_q.min(axis=1, keepdims=True)
+    conditional = jnp.exp(LN_PHRED_BASE * (sigma_q - shift))
+    prior_adjusted = conditional * concentration_ref[:]
+
+    best_p = prior_adjusted.max(axis=1, keepdims=True)
+    best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)[:, None]
+    if math.isfinite(log_noise):
+        noise_shifted = jnp.exp(log_noise - LN_PHRED_BASE * shift)
+    else:
+        noise_shifted = jnp.zeros_like(shift)
+    sigma_p = prior_adjusted.sum(axis=1, keepdims=True) + noise_shifted
+
+    columns = jax.lax.broadcasted_iota(jnp.int32, sigma_q.shape, 1)
+    onehot_best = (columns == best0).astype(jnp.float32)
+    sigma_dec = (sigma_q * onehot_best).sum(axis=1, keepdims=True)
+
+    best0_ref[:] = best0
+    best_p_ref[:] = best_p
+    sigma_p_ref[:] = sigma_p
+    sigma_dec_ref[:] = sigma_dec
+
+
+@functools.partial(jax.jit, static_argnames=("adjusted_noise", "interpret"))
+def pamld_fused_pallas(
+    obs_code: jnp.ndarray,       # (N, W) int32, N multiple of TILE_N
+    obs_qual: jnp.ndarray,       # (N, W) int32
+    matrix: jnp.ndarray,         # (5W, B) f32
+    concentration: jnp.ndarray,  # (B,) f32
+    adjusted_noise: float,
+    interpret: bool = False,
+):
+    """Fully-fused classify: codes/qualities stream into VMEM once; feature
+    building, the MXU contraction, and the posterior all happen in-tile.
+    2.5x less HBM traffic than the feature-precomputed path (int32 codes in
+    place of f32 features; no (N, 5W) or (N, B) intermediates)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, w = obs_code.shape
+    fw = 5 * w
+    b = matrix.shape[1]
+    assert n % TILE_N == 0, n
+    log_noise = (
+        float(np.log(adjusted_noise)) if adjusted_noise > 0.0 else float("-inf")
+    )
+
+    grid = (n // TILE_N,)
+    kernel = functools.partial(_fused_kernel, log_noise=log_noise)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fw, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(obs_code, obs_qual, matrix, concentration[None, :])
+    best0, best_p, sigma_p, sigma_dec = out
+    return best0[:, 0], best_p[:, 0], sigma_p[:, 0], sigma_dec[:, 0]
