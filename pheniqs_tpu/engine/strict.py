@@ -1425,6 +1425,75 @@ class StrictEngine:
                         s,
                     )
 
+    # --- partial-run statistics (PHENIQS_SHARD merge workflow) ------------------
+    def _partial_runtimes(self):
+        """Deterministic decoder order for partial serialization: sample,
+        molecular*, cellular* (matches finalize_report's traversal)."""
+        runtimes = []
+        if self.sample is not None:
+            runtimes.append(self.sample)
+        runtimes.extend(self.molecular)
+        runtimes.extend(self.cellular)
+        return runtimes
+
+    def dump_partial_state(self) -> dict:
+        """Raw statistic sums for one input shard (PHENIQS_SHARD=k:H run).
+        Every field merges across shards by elementwise addition, so H
+        partials recombine into exactly the single-run report — the
+        multi-host analog of the reference's thread-local accumulator
+        collect (reference selector.h:32-92)."""
+        doc: dict = {
+            "pheniqs partial": 1,
+            "incoming count": self.incoming_count,
+            "incoming pf count": self.incoming_pf_count,
+            "outgoing count": self.outgoing_count,
+            "outgoing pf count": self.outgoing_pf_count,
+            "decoders": [
+                runtime.accumulator.state_dict()
+                for runtime in self._partial_runtimes()
+            ],
+        }
+        if self.channel_quality is not None:
+            doc["multiplex"] = [
+                accumulator.state_dict() for accumulator in self.channel_quality
+            ]
+        return doc
+
+    def merge_partial_state(self, doc: dict):
+        from ..errors import ConfigurationError
+
+        if doc.get("pheniqs partial") != 1:
+            raise ConfigurationError("not a pheniqs partial statistics document")
+        runtimes = self._partial_runtimes()
+        states = doc.get("decoders", [])
+        if len(states) != len(runtimes):
+            raise ConfigurationError(
+                f"partial has {len(states)} decoders; "
+                f"configuration has {len(runtimes)}"
+            )
+        try:
+            for runtime, state in zip(runtimes, states):
+                runtime.accumulator.merge_state(state)
+            quality_states = doc.get("multiplex")
+            if quality_states is not None and self.channel_quality is not None:
+                if len(quality_states) != len(self.channel_quality):
+                    raise ValueError(
+                        f"partial has {len(quality_states)} channels; "
+                        f"configuration has {len(self.channel_quality)}"
+                    )
+                for accumulator, state in zip(
+                    self.channel_quality, quality_states
+                ):
+                    accumulator.merge_state(state)
+        except ValueError as error:
+            raise ConfigurationError(
+                f"partial does not match configuration: {error}"
+            ) from error
+        self.incoming_count += int(doc.get("incoming count", 0))
+        self.incoming_pf_count += int(doc.get("incoming pf count", 0))
+        self.outgoing_count += int(doc.get("outgoing count", 0))
+        self.outgoing_pf_count += int(doc.get("outgoing pf count", 0))
+
     # --- report ----------------------------------------------------------------
     def finalize_report(self, include_job: dict | None = None) -> dict:
         from ..report.accumulate import encode_decoder_report

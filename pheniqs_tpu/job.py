@@ -102,6 +102,16 @@ class TranscodeJob:
             )
         batch_size = int(self.interactive.get("batch size", 16384))
         self.engine.execute(batch_size=batch_size)
+        import os
+
+        partial_path = os.environ.get("PHENIQS_PARTIAL")
+        if partial_path:
+            # one input shard of a PHENIQS_SHARD=k:H run: dump the raw
+            # statistic sums for `pheniqs_tpu.tools.merge` to recombine
+            import json
+
+            with open(partial_path, "w") as stream:
+                json.dump(self.engine.dump_partial_state(), stream)
         include_job = (
             self.ontology if self.ontology.get("include compiled job") else None
         )

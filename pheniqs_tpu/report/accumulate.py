@@ -44,6 +44,35 @@ class DecoderAccumulator:
         self.low_conditional_confidence_count += other.low_conditional_confidence_count
         self.low_confidence_count += other.low_confidence_count
 
+    # --- partial-run serialization (PHENIQS_SHARD merge workflow) ----------
+    _STATE_FIELDS = (
+        "count",
+        "pf_count",
+        "accumulated_distance",
+        "accumulated_pf_distance",
+        "accumulated_confidence",
+        "accumulated_pf_confidence",
+        "low_conditional_confidence_count",
+        "low_confidence_count",
+    )
+
+    def state_dict(self) -> dict:
+        """JSON-safe raw sums; every field merges by elementwise addition."""
+        return {
+            name: getattr(self, name).tolist() for name in self._STATE_FIELDS
+        }
+
+    def merge_state(self, state: dict):
+        for name in self._STATE_FIELDS:
+            values = np.asarray(state[name])
+            target = getattr(self, name)
+            if values.shape != target.shape:
+                raise ValueError(
+                    f"partial accumulator {name} cardinality "
+                    f"{values.shape} != {target.shape}"
+                )
+            target += values.astype(target.dtype)
+
     # --- batch updates ------------------------------------------------------
     def update_counts(self, decoded: np.ndarray, qcfail: np.ndarray):
         np.add.at(self.count, decoded, 1)

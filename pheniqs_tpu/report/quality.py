@@ -161,6 +161,37 @@ class SegmentQualityAccumulator:
         self.average_max = max(self.average_max, other.average_max)
         self.average_distribution += other.average_distribution
 
+    def state_dict(self) -> dict:
+        """JSON-safe raw state for the PHENIQS_SHARD merge workflow."""
+        return {
+            "capacity": self.capacity,
+            "shortest": self.shortest,
+            "code_count": self.code_count.tolist(),
+            "histogram": self.histogram.reshape(-1).tolist(),
+            "average_count": self.average_count,
+            "average_sum": self.average_sum,
+            "average_min": self.average_min,
+            "average_max": self.average_max,
+            "average_distribution": self.average_distribution.tolist(),
+        }
+
+    def merge_state(self, state: dict):
+        other = SegmentQualityAccumulator()
+        other.capacity = int(state["capacity"])
+        other.shortest = state["shortest"]
+        other.code_count = np.asarray(state["code_count"], dtype=np.int64)
+        other.histogram = np.asarray(state["histogram"], dtype=np.int64).reshape(
+            other.capacity, IUPAC_CODE_SIZE, EFFECTIVE_PHRED_RANGE
+        )
+        other.average_count = int(state["average_count"])
+        other.average_sum = float(state["average_sum"])
+        other.average_min = float(state["average_min"])
+        other.average_max = float(state["average_max"])
+        other.average_distribution = np.asarray(
+            state["average_distribution"], dtype=np.int64
+        )
+        self.merge(other)
+
     def encode(self) -> dict:
         """Reference encode_value(SegmentAccumulator) (multiplex.cpp:194-263)."""
         report: dict = {
@@ -238,6 +269,19 @@ class ChannelQualityAccumulator:
     def merge(self, other: "ChannelQualityAccumulator"):
         for mine, theirs in zip(self.segments, other.segments):
             mine.merge(theirs)
+
+    def state_dict(self) -> dict:
+        return {"segments": [s.state_dict() for s in self.segments]}
+
+    def merge_state(self, state: dict):
+        states = state["segments"]
+        if len(states) != len(self.segments):
+            raise ValueError(
+                f"partial quality segment cardinality {len(states)} != "
+                f"{len(self.segments)}"
+            )
+        for mine, theirs in zip(self.segments, states):
+            mine.merge_state(theirs)
 
     def encode(self) -> dict:
         return {

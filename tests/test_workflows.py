@@ -294,3 +294,91 @@ def test_leading_segment_qcfail(reference_root, tmp_path):
     assert default == {"a": False, "b": True}  # leader = segment 0
     swapped = fails(["--leading", "1"])
     assert swapped == {"a": True, "b": False}  # leader = segment 1
+
+
+def test_partial_merge_matches_single_run(bdggg, tmp_path):
+    """PHENIQS_SHARD partial workflow: H shard runs dump raw statistic sums
+    (PHENIQS_PARTIAL), and tools.merge recombines them into the single-run
+    report — integer statistics exactly, float sums to reassociation ulp.
+    Quality-control channel histograms merge too."""
+    config = {
+        "import": [os.path.join(bdggg, "BDGGG_annotated.json")],
+        "base input url": bdggg,
+        "enable quality control": True,
+        "output": ["/dev/null"],
+        "report url": "/dev/stderr",
+    }
+    path = tmp_path / "job.json"
+    path.write_text(json.dumps(config))
+    args = ["--config", str(path), "--precision", "15", "--batch-size", "64"]
+
+    single = run_mux(str(tmp_path), args)
+    assert single.returncode == 0, single.stderr[-2000:]
+    expected = json.loads(single.stderr)
+
+    hosts = 3
+    partials = []
+    for k in range(hosts):
+        partial = tmp_path / f"partial_{k}.json"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PHENIQS_SHARD"] = f"{k}:{hosts}"
+        env["PHENIQS_PARTIAL"] = str(partial)
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux", *args,
+             "--report", "/dev/null"],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert result.returncode == 0, (k, result.stderr[-2000:])
+        partials.append(str(partial))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    merge = subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.tools.merge",
+         "--config", str(path), *partials],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert merge.returncode == 0, merge.stderr[-2000:]
+    merged = json.loads(merge.stdout)
+
+    def compare(a, b, where=""):
+        assert type(a) is type(b), (where, a, b)
+        if isinstance(a, dict):
+            assert set(a) == set(b), (where, set(a) ^ set(b))
+            for key in a:
+                compare(a[key], b[key], f"{where}/{key}")
+        elif isinstance(a, list):
+            assert len(a) == len(b), where
+            for i, (x, y) in enumerate(zip(a, b)):
+                compare(x, y, f"{where}[{i}]")
+        elif isinstance(a, float):
+            assert a == b or abs(a - b) <= 1e-12 * max(abs(a), abs(b)), (
+                where, a, b,
+            )
+        else:
+            assert a == b, (where, a, b)
+
+    compare(merged, expected)
+    assert "multiplex" in merged  # quality-control channels survived the merge
+
+
+def test_partial_merge_rejects_mismatched_config(bdggg, tmp_path):
+    """A partial from a different decoder layout must be refused (exit 3)."""
+    bogus = tmp_path / "bogus.json"
+    bogus.write_text(json.dumps({"pheniqs partial": 1, "decoders": []}))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.tools.merge",
+         "--config", os.path.join(bdggg, "BDGGG_annotated.json"), str(bogus)],
+        cwd=bdggg, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert result.returncode == 3, (result.returncode, result.stderr[-500:])
