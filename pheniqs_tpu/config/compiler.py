@@ -387,14 +387,12 @@ class InstructionCompiler:
             if url.is_dev_null():
                 raise ConfigurationError("/dev/null can not be used for input")
             fmt = url.format_type or "fastq"
-            if fmt in ("sam", "bam"):
+            if fmt in ("sam", "bam", "cram"):
                 # HTS feeds declare their cardinality in flags/TC
                 # (reference transcode.cpp:559-682 via total_segments)
-                from ..io.hts import read_bam, read_sam
+                from ..io.hts import hts_record_reader
 
-                reader = (
-                    read_bam(url.path) if fmt == "bam" else read_sam(url.path)
-                )
+                reader = hts_record_reader(url.path, fmt)
                 try:
                     first = next(iter(reader), None)
                 finally:

@@ -21,8 +21,8 @@ class OutputFeed:
     """One output destination shared by all channels referencing its URL.
 
     Emission is format-aware (reference hts.h:42-299, fastq.h:144-178):
-    SAM text, BAM (BGZF container), or FASTQ with the reconstructed
-    Illumina comment. CRAM requires htslib's codec stack and is gated.
+    SAM text, BAM (BGZF container), CRAM 3.0 containers, or FASTQ with
+    the reconstructed Illumina comment.
     """
 
     def __init__(self, proxy: dict, ontology: dict):
@@ -36,10 +36,6 @@ class OutputFeed:
         self._raw = None
         self.bam = None
         self.header: bytes = b""
-        if self.format == "cram":
-            raise ConfigurationError(
-                "CRAM output requires htslib and is not supported; use BAM"
-            )
 
     def initiate(self, header: "SamHeader | None"):
         if self.url.is_stdout():
@@ -76,6 +72,16 @@ class OutputFeed:
                     level,
                     threads=self.compression_threads,
                 )
+            elif self.format == "cram":
+                from ..io.cram import CramWriter
+
+                level = int(self.url.compression_level or 5)
+                self.bam = CramWriter(
+                    self.stream,
+                    header.encode().decode() if header is not None else "",
+                    level,
+                    threads=self.compression_threads,
+                )
 
     def write(self, payload: bytes):
         if self.stream is not None:
@@ -85,7 +91,7 @@ class OutputFeed:
         """Write one output segment in this feed's format."""
         if self.stream is None:
             return
-        if self.format == "bam":
+        if self.format in ("bam", "cram"):
             self.bam.write_record(name, flag, code, quality, length, tags)
             return
         if self.format == "fastq":

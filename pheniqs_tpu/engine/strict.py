@@ -426,21 +426,16 @@ class StrictEngine:
         if fmt == "fastq":
             for record in read_fastq(parsed.path, phred_offset):
                 yield (record.name, record.sequence, record.quality, record.qcfail)
-        elif fmt in ("sam", "bam"):
-            from ..io.hts import read_bam, read_sam
+        elif fmt in ("sam", "bam", "cram"):
+            from ..io.hts import hts_record_reader
 
-            reader = read_bam(parsed.path) if fmt == "bam" else read_sam(parsed.path)
-            for record in reader:
+            for record in hts_record_reader(parsed.path, fmt):
                 yield (
                     record.name,
                     BAM_TO_ASCII[record.code].tobytes(),
                     record.quality.tobytes(),
                     record.qcfail,
                 )
-        elif fmt == "cram":
-            raise ConfigurationError(
-                "CRAM input requires htslib and is not supported; use BAM"
-            )
         else:
             raise ConfigurationError(f"unsupported input format {fmt}")
 

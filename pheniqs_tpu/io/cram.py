@@ -1,0 +1,779 @@
+"""CRAM 3.0 container codec (writer + reader) for unaligned reads.
+
+The reference reaches CRAM through htslib (reference hts.h:42-299,
+proxy.h:44-88); this is a from-scratch implementation of the CRAM 3.0
+specification (hts-specs CRAMv3): ITF-8/LTF-8 varints, the container /
+block / slice structure with CRC32 trailers, the compression-header
+preservation + data-series + tag encoding maps, and the EXTERNAL /
+BYTE_ARRAY_STOP / BYTE_ARRAY_LEN / zero-bit-HUFFMAN codecs.
+
+Scope: demultiplexer traffic — unmapped, detached records (BAM flag 0x4
+set, refID/pos -1), which is exactly what this framework and the
+reference emit. The writer stores every data series in EXTERNAL blocks
+(gzip-compressed), read names preserved, qualities always stored; the
+reader additionally understands bzip2/lzma block compression and
+zero-length Huffman codes, and rejects mapped records and core-stream
+bit codecs explicitly. Validated by round-trip against the BAM codec
+(tests/test_cram.py); no htslib is available in this environment for
+cross-validation.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+
+import numpy as np
+
+from ..errors import IOError_
+
+#: unsupported CRAM structures are I/O errors (exit 6), matching the
+#: reference's htslib failure surface
+UnsupportedError = IOError_
+from ..iupac import ASCII_TO_BAM, BAM_TO_ASCII
+from .hts import HtsRecord, _parse_bam_aux, encode_bam_aux
+
+CRAM_MAGIC = b"CRAM"
+VERSION = (3, 0)
+
+# block compression methods
+RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
+# block content types
+FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, EXTERNAL, CORE = 0, 1, 2, 4, 5
+# encoding codec ids
+E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN, E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP = (
+    0, 1, 2, 3, 4, 5,
+)
+# CRAM record flags (CF series)
+CF_QUALITY, CF_DETACHED, CF_MATE_DOWNSTREAM, CF_NO_SEQ = 1, 2, 4, 8
+# BAM flags
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_MATE_REVERSED = 0x20
+
+#: the fixed 38-byte CRAM v3 end-of-file container
+EOF_CONTAINER = bytes.fromhex(
+    "0f000000ffffffff0fe0454f460000000001000"
+    "5bdd94f0001000606010001000100ee63014b"
+)
+
+# --- varints ---------------------------------------------------------------
+
+
+def itf8_put(value: int) -> bytes:
+    """ITF-8: prefix-coded int32 (CRAMv3 §2.3); negative values encode as
+    their unsigned 32-bit pattern."""
+    v = value & 0xFFFFFFFF
+    if v < 0x80:
+        return bytes((v,))
+    if v < 0x4000:
+        return bytes((0x80 | (v >> 8), v & 0xFF))
+    if v < 0x200000:
+        return bytes((0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF))
+    if v < 0x10000000:
+        return bytes(
+            (0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+        )
+    # 5 bytes: the final byte carries only the low 4 bits
+    return bytes(
+        (
+            0xF0 | ((v >> 28) & 0x0F),
+            (v >> 20) & 0xFF,
+            (v >> 12) & 0xFF,
+            (v >> 4) & 0xFF,
+            v & 0x0F,
+        )
+    )
+
+
+def itf8_get(buf, offset: int) -> tuple[int, int]:
+    b0 = buf[offset]
+    if b0 < 0x80:
+        v, offset = b0, offset + 1
+    elif b0 < 0xC0:
+        v = ((b0 & 0x3F) << 8) | buf[offset + 1]
+        offset += 2
+    elif b0 < 0xE0:
+        v = ((b0 & 0x1F) << 16) | (buf[offset + 1] << 8) | buf[offset + 2]
+        offset += 3
+    elif b0 < 0xF0:
+        v = (
+            ((b0 & 0x0F) << 24)
+            | (buf[offset + 1] << 16)
+            | (buf[offset + 2] << 8)
+            | buf[offset + 3]
+        )
+        offset += 4
+    else:
+        v = (
+            ((b0 & 0x0F) << 28)
+            | (buf[offset + 1] << 20)
+            | (buf[offset + 2] << 12)
+            | (buf[offset + 3] << 4)
+            | (buf[offset + 4] & 0x0F)
+        )
+        offset += 5
+    if v > 0x7FFFFFFF:
+        v -= 0x100000000
+    return v, offset
+
+
+def ltf8_put(value: int) -> bytes:
+    """LTF-8: prefix-coded int64 (CRAMv3 §2.3); full trailing bytes."""
+    v = value & 0xFFFFFFFFFFFFFFFF
+    for extra in range(8):
+        if v < (1 << (7 * (extra + 1))):
+            prefix = (0xFF00 >> extra) & 0xFF
+            out = bytearray(extra + 1)
+            out[0] = prefix | (v >> (8 * extra))
+            for i in range(extra):
+                out[1 + i] = (v >> (8 * (extra - 1 - i))) & 0xFF
+            return bytes(out)
+    return b"\xff" + v.to_bytes(8, "big")
+
+
+def ltf8_get(buf, offset: int) -> tuple[int, int]:
+    b0 = buf[offset]
+    extra = 0
+    while extra < 8 and (b0 << extra) & 0x80:
+        extra += 1
+    if extra == 8:
+        v = int.from_bytes(buf[offset + 1 : offset + 9], "big")
+        offset += 9
+    else:
+        v = b0 & (0xFF >> (extra + 1)) if extra < 7 else 0
+        for i in range(extra):
+            v = (v << 8) | buf[offset + 1 + i]
+        offset += extra + 1
+    if v > 0x7FFFFFFFFFFFFFFF:
+        v -= 0x10000000000000000
+    return v, offset
+
+
+# --- blocks ----------------------------------------------------------------
+
+
+def write_block(method: int, content_type: int, content_id: int, raw: bytes,
+                level: int = 5) -> bytes:
+    if method == GZIP:
+        data = gzip.compress(raw, compresslevel=level)
+        if len(data) >= len(raw):
+            method, data = RAW, raw
+    else:
+        data = raw
+    body = (
+        bytes((method, content_type))
+        + itf8_put(content_id)
+        + itf8_put(len(data))
+        + itf8_put(len(raw))
+        + data
+    )
+    return body + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+
+
+def read_block(buf, offset: int):
+    """-> (content_type, content_id, raw_bytes, next_offset)."""
+    method = buf[offset]
+    content_type = buf[offset + 1]
+    content_id, offset2 = itf8_get(buf, offset + 2)
+    csize, offset2 = itf8_get(buf, offset2)
+    rsize, offset2 = itf8_get(buf, offset2)
+    data = bytes(buf[offset2 : offset2 + csize])
+    body_end = offset2 + csize
+    (crc,) = struct.unpack_from("<I", buf, body_end)
+    if crc != zlib.crc32(bytes(buf[offset:body_end])) & 0xFFFFFFFF:
+        raise IOError_("CRAM block CRC mismatch")
+    if method == RAW:
+        raw = data
+    elif method == GZIP:
+        raw = gzip.decompress(data)
+    elif method == BZIP2:
+        import bz2
+
+        raw = bz2.decompress(data)
+    elif method == LZMA:
+        import lzma
+
+        raw = lzma.decompress(data)
+    else:
+        raise UnsupportedError(
+            f"CRAM block compression method {method} (rANS) not supported"
+        )
+    if len(raw) != rsize:
+        raise IOError_("CRAM block size mismatch")
+    return content_type, content_id, raw, body_end + 4
+
+
+# --- encodings -------------------------------------------------------------
+
+
+def _encoding(codec: int, params: bytes) -> bytes:
+    return itf8_put(codec) + itf8_put(len(params)) + params
+
+
+def _external(content_id: int) -> bytes:
+    return _encoding(E_EXTERNAL, itf8_put(content_id))
+
+
+def _byte_array_stop(stop: int, content_id: int) -> bytes:
+    return _encoding(E_BYTE_ARRAY_STOP, bytes((stop,)) + itf8_put(content_id))
+
+
+def _byte_array_len(content_id: int) -> bytes:
+    """Length and value both EXTERNAL to the same block: the stream
+    interleaves ITF-8 length then value bytes per item."""
+    return _encoding(
+        E_BYTE_ARRAY_LEN, _external(content_id) + _external(content_id)
+    )
+
+
+class _Decoder:
+    """One parsed encoding; decodes values from external streams."""
+
+    def __init__(self, codec: int, params: bytes):
+        self.codec = codec
+        offset = 0
+        if codec == E_EXTERNAL:
+            self.content_id, _ = itf8_get(params, 0)
+        elif codec == E_BYTE_ARRAY_STOP:
+            self.stop = params[0]
+            self.content_id, _ = itf8_get(params, 1)
+        elif codec == E_BYTE_ARRAY_LEN:
+            len_codec, offset = itf8_get(params, 0)
+            size, offset = itf8_get(params, offset)
+            self.len_decoder = _Decoder(
+                len_codec, params[offset : offset + size]
+            )
+            offset += size
+            val_codec, offset = itf8_get(params, offset)
+            size, offset = itf8_get(params, offset)
+            self.val_decoder = _Decoder(
+                val_codec, params[offset : offset + size]
+            )
+        elif codec == E_HUFFMAN:
+            count, offset = itf8_get(params, 0)
+            alphabet = []
+            for _ in range(count):
+                symbol, offset = itf8_get(params, offset)
+                alphabet.append(symbol)
+            count2, offset = itf8_get(params, offset)
+            lengths = []
+            for _ in range(count2):
+                length, offset = itf8_get(params, offset)
+                lengths.append(length)
+            if len(alphabet) != 1 or lengths != [0]:
+                raise UnsupportedError(
+                    "CRAM core-stream Huffman codes not supported"
+                )
+            self.symbol = alphabet[0]
+        else:
+            raise UnsupportedError(f"CRAM encoding codec {codec} not supported")
+
+    def read_int(self, streams) -> int:
+        if self.codec == E_HUFFMAN:
+            return self.symbol
+        if self.codec == E_EXTERNAL:
+            buf, offset = streams[self.content_id]
+            value, offset = itf8_get(buf, offset)
+            streams[self.content_id][1] = offset
+            return value
+        raise UnsupportedError(f"integer read from codec {self.codec}")
+
+    def read_bytes(self, streams, count: int) -> bytes:
+        buf, offset = streams[self.content_id]
+        out = bytes(buf[offset : offset + count])
+        streams[self.content_id][1] = offset + count
+        return out
+
+    def read_array(self, streams) -> bytes:
+        if self.codec == E_BYTE_ARRAY_STOP:
+            buf, offset = streams[self.content_id]
+            end = buf.index(self.stop, offset)
+            out = bytes(buf[offset:end])
+            streams[self.content_id][1] = end + 1
+            return out
+        if self.codec == E_BYTE_ARRAY_LEN:
+            count = self.len_decoder.read_int(streams)
+            return self.val_decoder.read_bytes(streams, count)
+        raise UnsupportedError(f"byte-array read from codec {self.codec}")
+
+
+# --- maps ------------------------------------------------------------------
+
+
+def _sized_map(entries: list[bytes], count: int) -> bytes:
+    body = itf8_put(count) + b"".join(entries)
+    return itf8_put(len(body)) + body
+
+
+# external content ids for the fixed data series
+CID = {
+    "BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "MF": 6, "RN": 7,
+    "NS": 8, "NP": 9, "TS": 10, "TL": 11, "BA": 12, "QS": 13,
+}
+TAG_CID_BASE = 32
+
+#: integer-valued data series (ITF-8 in their external streams)
+INT_SERIES = (
+    "BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "NF", "TL",
+)
+
+
+class CramWriter:
+    """BamWriter-compatible CRAM emitter (write_record / close)."""
+
+    RECORDS_PER_SLICE = 4096
+
+    def __init__(self, stream, header_text: str, level: int = 5,
+                 threads: int = 1):
+        # `threads` accepted for interface parity; block compression is
+        # cheap enough inline (one gzip call per series per slice)
+        self.stream = stream
+        self.level = max(int(level), 1)
+        self.record_counter = 0
+        self.pending: list[tuple] = []
+        self.rg_index: dict[str, int] = {}
+        for line in header_text.splitlines():
+            if line.startswith("@RG"):
+                for field in line.split("\t")[1:]:
+                    if field.startswith("ID:"):
+                        self.rg_index.setdefault(field[3:], len(self.rg_index))
+        self._write_file_definition()
+        self._write_header_container(header_text)
+
+    def _write_file_definition(self):
+        file_id = b"pheniqs-tpu-cram".ljust(20, b"\x00")[:20]
+        self.stream.write(CRAM_MAGIC + bytes(VERSION) + file_id)
+
+    def _container(self, ref_id: int, n_records: int, bases: int,
+                   blocks: list[bytes], landmarks: list[int]):
+        data = b"".join(blocks)
+        header = (
+            struct.pack("<i", len(data))
+            + itf8_put(ref_id)
+            + itf8_put(0)                 # starting position
+            + itf8_put(0)                 # alignment span
+            + itf8_put(n_records)
+            + ltf8_put(self.record_counter)
+            + ltf8_put(bases)
+            + itf8_put(len(blocks))
+            + itf8_put(len(landmarks))
+            + b"".join(itf8_put(mark) for mark in landmarks)
+        )
+        header += struct.pack("<I", zlib.crc32(header) & 0xFFFFFFFF)
+        self.stream.write(header + data)
+
+    def _write_header_container(self, header_text: str):
+        text = header_text.encode()
+        raw = struct.pack("<i", len(text)) + text
+        block = write_block(GZIP, FILE_HEADER, 0, raw, self.level)
+        self._container(0, 0, 0, [block], [])
+
+    # --- record intake ----------------------------------------------------
+    def write_record(self, name: str, flag: int, code: np.ndarray,
+                     quality: np.ndarray, length: int, tags):
+        l_seq = max(int(length), 0)
+        bases = BAM_TO_ASCII[
+            np.asarray(code[:l_seq], dtype=np.uint8) & 0xF
+        ].tobytes()
+        quals = np.asarray(quality[:l_seq], dtype=np.uint8).tobytes()
+        aux = encode_bam_aux(tags)
+        rg = self.rg_index.get(tags.RG, -1) if tags.RG else -1
+        self.pending.append((name.encode(), int(flag) | FLAG_UNMAPPED,
+                             l_seq, bases, quals, aux, rg))
+        if len(self.pending) >= self.RECORDS_PER_SLICE:
+            self.flush()
+
+    @staticmethod
+    def _split_aux(aux: bytes):
+        """BAM aux block -> [(key3, value_bytes)], RG excluded (it rides
+        the dedicated RG data series, CRAMv3 §8.4)."""
+        out = []
+        offset = 0
+        while offset + 3 <= len(aux):
+            key = aux[offset : offset + 3]
+            kind = chr(aux[offset + 2])
+            offset += 3
+            if kind in "ZH":
+                end = aux.index(0, offset)
+                value = aux[offset : end + 1]
+                offset = end + 1
+            elif kind == "A" or kind in "cC":
+                value = aux[offset : offset + 1]
+                offset += 1
+            elif kind in "sS":
+                value = aux[offset : offset + 2]
+                offset += 2
+            elif kind in "iIf":
+                value = aux[offset : offset + 4]
+                offset += 4
+            else:
+                raise UnsupportedError(f"CRAM writer: aux type {kind}")
+            if key[:2] != b"RG":
+                out.append((bytes(key), value))
+        return out
+
+    # --- container emission ----------------------------------------------
+    def flush(self):
+        if not self.pending:
+            return
+        records = self.pending
+        self.pending = []
+
+        streams: dict[int, bytearray] = {cid: bytearray() for cid in CID.values()}
+        tag_cids: dict[bytes, int] = {}
+        tag_lines: dict[bytes, int] = {}
+        td = bytearray()
+        base_count = 0
+
+        parsed = []
+        for name, flag, l_seq, bases, quals, aux, rg in records:
+            tags = self._split_aux(aux)
+            line = b"".join(key for key, _ in tags)
+            if line not in tag_lines:
+                tag_lines[line] = len(tag_lines)
+                td += line + b"\x00"
+                for key, _ in tags:
+                    if key not in tag_cids:
+                        tag_cids[key] = TAG_CID_BASE + len(tag_cids)
+                        streams[tag_cids[key]] = bytearray()
+            parsed.append((name, flag, l_seq, bases, quals, tags,
+                           tag_lines[line], rg))
+            base_count += l_seq
+
+        for name, flag, l_seq, bases, quals, tags, tl, rg in parsed:
+            streams[CID["BF"]] += itf8_put(flag)
+            streams[CID["CF"]] += itf8_put(CF_QUALITY | CF_DETACHED)
+            streams[CID["RL"]] += itf8_put(l_seq)
+            streams[CID["AP"]] += itf8_put(0)
+            streams[CID["RG"]] += itf8_put(rg)
+            streams[CID["RN"]] += name + b"\x00"
+            mf = (1 if flag & FLAG_MATE_REVERSED else 0) | (
+                2 if flag & FLAG_MATE_UNMAPPED else 0
+            )
+            streams[CID["MF"]] += itf8_put(mf)
+            streams[CID["NS"]] += itf8_put(-1)
+            streams[CID["NP"]] += itf8_put(0)
+            streams[CID["TS"]] += itf8_put(0)
+            streams[CID["TL"]] += itf8_put(tl)
+            for key, value in tags:
+                streams[tag_cids[key]] += itf8_put(len(value)) + value
+            streams[CID["BA"]] += bases
+            streams[CID["QS"]] += quals
+
+        # compression header
+        preservation = _sized_map(
+            [
+                b"RN\x01",          # read names preserved
+                b"AP\x00",          # no AP delta
+                b"RR\x00",          # no reference required
+                b"SM" + bytes(5),   # substitution matrix (unused, unmapped)
+                b"TD" + itf8_put(len(td)) + bytes(td),
+            ],
+            5,
+        )
+        series = [
+            (b"BF", _external(CID["BF"])),
+            (b"CF", _external(CID["CF"])),
+            (b"RL", _external(CID["RL"])),
+            (b"AP", _external(CID["AP"])),
+            (b"RG", _external(CID["RG"])),
+            (b"RN", _byte_array_stop(0, CID["RN"])),
+            (b"MF", _external(CID["MF"])),
+            (b"NS", _external(CID["NS"])),
+            (b"NP", _external(CID["NP"])),
+            (b"TS", _external(CID["TS"])),
+            (b"TL", _external(CID["TL"])),
+            (b"BA", _external(CID["BA"])),
+            (b"QS", _external(CID["QS"])),
+        ]
+        series_map = _sized_map(
+            [key + enc for key, enc in series], len(series)
+        )
+        tag_map = _sized_map(
+            [
+                itf8_put((key[0] << 16) | (key[1] << 8) | key[2])
+                + _byte_array_len(cid)
+                for key, cid in tag_cids.items()
+            ],
+            len(tag_cids),
+        )
+        compression_block = write_block(
+            GZIP, COMPRESSION_HEADER, 0,
+            preservation + series_map + tag_map, self.level,
+        )
+
+        # slice
+        external_ids = [cid for cid, s in streams.items() if len(s) > 0]
+        data_blocks = [write_block(RAW, CORE, 0, b"")]
+        data_blocks += [
+            write_block(GZIP, EXTERNAL, cid, bytes(streams[cid]), self.level)
+            for cid in external_ids
+        ]
+        slice_header = (
+            itf8_put(-1)                      # unmapped
+            + itf8_put(0)                     # alignment start
+            + itf8_put(0)                     # alignment span
+            + itf8_put(len(records))
+            + ltf8_put(self.record_counter)
+            + itf8_put(len(data_blocks))
+            + itf8_put(len(external_ids))
+            + b"".join(itf8_put(cid) for cid in external_ids)
+            + itf8_put(-1)                    # no embedded reference
+            + bytes(16)                       # MD5 (no reference)
+        )
+        slice_block = write_block(RAW, SLICE_HEADER, 0, slice_header)
+
+        blocks = [compression_block, slice_block] + data_blocks
+        self._container(
+            -1, len(records), base_count, blocks, [len(compression_block)]
+        )
+        self.record_counter += len(records)
+
+    def close(self):
+        self.flush()
+        self.stream.write(EOF_CONTAINER)
+        self.stream.flush()
+
+
+# --- reader ----------------------------------------------------------------
+
+
+def _parse_container_header(buf, offset):
+    (length,) = struct.unpack_from("<i", buf, offset)
+    start = offset
+    offset += 4
+    ref_id, offset = itf8_get(buf, offset)
+    _start, offset = itf8_get(buf, offset)
+    _span, offset = itf8_get(buf, offset)
+    n_records, offset = itf8_get(buf, offset)
+    _counter, offset = ltf8_get(buf, offset)
+    _bases, offset = ltf8_get(buf, offset)
+    n_blocks, offset = itf8_get(buf, offset)
+    n_landmarks, offset = itf8_get(buf, offset)
+    for _ in range(n_landmarks):
+        _, offset = itf8_get(buf, offset)
+    (crc,) = struct.unpack_from("<I", buf, offset)
+    if crc != zlib.crc32(bytes(buf[start:offset])) & 0xFFFFFFFF:
+        raise IOError_("CRAM container header CRC mismatch")
+    offset += 4
+    return ref_id, n_records, n_blocks, length, offset
+
+
+def _parse_map(buf):
+    """-> list of (key_bytes_or_int, remainder_parser_position) helpers."""
+    size, offset = itf8_get(buf, 0)
+    count, offset = itf8_get(buf, offset)
+    return count, offset
+
+
+def _parse_compression_header(raw: bytes):
+    # preservation map
+    rn_preserved = True
+    td: list[list[bytes]] = [[]]
+    size, offset = itf8_get(raw, 0)
+    end = offset + size
+    count, offset = itf8_get(raw, offset)
+    for _ in range(count):
+        key = raw[offset : offset + 2]
+        offset += 2
+        if key in (b"RN", b"AP", b"RR"):
+            value = raw[offset]
+            offset += 1
+            if key == b"RN":
+                rn_preserved = bool(value)
+        elif key == b"SM":
+            offset += 5
+        elif key == b"TD":
+            n, offset = itf8_get(raw, offset)
+            blob = raw[offset : offset + n]
+            offset += n
+            td = [
+                [line[i : i + 3] for i in range(0, len(line), 3)]
+                for line in blob.split(b"\x00")[:-1]
+            ] or [[]]
+        else:
+            raise UnsupportedError(f"CRAM preservation key {key!r}")
+    offset = end
+
+    def parse_encoding(buf, offset):
+        codec, offset = itf8_get(buf, offset)
+        size, offset = itf8_get(buf, offset)
+        params = buf[offset : offset + size]
+        return _Decoder(codec, params), offset + size
+
+    series: dict[bytes, _Decoder] = {}
+    size, o2 = itf8_get(raw, offset)
+    end = o2 + size
+    count, o2 = itf8_get(raw, o2)
+    for _ in range(count):
+        key = bytes(raw[o2 : o2 + 2])
+        o2 += 2
+        decoder, o2 = parse_encoding(raw, o2)
+        series[key] = decoder
+    offset = end
+
+    tag_decoders: dict[int, _Decoder] = {}
+    size, o2 = itf8_get(raw, offset)
+    count, o2 = itf8_get(raw, o2)
+    for _ in range(count):
+        key, o2 = itf8_get(raw, o2)
+        decoder, o2 = parse_encoding(raw, o2)
+        tag_decoders[key] = decoder
+    return rn_preserved, td, series, tag_decoders
+
+
+def _parse_slice_header(raw: bytes):
+    offset = 0
+    ref_id, offset = itf8_get(raw, offset)
+    _start, offset = itf8_get(raw, offset)
+    _span, offset = itf8_get(raw, offset)
+    n_records, offset = itf8_get(raw, offset)
+    _counter, offset = ltf8_get(raw, offset)
+    n_blocks, offset = itf8_get(raw, offset)
+    n_ids, offset = itf8_get(raw, offset)
+    for _ in range(n_ids):
+        _, offset = itf8_get(raw, offset)
+    return ref_id, n_records, n_blocks
+
+
+def read_cram(path: str):
+    """Yield HtsRecord from a CRAM 3.x file of unmapped records."""
+    with open(path, "rb") as stream:
+        buf = stream.read()
+    if buf[:4] != CRAM_MAGIC:
+        raise IOError_(f"{path} is not a CRAM file")
+    if buf[4] != 3:
+        raise UnsupportedError(f"CRAM major version {buf[4]} not supported")
+    offset = 26
+    rg_ids: list[str] = []
+    first = True
+    while offset < len(buf):
+        ref_id, n_records, n_blocks, length, offset = _parse_container_header(
+            buf, offset
+        )
+        container_end = offset + length
+        if first:
+            content_type, _, raw, offset = read_block(buf, offset)
+            if content_type != FILE_HEADER:
+                raise IOError_("CRAM: first block is not the SAM header")
+            (l_text,) = struct.unpack_from("<i", raw, 0)
+            header_text = raw[4 : 4 + l_text].decode()
+            for line in header_text.splitlines():
+                if line.startswith("@RG"):
+                    for field in line.split("\t")[1:]:
+                        if field.startswith("ID:"):
+                            rg_ids.append(field[3:])
+            offset = container_end
+            first = False
+            continue
+        if n_records == 0:
+            # EOF container (or an empty one): skip its blocks
+            offset = container_end
+            continue
+
+        content_type, _, raw, offset = read_block(buf, offset)
+        if content_type != COMPRESSION_HEADER:
+            raise IOError_("CRAM: expected compression header block")
+        rn_preserved, td, series, tag_decoders = _parse_compression_header(raw)
+
+        remaining = n_records
+        while remaining > 0 and offset < container_end:
+            content_type, _, raw, offset = read_block(buf, offset)
+            if content_type != SLICE_HEADER:
+                raise IOError_("CRAM: expected slice header block")
+            slice_ref, slice_records, slice_blocks = _parse_slice_header(raw)
+            streams: dict[int, list] = {}
+            for _ in range(slice_blocks):
+                content_type, cid, raw, offset = read_block(buf, offset)
+                if content_type == EXTERNAL:
+                    streams[cid] = [raw, 0]
+                elif content_type == CORE and len(raw) > 0:
+                    raise UnsupportedError(
+                        "CRAM core-stream bit codecs not supported"
+                    )
+            yield from _decode_slice(
+                series, tag_decoders, td, streams, slice_records,
+                slice_ref, rn_preserved, rg_ids,
+            )
+            remaining -= slice_records
+        offset = container_end
+
+
+def _decode_slice(series, tag_decoders, td, streams, n_records, slice_ref,
+                  rn_preserved, rg_ids):
+    def read_int(key: bytes) -> int:
+        return series[key].read_int(streams)
+
+    for _ in range(n_records):
+        bf = read_int(b"BF")
+        cf = read_int(b"CF")
+        if slice_ref == -2:
+            read_int(b"RI")
+        rl = read_int(b"RL")
+        read_int(b"AP")
+        rg = read_int(b"RG")
+        name = series[b"RN"].read_array(streams) if rn_preserved else b""
+        if cf & CF_DETACHED:
+            mf = read_int(b"MF")
+            if not rn_preserved:
+                name = series[b"RN"].read_array(streams)
+            read_int(b"NS")
+            read_int(b"NP")
+            read_int(b"TS")
+            if mf & 1:
+                bf |= FLAG_MATE_REVERSED
+            if mf & 2:
+                bf |= FLAG_MATE_UNMAPPED
+        elif cf & CF_MATE_DOWNSTREAM:
+            read_int(b"NF")
+        tl = read_int(b"TL")
+        aux: dict = {}
+        for key in td[tl]:
+            raw_value = tag_decoders[
+                (key[0] << 16) | (key[1] << 8) | key[2]
+            ].read_array(streams)
+            aux[key[:2].decode()] = _decode_tag_value(chr(key[2]), raw_value)
+        if 0 <= rg < len(rg_ids):
+            aux["RG"] = rg_ids[rg]
+        if not bf & FLAG_UNMAPPED:
+            raise UnsupportedError(
+                "mapped CRAM records not supported (demultiplexer traffic "
+                "is unmapped)"
+            )
+        if cf & CF_NO_SEQ:
+            code = np.zeros(rl, dtype=np.uint8)
+            quality = np.zeros(rl, dtype=np.uint8)
+        else:
+            bases = series[b"BA"].read_bytes(streams, rl)
+            code = ASCII_TO_BAM[np.frombuffer(bases, dtype=np.uint8)].copy()
+            if cf & CF_QUALITY:
+                quality = np.frombuffer(
+                    series[b"QS"].read_bytes(streams, rl), dtype=np.uint8
+                ).copy()
+            else:
+                quality = np.zeros(rl, dtype=np.uint8)
+        yield HtsRecord(bytes(name), bf, code, quality, aux)
+
+
+def _decode_tag_value(kind: str, raw: bytes):
+    if kind in "ZH":
+        return raw.rstrip(b"\x00").decode()
+    if kind == "A":
+        return chr(raw[0])
+    if kind == "c":
+        return struct.unpack("<b", raw)[0]
+    if kind == "C":
+        return raw[0]
+    if kind == "s":
+        return struct.unpack("<h", raw)[0]
+    if kind == "S":
+        return struct.unpack("<H", raw)[0]
+    if kind == "i":
+        return struct.unpack("<i", raw)[0]
+    if kind == "I":
+        return struct.unpack("<I", raw)[0]
+    if kind == "f":
+        return struct.unpack("<f", raw)[0]
+    raise UnsupportedError(f"CRAM tag type {kind}")

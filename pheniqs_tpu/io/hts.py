@@ -4,8 +4,8 @@ Pure-Python/NumPy implementations of the formats the reference reaches
 through htslib (reference hts.h:42-299): BGZF block compression (gzip
 members with the BC extra field + the 28-byte EOF marker), the BAM binary
 record codec (4-bit packed sequence, typed aux block), and SAM text
-parsing. CRAM requires htslib's codec stack and is explicitly gated with
-an UnsupportedError.
+parsing. CRAM 3.0 lives in the sibling ``cram`` module and plugs in via
+``hts_record_reader``.
 
 Reads produced by this framework are unaligned: refID/pos are -1, mapq 0,
 no CIGAR, bin fixed at 4680 (reg2bin of an unplaced interval).
@@ -405,6 +405,17 @@ def read_sam(path: str):
         stream.close()
 
 
+def hts_record_reader(path: str, format_type: str):
+    """Record iterator for any HTS container format (sam/bam/cram)."""
+    if format_type == "bam":
+        return read_bam(path)
+    if format_type == "cram":
+        from .cram import read_cram
+
+        return read_cram(path)
+    return read_sam(path)
+
+
 def hts_read_batches(path: str, format_type: str, batch_size: int):
     """Assemble ReadBatches from an interleaved SAM/BAM feed: consecutive
     records sharing a name form one read (reference hts.h sensing +
@@ -412,7 +423,7 @@ def hts_read_batches(path: str, format_type: str, batch_size: int):
     from ..model.batch import ReadBatch
     from ..transform import SegmentBatch
 
-    reader = read_bam(path) if format_type == "bam" else read_sam(path)
+    reader = hts_record_reader(path, format_type)
     pending: list[list[HtsRecord]] = []
     current: list[HtsRecord] = []
 

@@ -1,0 +1,164 @@
+"""CRAM 3.0 codec: round-trip equivalence against the BAM codec, varint
+edge cases, and the end-to-end demux --output x.cram path."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pheniqs_tpu.io.cram import (
+    CramWriter,
+    itf8_get,
+    itf8_put,
+    ltf8_get,
+    ltf8_put,
+    read_cram,
+)
+from pheniqs_tpu.io.hts import BamWriter, read_bam
+from pheniqs_tpu.io.sam import AuxTags
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize(
+    "value",
+    [0, 1, 127, 128, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000, 0xFFFFFFF,
+     0x10000000, 0x7FFFFFFF, -1, -2, -2147483648],
+)
+def test_itf8_round_trip(value):
+    encoded = itf8_put(value)
+    decoded, offset = itf8_get(encoded, 0)
+    assert decoded == value
+    assert offset == len(encoded)
+
+
+@pytest.mark.parametrize(
+    "value",
+    [0, 1, 127, 128, 0x3FFF, 1 << 20, 1 << 34, 1 << 48, (1 << 55) - 1,
+     1 << 55, (1 << 62)],
+)
+def test_ltf8_round_trip(value):
+    encoded = ltf8_put(value)
+    decoded, offset = ltf8_get(encoded, 0)
+    assert decoded == value
+    assert offset == len(encoded)
+
+
+HEADER = (
+    "@HD\tVN:1.0\tSO:unknown\tGO:query\n"
+    "@RG\tID:BDGGG:1:AGGCATG\tPU:BDGGG:1:AGGCATG\tSM:one\n"
+    "@RG\tID:undetermined\tPU:undetermined\n"
+)
+
+
+def synthetic_records(n, seed=7):
+    rng = np.random.default_rng(seed)
+    codes = np.array([1, 2, 4, 8, 15], dtype=np.uint8)
+    records = []
+    for i in range(n):
+        length = int(rng.integers(0, 40)) if i % 17 == 0 else int(
+            rng.integers(20, 60)
+        )
+        code = codes[rng.integers(len(codes), size=length)]
+        qual = rng.integers(2, 42, size=length).astype(np.uint8)
+        tags = AuxTags()
+        tags.RG = "BDGGG:1:AGGCATG" if i % 3 else "undetermined"
+        tags.BC = "AGGCATG"
+        tags.QT = "IIIIIII"
+        if i % 3 == 0:
+            tags.XB = 0.125 + i / 1000.0
+        if i % 5 == 0:
+            tags.RX = "ACGT"
+            tags.QX = "IIII"
+        if i % 7 == 0:
+            tags.FI = (i % 3) + 1
+            tags.TC = 3
+        flag = 0x4D if i % 2 else 0x8E  # paired/first vs last/mate-unmapped
+        flag |= 0x200 if i % 11 == 0 else 0
+        records.append((f"read{i}", flag, code, qual, length, tags))
+    return records
+
+
+def test_cram_round_trip_matches_bam(tmp_path):
+    """Writing the same records through the CRAM and BAM codecs and
+    reading both back must produce identical HtsRecords."""
+    records = synthetic_records(900)  # spans >1 slice (RECORDS_PER_SLICE//...)
+    cram_path = tmp_path / "x.cram"
+    bam_path = tmp_path / "x.bam"
+    with open(cram_path, "wb") as stream:
+        writer = CramWriter(stream, HEADER, level=5)
+        writer.RECORDS_PER_SLICE = 256  # force multiple containers
+        for record in records:
+            writer.write_record(*record)
+        writer.close()
+    with open(bam_path, "wb") as stream:
+        writer = BamWriter(stream, HEADER, 5)
+        for record in records:
+            writer.write_record(*record)
+        writer.close()
+
+    got = list(read_cram(str(cram_path)))
+    want = list(read_bam(str(bam_path)))
+    assert len(got) == len(want) == len(records)
+    for mine, theirs in zip(got, want):
+        assert mine.name == theirs.name
+        assert mine.flag == (theirs.flag | 0x4)
+        np.testing.assert_array_equal(mine.code, theirs.code)
+        np.testing.assert_array_equal(mine.quality, theirs.quality)
+        assert mine.aux == theirs.aux
+
+
+def run_mux(cwd, args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
+    )
+
+
+def test_demux_cram_output_and_input(reference_root, tmp_path):
+    """--output x.cram carries the same records as --output x.bam, and the
+    CRAM file feeds back in as interleaved input for a passthrough run."""
+    out_cram = tmp_path / "out.cram"
+    out_bam = tmp_path / "out.bam"
+    for out in (out_cram, out_bam):
+        result = run_mux(
+            reference_root,
+            ["--config", "test/BDGGG/BDGGG_annotated.json", "--precision", "15",
+             "--output", str(out), "--report", "/dev/null"],
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+
+    got = list(read_cram(str(out_cram)))
+    want = list(read_bam(str(out_bam)))
+    assert len(got) == len(want) > 0
+    for mine, theirs in zip(got, want):
+        assert mine.name == theirs.name
+        assert mine.flag == theirs.flag  # demux output always sets 0x4
+        np.testing.assert_array_equal(mine.code, theirs.code)
+        np.testing.assert_array_equal(mine.quality, theirs.quality)
+        assert mine.aux == theirs.aux
+
+    # feed the CRAM back in: passthrough re-emission to SAM must carry
+    # every record through the HTS input path
+    config = {
+        "input": [str(out_cram)],
+        "template": {"transform": {"token": ["0::"]}},
+        "output": [str(tmp_path / "echo.sam")],
+        "report url": "/dev/null",
+    }
+    path = tmp_path / "echo.json"
+    path.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(path)])
+    assert result.returncode == 0, result.stderr[-2000:]
+    lines = [
+        line for line in open(tmp_path / "echo.sam")
+        if line.strip() and not line.startswith("@")
+    ]
+    assert len(lines) == len(got)
