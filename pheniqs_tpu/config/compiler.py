@@ -21,7 +21,7 @@ from ..errors import (
     ConfigurationError,
     InternalError,
 )
-from ..transform import Rule, Token
+from ..transform import Rule
 from .jsonkit import (
     clean_json,
     clean_json_object,

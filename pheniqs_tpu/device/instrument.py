@@ -30,7 +30,7 @@ Per-read Hamming/high-quality distances are then computed only against the
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ from __future__ import annotations
 import sys
 
 from ..config.url import URL
-from ..errors import ConfigurationError
 from ..io.sam import (
     FLAG_QCFAIL,
     bam_codes_to_ascii,

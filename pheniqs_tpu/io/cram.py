@@ -32,7 +32,7 @@ from ..errors import IOError_
 #: reference's htslib failure surface
 UnsupportedError = IOError_
 from ..iupac import ASCII_TO_BAM, BAM_TO_ASCII
-from .hts import HtsRecord, _parse_bam_aux, encode_bam_aux
+from .hts import HtsRecord, encode_bam_aux
 
 CRAM_MAGIC = b"CRAM"
 VERSION = (3, 0)

@@ -11,7 +11,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from pheniqs_tpu.decode.oracle import mdd_classify, pamld_classify
 from pheniqs_tpu.decode.spec import spec_from_ontology
@@ -23,7 +23,7 @@ from pheniqs_tpu.device.classify import (
 )
 from pheniqs_tpu.device.step import make_decode_step, make_sharded_decode_step, pad_batch
 from pheniqs_tpu.iupac import encode_ascii
-from pheniqs_tpu.transform import Rule, SegmentBatch
+from pheniqs_tpu.transform import SegmentBatch
 
 BASES = "ACGT"
 

@@ -2,7 +2,6 @@
 BAM/SAM input, FASTQ output with reconstructed Illumina comment."""
 
 import gzip
-import io
 import os
 import subprocess
 import sys

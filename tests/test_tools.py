@@ -1,7 +1,6 @@
 """Companion tools vs the reference goldens (reference test/api/*)."""
 
 import os
-import shutil
 import subprocess
 import sys
 
