@@ -160,6 +160,13 @@ def write_block(method: int, content_type: int, content_id: int, raw: bytes,
         data = gzip.compress(raw, compresslevel=level)
         if len(data) >= len(raw):
             method, data = RAW, raw
+    elif method == RANS:
+        from .rans import rans_compress
+
+        # order-1 (previous byte context) suits base/quality series
+        data = rans_compress(raw, order=1)
+        if len(data) >= len(raw):
+            method, data = RAW, raw
     else:
         data = raw
     body = (
@@ -196,9 +203,13 @@ def read_block(buf, offset: int):
         import lzma
 
         raw = lzma.decompress(data)
+    elif method == RANS:
+        from .rans import rans_uncompress
+
+        raw = rans_uncompress(data)
     else:
         raise UnsupportedError(
-            f"CRAM block compression method {method} (rANS) not supported"
+            f"CRAM block compression method {method} not supported"
         )
     if len(raw) != rsize:
         raise IOError_("CRAM block size mismatch")
@@ -507,8 +518,18 @@ class CramWriter:
         # slice
         external_ids = [cid for cid, s in streams.items() if len(s) > 0]
         data_blocks = [write_block(RAW, CORE, 0, b"")]
+        # base/quality series compress best under rANS order-1 (the htslib
+        # default for these blocks); opt-in — the pure-Python coder runs at
+        # ~1 MB/s, gzip is the fast default
+        import os
+
+        use_rans = os.environ.get("PHENIQS_CRAM_RANS") == "1"
+        rans_ids = {CID["BA"], CID["QS"]} if use_rans else set()
         data_blocks += [
-            write_block(GZIP, EXTERNAL, cid, bytes(streams[cid]), self.level)
+            write_block(
+                RANS if cid in rans_ids else GZIP,
+                EXTERNAL, cid, bytes(streams[cid]), self.level,
+            )
             for cid in external_ids
         ]
         slice_header = (

@@ -162,3 +162,65 @@ def test_demux_cram_output_and_input(reference_root, tmp_path):
         if line.strip() and not line.startswith("@")
     ]
     assert len(lines) == len(got)
+
+
+# --- rANS 4x8 --------------------------------------------------------------
+
+from pheniqs_tpu.io.rans import rans_compress, rans_uncompress
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"A",
+        b"ACG",
+        b"ACGT",
+        b"AAAAAAAA",
+        b"ACGTACGTACGTACGTN" * 100,
+        bytes(range(256)) * 3,
+        np.random.default_rng(3).integers(0, 256, size=10001)
+        .astype(np.uint8).tobytes(),
+        np.random.default_rng(5).choice(
+            np.frombuffer(b"FFFFF:III,#", dtype=np.uint8), size=40003
+        ).tobytes(),
+    ],
+    ids=["empty", "one", "three", "four", "const", "acgt", "all-bytes",
+         "uniform", "phred-like"],
+)
+def test_rans_round_trip(order, payload):
+    stream = rans_compress(payload, order=order)
+    assert rans_uncompress(stream) == payload
+
+
+def test_rans_compresses_skewed_data():
+    """Order-1 beats gzip-like entropy on quality-score-like data."""
+    rng = np.random.default_rng(11)
+    payload = rng.choice(
+        np.frombuffer(b"FFFFFFFFFF:I", dtype=np.uint8), size=100000
+    ).tobytes()
+    stream = rans_compress(payload, order=1)
+    assert len(stream) < len(payload) // 2
+    assert rans_uncompress(stream) == payload
+
+
+def test_cram_rans_blocks_round_trip(tmp_path, monkeypatch):
+    """PHENIQS_CRAM_RANS=1 writes BA/QS as method-4 blocks; the reader
+    recovers identical records."""
+    monkeypatch.setenv("PHENIQS_CRAM_RANS", "1")
+    records = synthetic_records(300, seed=23)
+    path = tmp_path / "r.cram"
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, HEADER, level=5)
+        for record in records:
+            writer.write_record(*record)
+        writer.close()
+    raw = path.read_bytes()
+    assert raw.count(b"\x04\x04") >= 1  # method=4 external blocks present
+    got = list(read_cram(str(path)))
+    assert len(got) == len(records)
+    for mine, (name, flag, code, qual, length, tags) in zip(got, records):
+        assert mine.name == name.encode()
+        np.testing.assert_array_equal(mine.code, code[:length])
+        np.testing.assert_array_equal(mine.quality, qual[:length])
