@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <vector>
 
 #include <zlib.h>
 
@@ -525,6 +526,280 @@ int64_t pq_fastq_format_batch(
         rec_offset[r + 1] = cursor - out;
     }
     return cursor - out;
+}
+
+
+// --- rANS 4x8 (CRAM 3.0 method 4) -----------------------------------------
+// Same wire format as pheniqs_tpu/io/rans.py (see its docstring): 12-bit
+// frequencies, four interleaved states, byte renormalization at 2^23.
+
+static const uint32_t RANS_TOTFREQ = 4096;
+static const uint32_t RANS_LOW = 1u << 23;
+
+static void rans_normalize(int64_t* counts, int64_t* freqs) {
+    int64_t total = 0;
+    for (int i = 0; i < 256; ++i) total += counts[i];
+    if (total == 0) { for (int i = 0; i < 256; ++i) freqs[i] = 0; return; }
+    int64_t sum = 0;
+    for (int i = 0; i < 256; ++i) {
+        freqs[i] = static_cast<int64_t>(counts[i] * (RANS_TOTFREQ / static_cast<double>(total)));
+        if (counts[i] > 0 && freqs[i] == 0) freqs[i] = 1;
+        sum += freqs[i];
+    }
+    int largest = 0;
+    for (int i = 1; i < 256; ++i) if (freqs[i] > freqs[largest]) largest = i;
+    freqs[largest] += RANS_TOTFREQ - sum;
+}
+
+static uint8_t* rans_put_freq(uint8_t* cp, int64_t v) {
+    if (v < 0x80) { *cp++ = static_cast<uint8_t>(v); }
+    else { *cp++ = static_cast<uint8_t>((v >> 8) | 0x80); *cp++ = static_cast<uint8_t>(v & 0xFF); }
+    return cp;
+}
+
+static const uint8_t* rans_get_freq(const uint8_t* cp, int64_t* v) {
+    if (*cp < 0x80) { *v = *cp++; }
+    else { *v = (static_cast<int64_t>(cp[0] & 0x7F) << 8) | cp[1]; cp += 2; }
+    return cp;
+}
+
+static uint8_t* rans_put_table(uint8_t* cp, const int64_t* freqs) {
+    int rle = 0;
+    for (int j = 0; j < 256; ++j) {
+        if (!freqs[j]) continue;
+        if (rle) { --rle; }
+        else {
+            *cp++ = static_cast<uint8_t>(j);
+            if (j > 0 && freqs[j - 1] > 0) {
+                int run = j + 1;
+                while (run < 256 && freqs[run] > 0) ++run;
+                rle = run - j - 1;
+                *cp++ = static_cast<uint8_t>(rle);
+            }
+        }
+        cp = rans_put_freq(cp, freqs[j]);
+    }
+    *cp++ = 0;
+    return cp;
+}
+
+static const uint8_t* rans_get_table(const uint8_t* cp, int64_t* freqs) {
+    for (int i = 0; i < 256; ++i) freqs[i] = 0;
+    int rle = 0;
+    int sym = *cp++;
+    for (;;) {
+        cp = rans_get_freq(cp, &freqs[sym]);
+        if (rle > 0) { --rle; ++sym; }
+        else if (*cp == sym + 1) { sym = *cp++; rle = *cp++; }
+        else { sym = *cp++; if (sym == 0) break; }
+    }
+    return cp;
+}
+
+struct RansEnc {
+    uint32_t x = RANS_LOW;
+    // bytes emitted back-to-front into a shared reversed buffer
+    void put(std::vector<uint8_t>& rev, uint32_t start, uint32_t freq) {
+        uint32_t x_max = ((RANS_LOW >> 12) << 8) * freq;
+        while (x >= x_max) { rev.push_back(x & 0xFF); x >>= 8; }
+        x = ((x / freq) << 12) + (x % freq) + start;
+    }
+    void flush(std::vector<uint8_t>& rev) {
+        rev.push_back((x >> 24) & 0xFF); rev.push_back((x >> 16) & 0xFF);
+        rev.push_back((x >> 8) & 0xFF); rev.push_back(x & 0xFF);
+    }
+};
+
+static void rans_cumulate(const int64_t* freqs, uint32_t* cum, uint8_t* lookup) {
+    cum[0] = 0;
+    for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + static_cast<uint32_t>(freqs[i]);
+    if (lookup) {
+        for (int s = 0; s < 256; ++s)
+            for (uint32_t k = cum[s]; k < cum[s + 1]; ++k) lookup[k] = static_cast<uint8_t>(s);
+    }
+}
+
+struct RansDec {
+    uint32_t x;
+    void init(const uint8_t*& cp) {
+        x = static_cast<uint32_t>(cp[0]) | (cp[1] << 8) | (cp[2] << 16)
+            | (static_cast<uint32_t>(cp[3]) << 24);
+        cp += 4;
+    }
+    inline void advance(const uint8_t*& cp, const uint8_t* end,
+                        uint32_t freq, uint32_t slot, uint32_t cum) {
+        x = freq * (x >> 12) + slot - cum;
+        while (x < RANS_LOW && cp < end) x = (x << 8) | *cp++;
+    }
+};
+
+// returns bytes written, or -1 on insufficient capacity
+int64_t pq_rans_compress(const uint8_t* in, int64_t in_size, int order,
+                         uint8_t* out, int64_t capacity) {
+    if (in_size < 4) order = 0;
+    std::vector<uint8_t> table;
+    std::vector<uint8_t> rev;
+    rev.reserve(static_cast<size_t>(in_size) + 64);
+    if (in_size > 0 && order == 0) {
+        int64_t counts[256] = {0}, freqs[256];
+        for (int64_t i = 0; i < in_size; ++i) counts[in[i]]++;
+        rans_normalize(counts, freqs);
+        uint32_t cum[257];
+        rans_cumulate(freqs, cum, nullptr);
+        table.resize(256 * 3 + 2);
+        table.resize(rans_put_table(table.data(), freqs) - table.data());
+        RansEnc states[4];
+        for (int64_t i = in_size - 1; i >= 0; --i) {
+            int s = in[i];
+            states[i & 3].put(rev, cum[s], static_cast<uint32_t>(freqs[s]));
+        }
+        for (int j = 3; j >= 0; --j) states[j].flush(rev);
+    } else if (in_size > 0) {
+        // order-1: 256 contexts, quarters restart at context 0
+        std::vector<int64_t> counts(256 * 256, 0), freqs(256 * 256, 0);
+        std::vector<uint32_t> cum(256 * 257, 0);
+        int64_t quarter = in_size >> 2;
+        counts[0 * 256 + in[0]]++;
+        for (int64_t i = 1; i < in_size; ++i) counts[in[i - 1] * 256 + in[i]]++;
+        for (int j = 1; j <= 3; ++j) counts[0 * 256 + in[j * quarter]]++;
+        bool present[256];
+        for (int c = 0; c < 256; ++c) {
+            int64_t total = 0;
+            for (int s = 0; s < 256; ++s) total += counts[c * 256 + s];
+            present[c] = total > 0;
+            if (present[c]) {
+                rans_normalize(&counts[c * 256], &freqs[c * 256]);
+                rans_cumulate(&freqs[c * 256], &cum[c * 257], nullptr);
+            }
+        }
+        table.resize(257u * (256 * 3 + 4));
+        uint8_t* cp = table.data();
+        int rle = 0;
+        for (int c = 0; c < 256; ++c) {
+            if (!present[c]) continue;
+            if (rle) { --rle; }
+            else {
+                *cp++ = static_cast<uint8_t>(c);
+                if (c > 0 && present[c - 1]) {
+                    int run = c + 1;
+                    while (run < 256 && present[run]) ++run;
+                    rle = run - c - 1;
+                    *cp++ = static_cast<uint8_t>(rle);
+                }
+            }
+            cp = rans_put_table(cp, &freqs[c * 256]);
+        }
+        *cp++ = 0;
+        table.resize(cp - table.data());
+
+        RansEnc states[4];
+        int64_t idx[4] = {quarter - 2, 2 * quarter - 2, 3 * quarter - 2, in_size - 2};
+        int last[4] = {in[quarter - 1], in[2 * quarter - 1], in[3 * quarter - 1],
+                       in[in_size - 1]};
+        while (idx[3] > 4 * quarter - 2) {
+            int ctx = in[idx[3]];
+            states[3].put(rev, cum[ctx * 257 + last[3]],
+                          static_cast<uint32_t>(freqs[ctx * 256 + last[3]]));
+            last[3] = ctx;
+            --idx[3];
+        }
+        while (idx[0] >= 0) {
+            for (int j = 3; j >= 0; --j) {
+                int ctx = in[idx[j]];
+                states[j].put(rev, cum[ctx * 257 + last[j]],
+                              static_cast<uint32_t>(freqs[ctx * 256 + last[j]]));
+                last[j] = ctx;
+                --idx[j];
+            }
+        }
+        for (int j = 3; j >= 0; --j)
+            states[j].put(rev, cum[0 * 257 + last[j]],
+                          static_cast<uint32_t>(freqs[0 * 256 + last[j]]));
+        for (int j = 3; j >= 0; --j) states[j].flush(rev);
+    }
+    int64_t payload = static_cast<int64_t>(table.size() + rev.size());
+    if (9 + payload > capacity) return -1;
+    out[0] = (order == 1 && in_size >= 4) ? 1 : 0;
+    uint32_t csz = static_cast<uint32_t>(payload), rsz = static_cast<uint32_t>(in_size);
+    memcpy(out + 1, &csz, 4);
+    memcpy(out + 5, &rsz, 4);
+    memcpy(out + 9, table.data(), table.size());
+    uint8_t* cp = out + 9 + table.size();
+    for (size_t i = rev.size(); i > 0; --i) *cp++ = rev[i - 1];
+    return 9 + payload;
+}
+
+// returns raw size written, -1 on capacity, -2 on malformed stream
+int64_t pq_rans_uncompress(const uint8_t* in, int64_t in_size,
+                           uint8_t* out, int64_t capacity) {
+    if (in_size < 9) return -2;
+    int order = in[0];
+    uint32_t rsz;
+    memcpy(&rsz, in + 5, 4);
+    if (rsz > static_cast<uint64_t>(capacity)) return -1;
+    if (rsz == 0) return 0;
+    const uint8_t* cp = in + 9;
+    const uint8_t* end = in + in_size;
+    if (order == 0) {
+        int64_t freqs[256];
+        cp = rans_get_table(cp, freqs);
+        uint32_t cum[257];
+        std::vector<uint8_t> lookup(RANS_TOTFREQ);
+        rans_cumulate(freqs, cum, lookup.data());
+        RansDec states[4];
+        for (int j = 0; j < 4; ++j) states[j].init(cp);
+        for (uint32_t i = 0; i < rsz; ++i) {
+            RansDec& st = states[i & 3];
+            uint32_t slot = st.x & (RANS_TOTFREQ - 1);
+            uint8_t sym = lookup[slot];
+            out[i] = sym;
+            st.advance(cp, end, static_cast<uint32_t>(freqs[sym]), slot, cum[sym]);
+        }
+        return rsz;
+    }
+    if (order != 1) return -2;
+    std::vector<int64_t> freqs(256 * 256, 0);
+    std::vector<uint32_t> cum(256 * 257, 0);
+    std::vector<uint8_t> lookup(256 * RANS_TOTFREQ, 0);
+    {
+        int rle = 0;
+        int ctx = *cp++;
+        for (;;) {
+            cp = rans_get_table(cp, &freqs[ctx * 256]);
+            rans_cumulate(&freqs[ctx * 256], &cum[ctx * 257],
+                          &lookup[static_cast<size_t>(ctx) * RANS_TOTFREQ]);
+            if (rle > 0) { --rle; ++ctx; }
+            else if (*cp == ctx + 1) { ctx = *cp++; rle = *cp++; }
+            else { ctx = *cp++; if (ctx == 0) break; }
+        }
+    }
+    RansDec states[4];
+    for (int j = 0; j < 4; ++j) states[j].init(cp);
+    uint32_t quarter = rsz >> 2;
+    int last[4] = {0, 0, 0, 0};
+    for (uint32_t i = 0; i < quarter; ++i) {
+        for (int j = 0; j < 4; ++j) {
+            RansDec& st = states[j];
+            uint32_t slot = st.x & (RANS_TOTFREQ - 1);
+            int ctx = last[j];
+            uint8_t sym = lookup[static_cast<size_t>(ctx) * RANS_TOTFREQ + slot];
+            out[j * quarter + i] = sym;
+            st.advance(cp, end, static_cast<uint32_t>(freqs[ctx * 256 + sym]),
+                       slot, cum[ctx * 257 + sym]);
+            last[j] = sym;
+        }
+    }
+    for (uint32_t i = 4 * quarter; i < rsz; ++i) {
+        RansDec& st = states[3];
+        uint32_t slot = st.x & (RANS_TOTFREQ - 1);
+        int ctx = last[3];
+        uint8_t sym = lookup[static_cast<size_t>(ctx) * RANS_TOTFREQ + slot];
+        out[i] = sym;
+        st.advance(cp, end, static_cast<uint32_t>(freqs[ctx * 256 + sym]),
+                   slot, cum[ctx * 257 + sym]);
+        last[3] = sym;
+    }
+    return rsz;
 }
 
 }  // extern "C"

@@ -519,11 +519,19 @@ class CramWriter:
         external_ids = [cid for cid, s in streams.items() if len(s) > 0]
         data_blocks = [write_block(RAW, CORE, 0, b"")]
         # base/quality series compress best under rANS order-1 (the htslib
-        # default for these blocks); opt-in — the pure-Python coder runs at
-        # ~1 MB/s, gzip is the fast default
+        # default for these blocks); on by default when the native coder is
+        # built (~90 MB/s) — the pure-Python fallback runs at ~1 MB/s, so
+        # without the native lib gzip is the default. PHENIQS_CRAM_RANS=0/1
+        # forces either way.
         import os
 
-        use_rans = os.environ.get("PHENIQS_CRAM_RANS") == "1"
+        mode = os.environ.get("PHENIQS_CRAM_RANS")
+        if mode is None:
+            from ..native import available
+
+            use_rans = available()
+        else:
+            use_rans = mode == "1"
         rans_ids = {CID["BA"], CID["QS"]} if use_rans else set()
         data_blocks += [
             write_block(

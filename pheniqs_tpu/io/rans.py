@@ -335,7 +335,15 @@ def _uncompress_o1(buf, offset: int, raw_size: int) -> bytes:
 
 
 def rans_compress(data: bytes, order: int = 0) -> bytes:
-    """Compress to a CRAM method-4 (rANS 4x8) stream."""
+    """Compress to a CRAM method-4 (rANS 4x8) stream (native fast path
+    when the host library is built; same wire format either way)."""
+    from ..native import available
+    from ..native import rans_compress as native_compress
+
+    if available():
+        stream = native_compress(data, order)
+        if stream is not None:
+            return stream
     if len(data) < 4:
         order = 0
     if len(data) == 0:
@@ -352,12 +360,20 @@ def rans_compress(data: bytes, order: int = 0) -> bytes:
 
 
 def rans_uncompress(data: bytes) -> bytes:
-    """Decompress a CRAM method-4 (rANS 4x8) stream."""
+    """Decompress a CRAM method-4 (rANS 4x8) stream (native fast path
+    when the host library is built)."""
     if len(data) < 9:
         raise IOError_("rANS: truncated stream")
     order, _csize, raw_size = struct.unpack_from("<BII", data, 0)
     if raw_size == 0:
         return b""
+    from ..native import available
+    from ..native import rans_uncompress as native_uncompress
+
+    if available():
+        raw = native_uncompress(data, raw_size)
+        if raw is not None:
+            return raw
     if order == 0:
         return _uncompress_o0(data, 9, raw_size)
     if order == 1:

@@ -149,6 +149,21 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_rans_compress.restype = ctypes.c_int64
+        lib.pq_rans_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.pq_rans_uncompress.restype = ctypes.c_int64
+        lib.pq_rans_uncompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -508,3 +523,30 @@ def fastq_format_batch(
         if used >= 0:
             return out.raw[:used], offsets
         capacity = -used
+
+
+def rans_compress(data: bytes, order: int = 0) -> bytes | None:
+    """rANS 4x8 compress via the native lib; None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    capacity = 9 + 2 * len(data) + 257 * 800 + 4096
+    out = ctypes.create_string_buffer(capacity)
+    written = lib.pq_rans_compress(data, len(data), order, out, capacity)
+    if written < 0:
+        return None
+    return out.raw[:written]
+
+
+def rans_uncompress(data: bytes, raw_size: int) -> bytes | None:
+    """rANS 4x8 decompress via the native lib; None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(max(raw_size, 1))
+    written = lib.pq_rans_uncompress(data, len(data), out, raw_size)
+    if written < 0:
+        from ..errors import IOError_
+
+        raise IOError_("rANS: malformed stream (native decoder)")
+    return out.raw[:written]

@@ -224,3 +224,38 @@ def test_cram_rans_blocks_round_trip(tmp_path, monkeypatch):
         assert mine.name == name.encode()
         np.testing.assert_array_equal(mine.code, code[:length])
         np.testing.assert_array_equal(mine.quality, qual[:length])
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans_native_python_interop(order, monkeypatch):
+    """The native and pure-Python rANS coders share a wire format: each
+    must decode the other's streams."""
+    from pheniqs_tpu.io import rans as rans_mod
+    from pheniqs_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    payload = rng.choice(
+        np.frombuffer(b"ACGGGGTTTNAC", dtype=np.uint8), size=50001
+    ).tobytes()
+
+    native_stream = native.rans_compress(payload, order)
+    python_stream = (
+        rans_mod._compress_o1(payload) if order else rans_mod._compress_o0(payload)
+    )
+    import struct as _struct
+    python_stream = (
+        _struct.pack("<BII", order, len(python_stream), len(payload))
+        + python_stream
+    )
+
+    # python decode of native stream
+    po = int(native_stream[0])
+    raw = (
+        rans_mod._uncompress_o1(native_stream, 9, len(payload))
+        if po else rans_mod._uncompress_o0(native_stream, 9, len(payload))
+    )
+    assert raw == payload
+    # native decode of python stream
+    assert native.rans_uncompress(python_stream, len(payload)) == payload
