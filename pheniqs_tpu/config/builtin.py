@@ -145,38 +145,38 @@ MUX_ACTION = {
         "sample": {"algorithm": "passthrough"},
     },
     "option": [
-        {"name": "help only", "handle": ["-h", "--help"], "type": "boolean"},
-        {"name": "input", "handle": ["-i", "--input"], "type": "url", "plural": True},
-        {"name": "output", "handle": ["-o", "--output"], "type": "url", "plural": True},
-        {"name": "configuration url", "handle": ["-c", "--config"], "type": "url"},
-        {"name": "report url", "handle": ["-R", "--report"], "type": "url"},
-        {"name": "prior adjusted job url", "handle": ["--prior"], "type": "url"},
-        {"name": "base input url", "handle": ["-I", "--base-input"], "type": "url"},
-        {"name": "base output url", "handle": ["-O", "--base-output"], "type": "url"},
-        {"name": "sense input layout", "handle": ["-s", "--sense-input"], "type": "boolean"},
-        {"name": "filter outgoing qc fail", "handle": ["-n", "--no-output-npf"], "type": "boolean"},
-        {"name": "filter incoming qc fail", "handle": ["-N", "--no-input-npf"], "type": "boolean"},
-        {"name": "leading segment index", "handle": ["-l", "--leading"], "type": "integer"},
-        {"name": "default output format", "handle": ["-F", "--format"], "type": "string"},
-        {"name": "default output compression", "handle": ["-Z", "--compression"], "type": "string"},
-        {"name": "default output compression level", "handle": ["-L", "--level"], "type": "string"},
-        {"name": "template token", "handle": ["-T", "--token"], "type": "string", "plural": True},
-        {"name": "platform", "handle": ["-P", "--platform"], "type": "string"},
-        {"name": "enable quality control", "handle": ["-q", "--quality"], "type": "boolean"},
-        {"name": "validate only", "handle": ["-V", "--validate"], "type": "boolean"},
-        {"name": "display distance", "handle": ["-D", "--distance"], "type": "boolean"},
-        {"name": "compile only", "handle": ["-C", "--compile"], "type": "boolean"},
-        {"name": "static only", "handle": ["-S", "--static"], "type": "boolean"},
-        {"name": "include compiled job", "handle": ["-j", "--job"], "type": "boolean"},
-        {"name": "threads", "handle": ["-t", "--threads"], "type": "integer"},
-        {"name": "decoding threads", "handle": ["--decoding-threads"], "type": "integer"},
-        {"name": "htslib threads", "handle": ["--htslib-threads"], "type": "integer"},
-        {"name": "buffer capacity", "handle": ["-B", "--buffer"], "type": "integer"},
-        {"name": "float precision", "handle": ["--precision"], "type": "integer"},
+        {"name": "help only", "handle": ["-h", "--help"], "type": "boolean", "help": "Show this help"},
+        {"name": "input", "handle": ["-i", "--input"], "type": "url", "plural": True, "help": "Path to an input feed; repeat per segment"},
+        {"name": "output", "handle": ["-o", "--output"], "type": "url", "plural": True, "help": "Path to an output feed; repeatable"},
+        {"name": "configuration url", "handle": ["-c", "--config"], "type": "url", "help": "Path to the instruction file"},
+        {"name": "report url", "handle": ["-R", "--report"], "type": "url", "help": "Path to the run report"},
+        {"name": "prior adjusted job url", "handle": ["--prior"], "type": "url", "help": "Emit a prior-adjusted instruction here"},
+        {"name": "base input url", "handle": ["-I", "--base-input"], "type": "url", "help": "Base directory for relative input paths"},
+        {"name": "base output url", "handle": ["-O", "--base-output"], "type": "url", "help": "Base directory for relative output paths"},
+        {"name": "sense input layout", "handle": ["-s", "--sense-input"], "type": "boolean", "help": "Detect the interleaving layout of the input"},
+        {"name": "filter outgoing qc fail", "handle": ["-n", "--no-output-npf"], "type": "boolean", "help": "Drop reads that fail quality control from the output"},
+        {"name": "filter incoming qc fail", "handle": ["-N", "--no-input-npf"], "type": "boolean", "help": "Drop incoming reads flagged as failing quality control"},
+        {"name": "leading segment index", "handle": ["-l", "--leading"], "type": "integer", "help": "Index of the segment that drives read metadata"},
+        {"name": "default output format", "handle": ["-F", "--format"], "type": "string", "help": "Output format: sam, bam, cram or fastq"},
+        {"name": "default output compression", "handle": ["-Z", "--compression"], "type": "string", "help": "Output compression: gz, bgzf, none"},
+        {"name": "default output compression level", "handle": ["-L", "--level"], "type": "string", "help": "Output compression level 0-9"},
+        {"name": "template token", "handle": ["-T", "--token"], "type": "string", "plural": True, "help": "Output template token; repeatable"},
+        {"name": "platform", "handle": ["-P", "--platform"], "type": "string", "help": "Sequencing platform for read group metadata"},
+        {"name": "enable quality control", "handle": ["-q", "--quality"], "type": "boolean", "help": "Collect per-cycle quality statistics per channel"},
+        {"name": "validate only", "handle": ["-V", "--validate"], "type": "boolean", "help": "Print the compiled instruction in human form and exit"},
+        {"name": "display distance", "handle": ["-D", "--distance"], "type": "boolean", "help": "With --validate: print barcode distance metrics"},
+        {"name": "compile only", "handle": ["-C", "--compile"], "type": "boolean", "help": "Print the compiled instruction as JSON and exit"},
+        {"name": "static only", "handle": ["-S", "--static"], "type": "boolean", "help": "Print the assembled instruction as JSON and exit"},
+        {"name": "include compiled job", "handle": ["-j", "--job"], "type": "boolean", "help": "Embed the compiled instruction in the report"},
+        {"name": "threads", "handle": ["-t", "--threads"], "type": "integer", "help": "Worker process count for the strict engine"},
+        {"name": "decoding threads", "handle": ["--decoding-threads"], "type": "integer", "help": "Override the decoding worker count"},
+        {"name": "htslib threads", "handle": ["--htslib-threads"], "type": "integer", "help": "Compression thread pool size"},
+        {"name": "buffer capacity", "handle": ["-B", "--buffer"], "type": "integer", "help": "Feed buffer capacity in reads"},
+        {"name": "float precision", "handle": ["--precision"], "type": "integer", "help": "Significant digits in emitted JSON numbers"},
         # TPU-native extensions (not present in the reference)
-        {"name": "fidelity", "handle": ["--fidelity"], "type": "string"},
-        {"name": "batch size", "handle": ["--batch-size"], "type": "integer"},
-        {"name": "devices", "handle": ["--devices"], "type": "integer"},
+        {"name": "fidelity", "handle": ["--fidelity"], "type": "string", "help": "Decode fidelity: strict (f64 host), fast (TPU f32), hybrid (TPU + f64 re-resolve)"},
+        {"name": "batch size", "handle": ["--batch-size"], "type": "integer", "help": "Reads per device batch"},
+        {"name": "devices", "handle": ["--devices"], "type": "integer", "help": "Limit the number of accelerator devices"},
     ],
 }
 
