@@ -9,6 +9,7 @@ import sys
 
 import numpy as np
 import pytest
+from struct import error as struct_error
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASES = "ACGT"
@@ -144,3 +145,59 @@ def test_random_instrument_strict_vs_fast(tmp_path, seed):
         ]
 
     assert run("strict") == run("hybrid")
+
+
+def test_cram_reader_garbage(tmp_path):
+    """Corrupt or random CRAM bytes must fail with typed errors (IOError_),
+    never crash or hang."""
+    from pheniqs_tpu.errors import IOError_
+    from pheniqs_tpu.io.cram import read_cram
+
+    rng = np.random.default_rng(41)
+    for trial in range(25):
+        blob = b"CRAM\x03\x00" + bytes(
+            rng.integers(0, 256, size=int(rng.integers(0, 300)), dtype=np.uint8)
+        )
+        path = tmp_path / f"garbage{trial}.cram"
+        path.write_bytes(blob)
+        try:
+            list(read_cram(str(path)))
+        except (IOError_, IndexError, ValueError, EOFError, struct_error):
+            pass
+
+
+def test_cram_bitflip_detected(tmp_path):
+    """A single corrupted byte inside a container is caught by the CRC or
+    surfaces as a typed error — silent corruption is not acceptable."""
+    from pheniqs_tpu.errors import PheniqsError
+    from pheniqs_tpu.io.cram import CramWriter, read_cram
+    from pheniqs_tpu.io.sam import AuxTags
+
+    path = tmp_path / "x.cram"
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, "@HD\tVN:1.0\n", level=5)
+        rng = np.random.default_rng(5)
+        for i in range(200):
+            code = np.array([1, 2, 4, 8] * 10, dtype=np.uint8)
+            qual = rng.integers(2, 40, size=40).astype(np.uint8)
+            writer.write_record(f"r{i}", 0x4, code, qual, 40, AuxTags())
+        writer.close()
+    blob = bytearray(path.read_bytes())
+    baseline = [r.name for r in read_cram(str(path))]
+    assert len(baseline) == 200
+
+    rng = np.random.default_rng(77)
+    detected = 0
+    for trial in range(20):
+        corrupted = bytearray(blob)
+        position = int(rng.integers(30, len(blob) - 40))
+        corrupted[position] ^= 0xFF
+        bad = tmp_path / f"bad{trial}.cram"
+        bad.write_bytes(bytes(corrupted))
+        try:
+            records = list(read_cram(str(bad)))
+            if [r.name for r in records] != baseline:
+                detected += 1  # wrong content surfaced as a difference
+        except (PheniqsError, IndexError, ValueError, EOFError, struct_error):
+            detected += 1
+    assert detected >= 18  # CRCs catch essentially every flip
