@@ -77,6 +77,9 @@ class DeviceEngine(StrictEngine):
         import jax
 
         devices = jax.local_devices()
+        limit = self.ontology.get("devices")
+        if limit is not None and int(limit) > 0:
+            devices = devices[: int(limit)]
         if len(devices) > 1:
             from ..device.distributed import reads_mesh
 

@@ -83,3 +83,49 @@ def test_fast_matches_strict_on_bdggg(reference_root, bdggg):
                 s_value,
                 f_value,
             )
+
+
+def test_devices_option_limits_mesh(reference_root):
+    """--devices 1 restricts the data-parallel mesh to one device; output
+    decisions are unchanged (and identical to the unrestricted run)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    outputs = {}
+    for devices in ("1", "8"):
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", "test/BDGGG/BDGGG_annotated.json",
+             "--precision", "15", "--fidelity", "fast",
+             "--devices", devices],
+            cwd=reference_root, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        outputs[devices] = [
+            line for line in result.stdout.splitlines()
+            if not line.startswith("@")
+        ]
+    assert outputs["1"] == outputs["8"]
+
+    # in-process: the mesh really shrinks
+    import json as _json
+    import jax
+
+    from pheniqs_tpu.engine.device import DeviceEngine
+    from pheniqs_tpu.cli.interface import Interface
+    from pheniqs_tpu.config.compiler import InstructionCompiler
+
+    interface = Interface(
+        ["pheniqs-tpu", "mux",
+         "--config", os.path.join(reference_root, "test/BDGGG/BDGGG_annotated.json"),
+         "--base-input", os.path.join(reference_root, "test/BDGGG"),
+         "--devices", "1"]
+    )
+    compiler = InstructionCompiler(interface.operation())
+    compiler.assemble()
+    engine = DeviceEngine(compiler.compile())
+    assert engine.ontology.get("devices") == 1
+    assert engine._mesh() is None  # single device -> no mesh
