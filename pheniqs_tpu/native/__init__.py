@@ -195,7 +195,7 @@ def sam_format_batch(
     line_offsets = np.zeros(n + 1, dtype=np.int64)
     capacity = len(names_blob) + len(tag_blob) + n * (40 + 2 * max(width, 1))
     while True:
-        out = ctypes.create_string_buffer(capacity)
+        arena, out = _scratch(capacity)
         used = lib.pq_sam_format_batch(
             n,
             names_blob,
@@ -213,8 +213,16 @@ def sam_format_batch(
             line_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if used >= 0:
-            return out.raw[:used], line_offsets
+            return arena[:used].tobytes(), line_offsets
         capacity = -used
+
+
+def _scratch(capacity: int):
+    """Uninitialized output scratch: np.empty skips the memset that
+    ctypes.create_string_buffer pays on every call (the buffer is fully
+    overwritten by the native writer up to the returned length)."""
+    arena = np.empty(capacity, dtype=np.uint8)
+    return arena, arena.ctypes.data_as(ctypes.c_char_p)
 
 
 def available() -> bool:
@@ -408,7 +416,7 @@ def sam_format_full(
     line_offsets = np.zeros(n + 1, dtype=np.int64)
     capacity = len(names_blob) + span_payload + n * (40 + 2 * max(width, 1))
     while True:
-        out = ctypes.create_string_buffer(capacity)
+        arena, out = _scratch(capacity)
         used = lib.pq_sam_format_full(
             n,
             names_blob,
@@ -433,7 +441,7 @@ def sam_format_full(
             line_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if used >= 0:
-            return out.raw[:used], line_offsets
+            return arena[:used].tobytes(), line_offsets
         capacity = -used
 
 
@@ -447,7 +455,7 @@ def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray,
     piece_len = np.ascontiguousarray(piece_len, dtype=np.int32)
     arena_pointers = (ctypes.c_char_p * len(arenas))(*arenas)
     capacity = int(piece_len.sum()) + 1
-    out = ctypes.create_string_buffer(capacity)
+    arena, out = _scratch(capacity)
     used = lib.pq_concat_spans(
         len(piece_arena),
         arena_pointers,
@@ -459,7 +467,7 @@ def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray,
     )
     if used < 0:
         return None
-    return out.raw[:used]
+    return arena[:used].tobytes()
 
 
 def fastq_format_batch(
@@ -503,7 +511,7 @@ def fastq_format_batch(
             ctypes.POINTER(ctypes.c_int32)(),
         )
     while True:
-        out = ctypes.create_string_buffer(capacity)
+        arena, out = _scratch(capacity)
         used = lib.pq_fastq_format_batch(
             n,
             names_blob,
@@ -521,7 +529,7 @@ def fastq_format_batch(
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if used >= 0:
-            return out.raw[:used], offsets
+            return arena[:used].tobytes(), offsets
         capacity = -used
 
 
