@@ -382,3 +382,46 @@ def test_partial_merge_rejects_mismatched_config(bdggg, tmp_path):
         cwd=bdggg, env=env, capture_output=True, text=True, timeout=600,
     )
     assert result.returncode == 3, (result.returncode, result.stderr[-500:])
+
+
+def test_observability_envs(bdggg, tmp_path):
+    """PHENIQS_TRACE=1 prints a phase summary, PHENIQS_PREFETCH=1 overlaps
+    ingest, PHENIQS_PROFILE writes a jax.profiler trace dir — all without
+    changing the output."""
+    baseline = None
+    for extra_env in (
+        {},
+        {"PHENIQS_TRACE": "1", "PHENIQS_PREFETCH": "1"},
+        {"PHENIQS_PROFILE": str(tmp_path / "trace")},
+    ):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.update(extra_env)
+        fidelity = "fast" if "PHENIQS_PROFILE" in extra_env else "strict"
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", os.path.join(bdggg, "BDGGG_annotated.json"),
+             "--base-input", bdggg, "--precision", "15",
+             "--fidelity", fidelity, "--report", "/dev/null"],
+            cwd=bdggg, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, (extra_env, result.stderr[-2000:])
+        decisions = [
+            [
+                f for f in line.split("\t")
+                if f[:5] not in ("XB:f:", "XM:f:", "XC:f:")
+            ]
+            for line in result.stdout.splitlines()
+            if line and not line.startswith("@")
+        ]
+        if baseline is None:
+            baseline = decisions
+        else:
+            assert decisions == baseline, extra_env
+        if "PHENIQS_TRACE" in extra_env:
+            assert "reads/s" in result.stderr or "trace" in result.stderr.lower(), (
+                result.stderr[-500:]
+            )
+    assert (tmp_path / "trace").exists()
