@@ -259,3 +259,27 @@ def test_rans_native_python_interop(order, monkeypatch):
     assert raw == payload
     # native decode of python stream
     assert native.rans_uncompress(python_stream, len(payload)) == payload
+
+
+def test_cram_interleaved_multisegment_input(tmp_path):
+    """Paired records in one CRAM group into 2-segment reads through
+    hts_read_batches (flags-driven total_segments), same as BAM."""
+    from pheniqs_tpu.io.hts import hts_read_batches
+    from pheniqs_tpu.io.sam import AuxTags
+
+    path = tmp_path / "pairs.cram"
+    rng = np.random.default_rng(3)
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, "@HD\tVN:1.0\n", level=5)
+        for i in range(50):
+            for flag in (0x4D, 0x8E):  # paired first / paired last, unmapped
+                code = np.array([1, 2, 4, 8] * 8, dtype=np.uint8)
+                qual = rng.integers(2, 40, size=32).astype(np.uint8)
+                writer.write_record(f"pair{i}", flag, code, qual, 32, AuxTags())
+        writer.close()
+
+    batches = list(hts_read_batches(str(path), "cram", 32))
+    total = sum(batch.size for batch in batches)
+    assert total == 50
+    for batch in batches:
+        assert len(batch.segments) == 2
