@@ -425,3 +425,30 @@ def test_fused_pallas_kernel_interpret_matches_jnp(pamld_case, monkeypatch):
         rtol=2e-4,
         atol=1e-6,
     )
+
+
+def test_100k_barcode_panel_smoke():
+    """The SURVEY-scale regime: a 100k-barcode 16nt panel classifies
+    through the chunked online-logsumexp path and matches the f64 oracle's
+    decisions (the reference's serial scan would visit all 100k barcodes
+    per read; here it is 98 scanned MXU chunks)."""
+    rng = np.random.default_rng(99)
+    panel = random_panel(rng, 100000, 16)
+    ontology = make_pamld_ontology(panel)
+    spec = spec_from_ontology(ontology, "sample")
+    code, qual, length = simulate_reads(rng, panel, 48)
+    qcfail = np.zeros(48, dtype=bool)
+    oracle = pamld_classify(spec, code, qual, qcfail)
+
+    instrument = compile_instrument(
+        {"sample": ontology, "input segment cardinality": 1}
+    )
+    device = pamld_classify_device(
+        instrument,
+        instrument.decoders[0],
+        jnp.asarray(code.astype(np.int32)),
+        jnp.asarray(qual.astype(np.int32)),
+        jnp.asarray(qcfail),
+    )
+    np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
+    np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
