@@ -52,6 +52,16 @@ struct Reader {
     std::string error;
     int phred_offset = 33;
 
+    // A parsed record longer than the batch matrix width is stashed here
+    // (never silently clipped — reference handles arbitrary read lengths);
+    // the caller grows max_length and retries, and the next read_batch call
+    // emits it first.
+    bool has_pending = false;
+    std::string pending_name;
+    std::string pending_sequence;  // raw ASCII
+    std::string pending_quality;   // raw ASCII
+    uint8_t pending_fail = 0;
+
     // Refill so that at least one full line is available; returns false on
     // EOF with an empty remainder.
     bool fill() {
@@ -142,8 +152,17 @@ void pq_fastq_close(void* handle) {
 //   qcfail            : (max_records,) uint8 — Illumina comment filter flag
 //   names             : byte arena receiving concatenated read names
 //   name_offset       : (max_records + 1,) int64 prefix offsets into names
+// Length (bytes) of a record stashed because it exceeded max_length, or 0.
+int64_t pq_fastq_pending_length(void* handle) {
+    Reader* reader = static_cast<Reader*>(handle);
+    return reader->has_pending
+        ? static_cast<int64_t>(reader->pending_sequence.size()) : 0;
+}
+
 // Returns number parsed; 0 at EOF; -1 on malformed input (see
-// pq_fastq_error); -2 when the names arena is exhausted.
+// pq_fastq_error); -2 when the names arena is exhausted; -3 when a record
+// exceeds max_length (stashed — query pq_fastq_pending_length, grow the
+// matrices, and call again; never silently truncates sequence data).
 int32_t pq_fastq_read_batch(
     void* handle,
     int32_t max_records,
@@ -166,6 +185,37 @@ int32_t pq_fastq_read_batch(
         // reserve generous headroom so the name copy below cannot overflow
         if (names_capacity - names_used < 4096) {
             return count > 0 ? count : -2;
+        }
+        if (reader->has_pending) {
+            // a record stashed by a previous call because it was longer than
+            // that call's max_length; emit it now if it fits, else tell the
+            // caller to grow
+            size_t plen = reader->pending_sequence.size();
+            if (plen > static_cast<size_t>(max_length)) {
+                return count > 0 ? count : -3;
+            }
+            uint8_t* code_row = code + static_cast<int64_t>(count) * max_length;
+            uint8_t* qual_row = qual + static_cast<int64_t>(count) * max_length;
+            for (size_t i = 0; i < plen; ++i) {
+                code_row[i] = kAsciiToBam.table[static_cast<unsigned char>(
+                    reader->pending_sequence[i])];
+                int q = static_cast<unsigned char>(reader->pending_quality[i]) - offset;
+                qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
+            }
+            std::memset(code_row + plen, 0, max_length - plen);
+            std::memset(qual_row + plen, 0, max_length - plen);
+            size_t name_length = std::min<size_t>(reader->pending_name.size(), 4000);
+            std::memcpy(names + names_used, reader->pending_name.data(), name_length);
+            length[count] = static_cast<int32_t>(plen);
+            qcfail[count] = reader->pending_fail;
+            names_used += static_cast<int64_t>(name_length);
+            name_offset[count + 1] = names_used;
+            ++count;
+            reader->has_pending = false;
+            reader->pending_name.clear();
+            reader->pending_sequence.clear();
+            reader->pending_quality.clear();
+            continue;
         }
         const char* header;
         size_t header_length;
@@ -207,12 +257,40 @@ int32_t pq_fastq_read_batch(
             reader->error = "truncated FASTQ record (missing sequence)";
             return -1;
         }
+        if (sequence_length > static_cast<size_t>(max_length)) {
+            // longer than the batch matrices: stash the full record (copy
+            // now — later line() calls invalidate the spans) and hand the
+            // batch back; the caller grows max_length and retries
+            reader->pending_sequence.assign(sequence, sequence_length);
+            const char* separator;
+            size_t separator_length;
+            if (!reader->line(&separator, &separator_length) ||
+                separator_length == 0 || separator[0] != '+') {
+                reader->error = "corrupt FASTQ separator";
+                return -1;
+            }
+            const char* quality;
+            size_t quality_length;
+            if (!reader->line(&quality, &quality_length)) {
+                reader->error = "truncated FASTQ record (missing quality)";
+                return -1;
+            }
+            if (quality_length != sequence_length) {
+                reader->error = "sequence/quality length mismatch for ";
+                reader->error.append(names + names_used, name_length);
+                return -1;
+            }
+            reader->pending_quality.assign(quality, quality_length);
+            reader->pending_name.assign(names + names_used, name_length);
+            reader->pending_fail = fail;
+            reader->has_pending = true;
+            return count > 0 ? count : -3;
+        }
         // encode the sequence into its row immediately, before the span can
         // be invalidated
         uint8_t* code_row = code + static_cast<int64_t>(count) * max_length;
         uint8_t* qual_row = qual + static_cast<int64_t>(count) * max_length;
         size_t keep = sequence_length;
-        if (keep > static_cast<size_t>(max_length)) keep = max_length;
         for (size_t i = 0; i < keep; ++i) {
             code_row[i] = kAsciiToBam.table[
                 static_cast<unsigned char>(sequence[i])];
@@ -298,7 +376,7 @@ int64_t pq_sam_format_batch(
         std::memcpy(cursor, names + name_offset[r], name_length);
         cursor += name_length;
         cursor += std::sprintf(cursor, "\t%d\t*\t0\t0\t*\t*\t0\t0\t", flag[r]);
-        int32_t l = length[r];
+        int32_t l = length[r] > width ? width : length[r];  // defense in depth
         const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
         const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
         if (l <= 0) {
@@ -388,7 +466,7 @@ int64_t pq_sam_format_full(
         std::memcpy(cursor, names + name_offset[r], name_length);
         cursor += name_length;
         cursor += std::sprintf(cursor, "\t%d\t*\t0\t0\t*\t*\t0\t0\t", flag[r]);
-        int32_t l = length[r];
+        int32_t l = length[r] > width ? width : length[r];  // defense in depth
         const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
         const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
         if (l <= 0) {
@@ -508,7 +586,7 @@ int64_t pq_fastq_format_batch(
             }
         }
         *cursor++ = '\n';
-        int32_t l = length[r];
+        int32_t l = length[r] > width ? width : length[r];  // defense in depth
         const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
         const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
         for (int32_t i = 0; i < l; ++i) {
@@ -557,9 +635,15 @@ static uint8_t* rans_put_freq(uint8_t* cp, int64_t v) {
     return cp;
 }
 
-static const uint8_t* rans_get_freq(const uint8_t* cp, int64_t* v) {
+// Bounded variant: returns nullptr if reading the frequency would run past
+// `end` (crafted/truncated streams must fail typed, not read out of bounds).
+static const uint8_t* rans_get_freq(const uint8_t* cp, const uint8_t* end, int64_t* v) {
+    if (cp >= end) return nullptr;
     if (*cp < 0x80) { *v = *cp++; }
-    else { *v = (static_cast<int64_t>(cp[0] & 0x7F) << 8) | cp[1]; cp += 2; }
+    else {
+        if (end - cp < 2) return nullptr;
+        *v = (static_cast<int64_t>(cp[0] & 0x7F) << 8) | cp[1]; cp += 2;
+    }
     return cp;
 }
 
@@ -583,17 +667,44 @@ static uint8_t* rans_put_table(uint8_t* cp, const int64_t* freqs) {
     return cp;
 }
 
-static const uint8_t* rans_get_table(const uint8_t* cp, int64_t* freqs) {
+// Parses one 256-symbol frequency table. Returns nullptr on any malformed
+// input: truncation, RLE runs walking the symbol index past 255, or (checked
+// by the caller via rans_freqs_valid) frequencies not summing to TOTFREQ.
+static const uint8_t* rans_get_table(const uint8_t* cp, const uint8_t* end,
+                                     int64_t* freqs) {
     for (int i = 0; i < 256; ++i) freqs[i] = 0;
     int rle = 0;
+    if (cp >= end) return nullptr;
     int sym = *cp++;
     for (;;) {
-        cp = rans_get_freq(cp, &freqs[sym]);
-        if (rle > 0) { --rle; ++sym; }
-        else if (*cp == sym + 1) { sym = *cp++; rle = *cp++; }
-        else { sym = *cp++; if (sym == 0) break; }
+        cp = rans_get_freq(cp, end, &freqs[sym]);
+        if (cp == nullptr) return nullptr;
+        if (rle > 0) {
+            --rle;
+            if (++sym > 255) return nullptr;
+        } else {
+            if (cp >= end) return nullptr;
+            if (*cp == sym + 1) {
+                if (end - cp < 2) return nullptr;
+                sym = *cp++; rle = *cp++;
+            } else {
+                sym = *cp++;
+                if (sym == 0) break;
+            }
+        }
     }
     return cp;
+}
+
+// A decodable table's frequencies must sum to exactly RANS_TOTFREQ; anything
+// else would let rans_cumulate build cum[] past the 4096-entry lookup.
+static bool rans_freqs_valid(const int64_t* freqs) {
+    int64_t sum = 0;
+    for (int i = 0; i < 256; ++i) {
+        if (freqs[i] < 0 || freqs[i] > static_cast<int64_t>(RANS_TOTFREQ)) return false;
+        sum += freqs[i];
+    }
+    return sum == static_cast<int64_t>(RANS_TOTFREQ);
 }
 
 struct RansEnc {
@@ -742,10 +853,12 @@ int64_t pq_rans_uncompress(const uint8_t* in, int64_t in_size,
     const uint8_t* end = in + in_size;
     if (order == 0) {
         int64_t freqs[256];
-        cp = rans_get_table(cp, freqs);
+        cp = rans_get_table(cp, end, freqs);
+        if (cp == nullptr || !rans_freqs_valid(freqs)) return -2;
         uint32_t cum[257];
         std::vector<uint8_t> lookup(RANS_TOTFREQ);
         rans_cumulate(freqs, cum, lookup.data());
+        if (end - cp < 16) return -2;  // 4 interleaved states x 4 bytes
         RansDec states[4];
         for (int j = 0; j < 4; ++j) states[j].init(cp);
         for (uint32_t i = 0; i < rsz; ++i) {
@@ -761,18 +874,33 @@ int64_t pq_rans_uncompress(const uint8_t* in, int64_t in_size,
     std::vector<int64_t> freqs(256 * 256, 0);
     std::vector<uint32_t> cum(256 * 257, 0);
     std::vector<uint8_t> lookup(256 * RANS_TOTFREQ, 0);
+    bool present[256] = {false};
     {
         int rle = 0;
+        if (cp >= end) return -2;
         int ctx = *cp++;
         for (;;) {
-            cp = rans_get_table(cp, &freqs[ctx * 256]);
+            cp = rans_get_table(cp, end, &freqs[ctx * 256]);
+            if (cp == nullptr || !rans_freqs_valid(&freqs[ctx * 256])) return -2;
+            present[ctx] = true;
             rans_cumulate(&freqs[ctx * 256], &cum[ctx * 257],
                           &lookup[static_cast<size_t>(ctx) * RANS_TOTFREQ]);
-            if (rle > 0) { --rle; ++ctx; }
-            else if (*cp == ctx + 1) { ctx = *cp++; rle = *cp++; }
-            else { ctx = *cp++; if (ctx == 0) break; }
+            if (rle > 0) {
+                --rle;
+                if (++ctx > 255) return -2;
+            } else {
+                if (cp >= end) return -2;
+                if (*cp == ctx + 1) {
+                    if (end - cp < 2) return -2;
+                    ctx = *cp++; rle = *cp++;
+                } else {
+                    ctx = *cp++;
+                    if (ctx == 0) break;
+                }
+            }
         }
     }
+    if (end - cp < 16) return -2;  // 4 interleaved states x 4 bytes
     RansDec states[4];
     for (int j = 0; j < 4; ++j) states[j].init(cp);
     uint32_t quarter = rsz >> 2;
@@ -782,6 +910,7 @@ int64_t pq_rans_uncompress(const uint8_t* in, int64_t in_size,
             RansDec& st = states[j];
             uint32_t slot = st.x & (RANS_TOTFREQ - 1);
             int ctx = last[j];
+            if (!present[ctx]) return -2;  // crafted stream references absent context
             uint8_t sym = lookup[static_cast<size_t>(ctx) * RANS_TOTFREQ + slot];
             out[j * quarter + i] = sym;
             st.advance(cp, end, static_cast<uint32_t>(freqs[ctx * 256 + sym]),
@@ -793,6 +922,7 @@ int64_t pq_rans_uncompress(const uint8_t* in, int64_t in_size,
         RansDec& st = states[3];
         uint32_t slot = st.x & (RANS_TOTFREQ - 1);
         int ctx = last[3];
+        if (!present[ctx]) return -2;
         uint8_t sym = lookup[static_cast<size_t>(ctx) * RANS_TOTFREQ + slot];
         out[i] = sym;
         st.advance(cp, end, static_cast<uint32_t>(freqs[ctx * 256 + sym]),

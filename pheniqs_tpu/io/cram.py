@@ -206,7 +206,7 @@ def read_block(buf, offset: int):
     elif method == RANS:
         from .rans import rans_uncompress
 
-        raw = rans_uncompress(data)
+        raw = rans_uncompress(data, expected_size=rsize)
     else:
         raise UnsupportedError(
             f"CRAM block compression method {method} not supported"

@@ -100,6 +100,14 @@ def native_read_batches(
                 length = length[slot::stride]
                 fail = fail[slot::stride]
                 width = int(length.max(initial=1))
+                if width > code.shape[1]:
+                    # the native reader grows its matrices to fit the longest
+                    # record (read_batch -3 protocol); reaching here means a
+                    # length column inconsistent with its data matrix
+                    raise SequenceError(
+                        f"record length {width} exceeds parsed matrix width "
+                        f"{code.shape[1]} for {url}"
+                    )
                 segments.append(
                     SegmentBatch(
                         code=np.ascontiguousarray(code[:, :width]),

@@ -56,9 +56,13 @@ def _put_freq(value: int) -> bytes:
 
 
 def _get_freq(buf, offset):
+    if offset >= len(buf):
+        raise IOError_("rANS: truncated frequency table")
     b0 = buf[offset]
     if b0 < 0x80:
         return b0, offset + 1
+    if offset + 1 >= len(buf):
+        raise IOError_("rANS: truncated frequency table")
     return ((b0 & 0x7F) << 8) | buf[offset + 1], offset + 2
 
 
@@ -88,8 +92,13 @@ def _put_symbol_table(freqs: np.ndarray, emit_freq=True) -> bytes:
 
 
 def _get_symbol_table(buf, offset, read_freq=True):
+    """Parse one RLE symbol/frequency table, raising typed IOError_ on any
+    malformed input: truncation, or an RLE run walking the symbol index past
+    255 (crafted streams must fail typed, never corrupt state)."""
     freqs = np.zeros(256, dtype=np.int64)
     rle = 0
+    if offset >= len(buf):
+        raise IOError_("rANS: truncated symbol table")
     symbol = buf[offset]
     offset += 1
     while True:
@@ -100,17 +109,30 @@ def _get_symbol_table(buf, offset, read_freq=True):
         if rle > 0:
             rle -= 1
             symbol += 1
+            if symbol > 255:
+                raise IOError_("rANS: run-length past symbol 255")
         elif offset < len(buf) and buf[offset] == symbol + 1:
+            if offset + 1 >= len(buf):
+                raise IOError_("rANS: truncated symbol table")
             symbol = buf[offset]
             offset += 1
             rle = buf[offset]
             offset += 1
         else:
+            if offset >= len(buf):
+                raise IOError_("rANS: truncated symbol table")
             symbol = buf[offset]
             offset += 1
             if symbol == 0:
                 break
     return freqs, offset
+
+
+def _require_normalized(freqs: np.ndarray):
+    """A decodable table's frequencies must sum to exactly TOTFREQ — anything
+    else means a crafted/corrupt stream (would overrun the slot lookup)."""
+    if int(freqs.sum()) != TOTFREQ:
+        raise IOError_("rANS: frequency table does not sum to TOTFREQ")
 
 
 # --- the coder core --------------------------------------------------------
@@ -193,6 +215,7 @@ def _compress_o0(data: bytes) -> bytes:
 
 def _uncompress_o0(buf, offset: int, raw_size: int) -> bytes:
     freqs, offset = _get_symbol_table(buf, offset)
+    _require_normalized(freqs)
     cumulative, lookup = _decode_tables(freqs)
     reader = _Reader(buf, offset)
     x = [reader.u32() for _ in range(4)]
@@ -283,20 +306,29 @@ def _uncompress_o1(buf, offset: int, raw_size: int) -> bytes:
     cumulative = np.zeros((256, 257), dtype=np.int64)
     lookups: dict[int, np.ndarray] = {}
     rle = 0
+    if offset >= len(buf):
+        raise IOError_("rANS: truncated context table")
     context = buf[offset]
     offset += 1
     while True:
         freqs[context], offset = _get_symbol_table(buf, offset)
+        _require_normalized(freqs[context])
         cumulative[context], lookups[context] = _decode_tables(freqs[context])
         if rle > 0:
             rle -= 1
             context += 1
+            if context > 255:
+                raise IOError_("rANS: run-length past context 255")
         elif offset < len(buf) and buf[offset] == context + 1:
+            if offset + 1 >= len(buf):
+                raise IOError_("rANS: truncated context table")
             context = buf[offset]
             offset += 1
             rle = buf[offset]
             offset += 1
         else:
+            if offset >= len(buf):
+                raise IOError_("rANS: truncated context table")
             context = buf[offset]
             offset += 1
             if context == 0:
@@ -311,6 +343,8 @@ def _uncompress_o1(buf, offset: int, raw_size: int) -> bytes:
         for j in range(4):
             slot = x[j] & (TOTFREQ - 1)
             context = last[j]
+            if context not in lookups:
+                raise IOError_("rANS: reference to absent context")
             symbol = int(lookups[context][slot])
             out[j * quarter + i] = symbol
             x[j] = int(freqs[context][symbol]) * (x[j] >> 12) + slot - int(
@@ -321,6 +355,8 @@ def _uncompress_o1(buf, offset: int, raw_size: int) -> bytes:
     for i in range(4 * quarter, raw_size):  # tail rides state 3
         slot = x[3] & (TOTFREQ - 1)
         context = last[3]
+        if context not in lookups:
+            raise IOError_("rANS: reference to absent context")
         symbol = int(lookups[context][slot])
         out[i] = symbol
         x[3] = int(freqs[context][symbol]) * (x[3] >> 12) + slot - int(
@@ -359,12 +395,21 @@ def rans_compress(data: bytes, order: int = 0) -> bytes:
     )
 
 
-def rans_uncompress(data: bytes) -> bytes:
+def rans_uncompress(data: bytes, expected_size: int | None = None) -> bytes:
     """Decompress a CRAM method-4 (rANS 4x8) stream (native fast path
-    when the host library is built)."""
+    when the host library is built).
+
+    ``expected_size`` is the container's declared raw size (CRAM block
+    header ``rsize``); when given, a stream whose own raw-size field
+    disagrees is rejected *before* any allocation — a flipped header byte
+    must not trigger a multi-GB buffer."""
     if len(data) < 9:
         raise IOError_("rANS: truncated stream")
     order, _csize, raw_size = struct.unpack_from("<BII", data, 0)
+    if expected_size is not None and raw_size != expected_size:
+        raise IOError_(
+            f"rANS: stream raw size {raw_size} != container size {expected_size}"
+        )
     if raw_size == 0:
         return b""
     from ..native import available

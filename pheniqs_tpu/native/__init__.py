@@ -66,6 +66,8 @@ def load():
         lib.pq_fastq_error.argtypes = [ctypes.c_void_p]
         lib.pq_fastq_close.restype = None
         lib.pq_fastq_close.argtypes = [ctypes.c_void_p]
+        lib.pq_fastq_pending_length.restype = ctypes.c_int64
+        lib.pq_fastq_pending_length.argtypes = [ctypes.c_void_p]
         lib.pq_fastq_read_batch.restype = ctypes.c_int32
         lib.pq_fastq_read_batch.argtypes = [
             ctypes.c_void_p,
@@ -252,35 +254,54 @@ class NativeFastqReader:
 
     def read_batch(self, max_records: int):
         lib = self._lib
-        w = self.max_length
-        code = np.zeros((max_records, w), dtype=np.uint8)
-        qual = np.zeros((max_records, w), dtype=np.uint8)
-        length = np.zeros(max_records, dtype=np.int32)
-        qcfail = np.zeros(max_records, dtype=np.uint8)
-        names_capacity = max_records * 256
-        names = ctypes.create_string_buffer(names_capacity)
-        name_offset = np.zeros(max_records + 1, dtype=np.int64)
+        while True:
+            w = self.max_length
+            code = np.zeros((max_records, w), dtype=np.uint8)
+            qual = np.zeros((max_records, w), dtype=np.uint8)
+            length = np.zeros(max_records, dtype=np.int32)
+            qcfail = np.zeros(max_records, dtype=np.uint8)
+            # the parser reserves 4096 bytes of headroom per record; keep a
+            # floor so tiny batches (max_records * 256 < 4096) still ingest
+            names_capacity = max(max_records * 256, 8192)
+            names = ctypes.create_string_buffer(names_capacity)
+            name_offset = np.zeros(max_records + 1, dtype=np.int64)
 
-        count = lib.pq_fastq_read_batch(
-            self.handle,
-            max_records,
-            w,
-            code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            qcfail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            names,
-            names_capacity,
-            name_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
-        if count < 0:
-            from ..errors import SequenceError
+            count = lib.pq_fastq_read_batch(
+                self.handle,
+                max_records,
+                w,
+                code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                qcfail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                names,
+                names_capacity,
+                name_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if count == -3:
+                # a record longer than the current matrices is pending in
+                # the native reader (reference handles arbitrary read
+                # lengths — never truncate); grow to the next 128-multiple
+                # covering it and retry
+                pending = int(lib.pq_fastq_pending_length(self.handle))
+                self.max_length = max(-(-pending // 128) * 128, w * 2)
+                continue
+            if count == -2:
+                from ..errors import SequenceError
 
-            raw_message = lib.pq_fastq_error(self.handle) or b""
-            message = raw_message.decode("utf-8", errors="replace")
-            raise SequenceError(message or "native FASTQ parse error")
-        if count == 0:
-            return None
+                raise SequenceError(
+                    "native FASTQ reader: name arena exhausted "
+                    f"(capacity {names_capacity})"
+                )
+            if count < 0:
+                from ..errors import SequenceError
+
+                raw_message = lib.pq_fastq_error(self.handle) or b""
+                message = raw_message.decode("utf-8", errors="replace")
+                raise SequenceError(message or "native FASTQ parse error")
+            if count == 0:
+                return None
+            break
         blob = names.raw[: name_offset[count]]
         offsets = name_offset[: count + 1].copy()
         return (

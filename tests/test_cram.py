@@ -3,6 +3,7 @@ edge cases, and the end-to-end demux --output x.cram path."""
 
 import json
 import os
+import struct
 import subprocess
 import sys
 
@@ -283,3 +284,62 @@ def test_cram_interleaved_multisegment_input(tmp_path):
     assert total == 50
     for batch in batches:
         assert len(batch.segments) == 2
+
+
+# --- crafted/adversarial rANS streams (advisor round-1 findings) -----------
+# A decoder must fail typed on malformed tables: RLE runs walking the
+# symbol/context index past 255, frequencies not summing to TOTFREQ,
+# truncation inside a table, or a raw-size header inconsistent with the
+# container — none may read or write out of bounds.
+
+
+def _crafted_rle_overflow() -> bytes:
+    # order-0; table: sym=2 freq=1, then RLE run of 255 starting at 3 —
+    # walks the symbol index past 255 in a naive parser
+    table = bytes([2, 0x01, 3, 255]) + bytes([0x01] * 50) + bytes([0])
+    payload = table + b"\x00" * 16 + b"\xff" * 32
+    return struct.pack("<BII", 0, len(payload), 64) + payload
+
+
+def _crafted_fat_frequencies() -> bytes:
+    # order-0; two symbols each with frequency 0x7FFF: sum ~8M >> TOTFREQ,
+    # would overflow the 4096-entry slot lookup if unvalidated
+    table = bytes([1, 0xFF, 0xFF, 2, 0xFF, 0xFF, 0])
+    payload = table + b"\x00" * 16 + b"\xff" * 32
+    return struct.pack("<BII", 0, len(payload), 64) + payload
+
+
+@pytest.mark.parametrize(
+    "stream",
+    [
+        _crafted_rle_overflow(),
+        _crafted_fat_frequencies(),
+        struct.pack("<BII", 0, 4, 100) + b"\x05\x01",  # truncated table
+        struct.pack("<BII", 1, 4, 100) + b"\x00\x05",  # truncated o1 contexts
+        struct.pack("<BII", 7, 0, 8) + b"\x00" * 8,  # unknown order
+    ],
+)
+@pytest.mark.parametrize("native_path", [False, True])
+def test_rans_crafted_streams_fail_typed(stream, native_path, monkeypatch):
+    from pheniqs_tpu.errors import IOError_
+    from pheniqs_tpu import native
+
+    if native_path and not native.available():
+        pytest.skip("native library unavailable")
+    if not native_path:
+        monkeypatch.setenv("PHENIQS_NATIVE", "0")
+    with pytest.raises(IOError_):
+        rans_uncompress(stream)
+
+
+def test_rans_expected_size_rejects_flipped_header():
+    """The container's declared raw size gates the allocation: a stream
+    claiming 4GB against a 10-byte block must be rejected up front."""
+    from pheniqs_tpu.errors import IOError_
+
+    stream = rans_compress(b"ACGTACGTAC", order=0)
+    forged = stream[:5] + struct.pack("<I", 0xF0000000) + stream[9:]
+    with pytest.raises(IOError_):
+        rans_uncompress(forged, expected_size=10)
+    # and the unforged stream still round-trips under the same gate
+    assert rans_uncompress(stream, expected_size=10) == b"ACGTACGTAC"

@@ -111,3 +111,45 @@ def test_fastq_format_batch(native):
         names, offsets, qcfail, 0, code, quality, length, 33, None
     )
     assert arena2.decode().split("\n")[0] == "@read1"
+
+
+def test_overlong_read_grows_not_truncates(native, tmp_path):
+    """A record longer than the reader's matrix width must be returned in
+    full (the reference handles arbitrary read lengths) — round 1 clipped
+    the data but reported the full length, corrupting downstream output."""
+    long_seq = b"ACGT" * 600  # 2400 bases, far beyond the 8-wide matrices
+    long_qual = b"I" * 2400
+    path = tmp_path / "long.fastq"
+    path.write_bytes(
+        b"@short1 1:N:0:AA\nACGTACGT\n+\nIIIIIIII\n"
+        b"@verylong 1:N:0:AA\n" + long_seq + b"\n+\n" + long_qual + b"\n"
+        b"@short2 1:N:0:AA\nTTTTCCCC\n+\nIIIIIIII\n"
+    )
+    reader = native.NativeFastqReader(str(path), max_length=8)
+    seen = []
+    while True:
+        batch = reader.read_batch(16)
+        if batch is None:
+            break
+        code, qual, length, qcfail, blob, offsets = batch
+        for i in range(code.shape[0]):
+            n = int(length[i])
+            assert n <= code.shape[1]  # length never exceeds matrix width
+            seen.append((blob[offsets[i]:offsets[i + 1]], code[i, :n].copy()))
+    reader.close()
+    assert [name for name, _ in seen] == [b"short1", b"verylong", b"short2"]
+    expected = ASCII_TO_BAM[np.frombuffer(long_seq, np.uint8)]
+    assert (seen[1][1] == expected).all()
+    assert (
+        seen[2][1] == ASCII_TO_BAM[np.frombuffer(b"TTTTCCCC", np.uint8)]
+    ).all()
+
+
+def test_tiny_batch_size_names_arena(native, bdggg):
+    """batch sizes below 16 used to fail immediately: the 4096-byte name
+    headroom exceeded the max_records*256 arena."""
+    reader = native.NativeFastqReader(f"{bdggg}/BDGGG_s01.fastq")
+    batch = reader.read_batch(10)
+    assert batch is not None
+    assert batch[0].shape[0] == 10
+    reader.close()
