@@ -66,6 +66,11 @@ class DeviceEngine(StrictEngine):
         self._current_batch: ReadBatch | None = None
         self._batch_results: list[dict] | None = None
         self._predispatched = None
+        # two staging buffer sets, alternated per dispatch: with the
+        # one-batch lookahead, batch k's arrays may still back an in-flight
+        # transfer while k+1 stages (jax can alias host memory on CPU)
+        self._staging: dict[tuple, list] = {}
+        self._staging_flip = 0
 
     # --- device dispatch -------------------------------------------------
     def _mesh(self):
@@ -131,7 +136,6 @@ class DeviceEngine(StrictEngine):
         if self._pad_bucket is None or padded_n > self._pad_bucket:
             self._pad_bucket = padded_n
         padded_n = self._pad_bucket
-        segments = []
         widths = []
         if self._width_buckets is None:
             self._width_buckets = [0] * len(self.instrument.used_segments)
@@ -142,17 +146,43 @@ class DeviceEngine(StrictEngine):
             w = max(w, self._width_buckets[position])
             self._width_buckets[position] = w
             widths.append(w)
-            # uint8 on the wire; the step upcasts on device
-            code = np.zeros((padded_n, w), dtype=np.uint8)
-            qual = np.zeros((padded_n, w), dtype=np.uint8)
-            length = np.zeros(padded_n, dtype=np.int32)
-            code[:n, : segment.width] = segment.code
-            qual[:n, : segment.width] = segment.quality
-            length[:n] = segment.length
-            segments.append((jnp.asarray(code), jnp.asarray(qual), jnp.asarray(length)))
-        qcfail = np.ones(padded_n, dtype=bool)
-        qcfail[:n] = batch.qcfail
         signature = (padded_n, tuple(widths))
+        staging_key = (self._staging_flip, signature)
+        self._staging_flip ^= 1
+        staging = self._staging.get(staging_key)
+        if staging is None:
+            staging = [
+                (
+                    np.zeros((padded_n, w), dtype=np.uint8),
+                    np.zeros((padded_n, w), dtype=np.uint8),
+                    np.zeros(padded_n, dtype=np.int32),
+                )
+                for w in widths
+            ] + [np.ones(padded_n, dtype=bool)]
+            self._staging[staging_key] = staging
+        segments = []
+        for position, segment_index in enumerate(self.instrument.used_segments):
+            segment = batch.segments[segment_index]
+            w = widths[position]
+            code, qual, length = staging[position]
+            sw = segment.width
+            # uint8 on the wire; the step upcasts on device. Only the
+            # regions a previous batch could have dirtied are re-zeroed.
+            code[:n, :sw] = segment.code
+            qual[:n, :sw] = segment.quality
+            length[:n] = segment.length
+            if sw < w:
+                code[:n, sw:] = 0
+                qual[:n, sw:] = 0
+            if n < padded_n:
+                code[n:] = 0
+                qual[n:] = 0
+                length[n:] = 0
+            segments.append((jnp.asarray(code), jnp.asarray(qual), jnp.asarray(length)))
+        qcfail = staging[-1]
+        qcfail[:n] = batch.qcfail
+        if n < padded_n:
+            qcfail[n:] = True
         return signature, {"segments": segments, "qcfail": jnp.asarray(qcfail)}
 
     # --- pipelined execution ---------------------------------------------
@@ -191,12 +221,14 @@ class DeviceEngine(StrictEngine):
 
             batches = _prefetch(batches)
         pending = None
-        for batch in batches:
+        for raw_index, batch in enumerate(batches):
+            batch.raw_index = raw_index
             # account + filter BEFORE dispatch so device rows match exactly
             self.incoming_count += batch.size
             self.incoming_pf_count += int((~batch.qcfail).sum())
             batch = self._apply_input_filters(batch)
             if batch.size == 0:
+                self._note_skipped_batch(raw_index)
                 continue
             handles = self._dispatch(batch)
             if pending is not None:
@@ -206,6 +238,9 @@ class DeviceEngine(StrictEngine):
             self._finish(*pending)
         self._close_feeds()
         self._trace_summary(start)
+
+    def _note_skipped_batch(self, raw_index: int):
+        """Hook for pipelined consumers tracking the raw batch sequence."""
 
     def _dispatch(self, batch: ReadBatch):
         signature, device_batch = self._device_batch(batch)
@@ -331,3 +366,40 @@ class DeviceEngine(StrictEngine):
         argmax[rows] = oracle.argmax
         out_qcfail[rows] = oracle.qcfail
         return out_qcfail
+
+
+class StreamedDeviceEngine(DeviceEngine):
+    """Device classification + multiprocess render fan-out.
+
+    The production TPU topology: the parent owns ingest, device dispatch
+    (one-batch lookahead), decision pull, hybrid f64 re-resolution and
+    statistics; N render workers own template/tag/format work; the writer
+    thread streams ordered chunks to the feeds (engine.stream). This keeps
+    the chip fed at device rate instead of serializing behind host
+    rendering — the role the reference's decoding-thread pool plays for
+    its CPU pipeline (reference transcode.cpp:1776-1795).
+    """
+
+    def __init__(self, ontology: dict, hybrid: bool = False, workers: int = 2):
+        super().__init__(ontology, hybrid=hybrid)
+        self.workers = workers
+        self._runner = None
+
+    def execute(self, batch_size: int = 16384):
+        from .stream import StreamRunner
+
+        self._runner = StreamRunner(self, self.workers, batch_size)
+        self._runner.start()
+        return super().execute(batch_size)
+
+    def _note_skipped_batch(self, raw_index: int):
+        self._runner.submit_skip(raw_index)
+
+    def _consume_classified(self, batch, results):
+        self._runner.submit(batch, results)
+
+    def _close_feeds(self):
+        if self._runner is not None:
+            self._runner.finish()
+            self._runner = None
+        super()._close_feeds()

@@ -86,6 +86,15 @@ class OutputFeed:
         if self.stream is not None:
             self.stream.write(payload)
 
+    def write_raw(self, payload: bytes):
+        """Write bytes already in this feed's on-disk encoding (worker-
+        rendered BGZF blocks or text), bypassing any parent-side
+        compressor so the payload is not compressed twice."""
+        if self._raw is not None:
+            self._raw.write(payload)
+        elif self.stream is not None:
+            self.stream.write(payload)
+
     def emit(self, name, flag, code, quality, length, tags, segment_index):
         """Write one output segment in this feed's format."""
         if self.stream is None:

@@ -534,15 +534,63 @@ class StrictEngine:
         return batch
 
     def process_batch(self, batch: ReadBatch, filtered: bool = False):
+        classified = self._classify_batch(batch, filtered)
+        if classified is None:
+            return
+        self._consume_classified(*classified)
+
+    def _consume_classified(self, batch: ReadBatch, results: list):
+        """Hook between the classify and render halves; the streamed engine
+        overrides this to hand rendering to worker processes."""
+        self._render_batch(batch, results)
+
+    def iter_runtimes(self):
+        """Classifier chain in reference order: sample, molecular*,
+        cellular* (reference transcode.h:51-65)."""
+        out = []
+        if self.sample is not None:
+            out.append(self.sample)
+        out.extend(self.molecular)
+        out.extend(self.cellular)
+        return out
+
+    def _classify_batch(self, batch: ReadBatch, filtered: bool = False):
+        """Classification + statistics half: runs every classifier in chain
+        order and updates parent-owned counters. Returns (filtered batch,
+        per-runtime ClassifyResult list), or None when nothing survives the
+        input filters. The render half (`_render_batch`) is a pure function
+        of these results and can run in a worker process."""
         if not filtered:
             self.incoming_count += batch.size
             self.incoming_pf_count += int((~batch.qcfail).sum())
             batch = self._apply_input_filters(batch)
         n = batch.size
         if n == 0:
-            return
+            return None
 
         qcfail = batch.qcfail.copy()
+        results: list[ClassifyResult] = []
+        for runtime in self.iter_runtimes():
+            result = self._run_classifier(runtime, batch, qcfail)
+            qcfail = result.qcfail
+            if (
+                not result.observation
+                and runtime.spec.rule is not None
+                and runtime.spec.algorithm != "passthrough"
+            ):
+                result.observation = runtime.spec.rule.apply(batch.segments)
+            results.append(result)
+
+        self.outgoing_count += n
+        self.outgoing_pf_count += int((~qcfail).sum())
+        return batch, results
+
+    def _render_batch(self, batch: ReadBatch, results: list):
+        """Template application, tag assembly, QC accumulation, routing and
+        output formatting for one classified batch."""
+        n = batch.size
+        runtimes = self.iter_runtimes()
+        qcfail = results[-1].qcfail if results else batch.qcfail.copy()
 
         # string tag material is only needed on the python fallback path or
         # when the template references corrected-barcode virtual segments;
@@ -553,15 +601,12 @@ class StrictEngine:
             for tx in self.template_rule.transform_array
         )
 
+        position = 0
         sample_result = None
         sample_tags = None
         if self.sample is not None:
-            sample_result = self._run_classifier(self.sample, batch, qcfail)
-            qcfail = sample_result.qcfail
-            if not sample_result.observation and self.sample.spec.rule is not None:
-                sample_result.observation = self.sample.spec.rule.apply(
-                    batch.segments
-                )
+            sample_result = results[position]
+            position += 1
             if need_strings and sample_result.observation:
                 sample_tags = build_tag_data(
                     sample_result, self.sample.spec, corrected=True
@@ -569,8 +614,8 @@ class StrictEngine:
 
         molecular_results = []
         for runtime in self.molecular:
-            result = self._run_classifier(runtime, batch, qcfail)
-            qcfail = result.qcfail
+            result = results[position]
+            position += 1
             tags = (
                 build_tag_data(
                     result,
@@ -584,17 +629,14 @@ class StrictEngine:
 
         cellular_results = []
         for runtime in self.cellular:
-            result = self._run_classifier(runtime, batch, qcfail)
-            qcfail = result.qcfail
+            result = results[position]
+            position += 1
             tags = (
                 build_tag_data(result, runtime.spec, corrected=True)
                 if need_strings and result.observation
                 else None
             )
             cellular_results.append((runtime, result, tags))
-
-        self.outgoing_count += n
-        self.outgoing_pf_count += int((~qcfail).sum())
 
         # --- combined confidences and distances (reference read.h:279-348)
         sample_conf = np.ones(n, dtype=np.float64)

@@ -74,26 +74,45 @@ class TranscodeJob:
         fidelity = self.interactive.get("fidelity", "strict")
         from .engine.strict import StrictEngine
 
+        threads = int(
+            self.ontology.get("decoding threads")
+            or self.ontology.get("threads")
+            or 1
+        )
+        # render workers stream CRAM containers independently, which would
+        # break the format's sequential record counter — CRAM output stays
+        # on the serial render path
+        cram_output = any(
+            URL(str(proxy.get("url", ""))).format_type == "cram"
+            for proxy in self.ontology.get("feed", {}).get("output feed", []) or []
+        )
+        # parent owns ingest+classify+stats; the rest of the thread budget
+        # renders (reference transcode.cpp:1491-1500 splits its budget the
+        # same way between io and decoding threads)
+        workers = max(1, threads - 1)
         if fidelity in ("strict", "exact", None):
-            workers = int(
-                self.ontology.get("decoding threads")
-                or self.ontology.get("threads")
-                or 1
-            )
-            if workers > 1:
-                from .engine.parallel import ParallelEngine
+            if threads > 1 and not cram_output:
+                from .engine.stream import StreamedStrictEngine
 
-                self.engine = ParallelEngine(self.ontology, workers)
+                self.engine = StreamedStrictEngine(self.ontology, workers)
             else:
                 self.engine = StrictEngine(self.ontology)
         elif fidelity in ("fast", "device"):
-            from .engine.device import DeviceEngine
+            from .engine.device import DeviceEngine, StreamedDeviceEngine
 
-            self.engine = DeviceEngine(self.ontology)
+            if threads > 1 and not cram_output:
+                self.engine = StreamedDeviceEngine(self.ontology, workers=workers)
+            else:
+                self.engine = DeviceEngine(self.ontology)
         elif fidelity == "hybrid":
-            from .engine.device import DeviceEngine
+            from .engine.device import DeviceEngine, StreamedDeviceEngine
 
-            self.engine = DeviceEngine(self.ontology, hybrid=True)
+            if threads > 1 and not cram_output:
+                self.engine = StreamedDeviceEngine(
+                    self.ontology, hybrid=True, workers=workers
+                )
+            else:
+                self.engine = DeviceEngine(self.ontology, hybrid=True)
         else:
             from .errors import ConfigurationError
 

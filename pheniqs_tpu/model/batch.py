@@ -21,7 +21,14 @@ class ReadBatch:
     plus (N+1) prefix offsets (the native parser's layout); the per-read
     list materializes lazily for consumers that need it."""
 
-    __slots__ = ("segments", "qcfail", "names_blob", "name_offsets", "_names")
+    __slots__ = (
+        "segments",
+        "qcfail",
+        "names_blob",
+        "name_offsets",
+        "_names",
+        "raw_index",
+    )
 
     def __init__(
         self,
@@ -33,6 +40,9 @@ class ReadBatch:
     ):
         self.segments = segments
         self.qcfail = qcfail
+        # position in the raw ingest stream (set by pipelined engines so
+        # out-of-order render results can be resequenced)
+        self.raw_index: int | None = None
         if names_blob is None:
             assert names is not None
             names_blob = b"".join(names)
@@ -64,8 +74,20 @@ class ReadBatch:
     def select(self, mask: np.ndarray) -> "ReadBatch":
         """Subset the batch by boolean mask, preserving order."""
         idx = np.flatnonzero(mask)
-        names = self.names
-        return ReadBatch(
+        # gather the name arena spans without materializing per-read bytes
+        starts = self.name_offsets[idx]
+        lengths = self.name_offsets[idx + 1] - starts
+        offsets = np.zeros(idx.size + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        blob_view = np.frombuffer(self.names_blob, dtype=np.uint8)
+        if idx.size:
+            gather = np.concatenate(
+                [blob_view[s : s + l] for s, l in zip(starts, lengths)]
+            )
+            blob = gather.tobytes()
+        else:
+            blob = b""
+        selected = ReadBatch(
             segments=[
                 SegmentBatch(
                     code=s.code[idx],
@@ -74,9 +96,12 @@ class ReadBatch:
                 )
                 for s in self.segments
             ],
-            names=[names[i] for i in idx],
+            names_blob=blob,
+            name_offsets=offsets,
             qcfail=self.qcfail[idx],
         )
+        selected.raw_index = self.raw_index
+        return selected
 
     @classmethod
     def from_records(

@@ -77,7 +77,7 @@ def load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_char_p,
+            ctypes.c_void_p,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
@@ -256,15 +256,18 @@ class NativeFastqReader:
         lib = self._lib
         while True:
             w = self.max_length
-            code = np.zeros((max_records, w), dtype=np.uint8)
-            qual = np.zeros((max_records, w), dtype=np.uint8)
-            length = np.zeros(max_records, dtype=np.int32)
-            qcfail = np.zeros(max_records, dtype=np.uint8)
+            # np.empty everywhere: the parser fully writes every parsed row
+            # (data + zeroed row padding), and only rows [0, count) are
+            # consumed — zero-filling 30+ MB per batch was pure overhead
+            code = np.empty((max_records, w), dtype=np.uint8)
+            qual = np.empty((max_records, w), dtype=np.uint8)
+            length = np.empty(max_records, dtype=np.int32)
+            qcfail = np.empty(max_records, dtype=np.uint8)
             # the parser reserves 4096 bytes of headroom per record; keep a
             # floor so tiny batches (max_records * 256 < 4096) still ingest
             names_capacity = max(max_records * 256, 8192)
-            names = ctypes.create_string_buffer(names_capacity)
-            name_offset = np.zeros(max_records + 1, dtype=np.int64)
+            names = np.empty(names_capacity, dtype=np.uint8)
+            name_offset = np.empty(max_records + 1, dtype=np.int64)
 
             count = lib.pq_fastq_read_batch(
                 self.handle,
@@ -274,7 +277,7 @@ class NativeFastqReader:
                 qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 qcfail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                names,
+                names.ctypes.data_as(ctypes.c_void_p),
                 names_capacity,
                 name_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
@@ -302,7 +305,7 @@ class NativeFastqReader:
             if count == 0:
                 return None
             break
-        blob = names.raw[: name_offset[count]]
+        blob = names[: name_offset[count]].tobytes()
         offsets = name_offset[: count + 1].copy()
         return (
             code[:count],
