@@ -1,49 +1,100 @@
-"""Throughput benchmark: flagship PAMLD demultiplex decode on real TPU.
+"""Production benchmark: end-to-end hybrid FASTQ -> tagged SAM on real TPU.
 
-Workload: the flagship instrument (96-barcode dual-index PAMLD sample +
-384-barcode PAMLD cellular + naive UMI) over synthetic NovaSeq-shaped
-reads — the union shape of the reference's bundled workloads (BDGGG +
-H7LT2DSXX; reference test/BDGGG/, example/H7LT2DSXX/).
+The headline metric is the actual product: parse real FASTQ feeds, classify
+on the device (flagship instrument: 96-barcode dual-index PAMLD sample +
+384-barcode PAMLD cellular + naive UMI, 4-segment NovaSeq-shaped reads),
+re-resolve boundary reads in f64 (hybrid = guaranteed strict-identical
+decisions), render+write tagged SAM through the streamed worker pool.
+`value` is the steady-state reads/s with the cold remote-XLA compile and
+pipeline fill excluded (the axon tunnel pays a multi-minute uncached
+compile per process; steady state is what a production deployment with a
+persistent compilation cache sees).
 
-Measures steady-state classified reads/s through the jitted device decode
-step — the full production round trip: host->device transfer of the
-barcode-bearing segments, the decode program (production configuration:
-packed per-read outputs, host-side statistics), and device->host pull of
-the packed decisions, pipelined with one batch of lookahead (as the
-engine runs).
-
-Baseline: the strict float64 NumPy engine — the host path whose decisions
-the device path replicates — on the same batch, single core. The reference
-C++ binary cannot be built here (htslib not installed); the strict engine
-is its faithful stand-in and is itself vectorized, so `vs_baseline`
-understates the advantage over the per-read reference loop.
+`vs_baseline` compares against the strict float64 serial host engine
+running the same workload end-to-end on this host — the faithful stand-in
+for the reference C++ (which cannot be built here: htslib absent), itself
+vectorized NumPy, so the ratio understates the advantage over the
+reference's per-read loop.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": x}
+  {"metric", "value", "unit", "vs_baseline", ...extra context keys}
 
-NOTE: on the tunneled axon platform the first (cold) XLA compile of the
-decode program takes 5-25 minutes depending on the remote compile
-service's load; budget the run timeout accordingly. Steady-state
-iterations take ~0.2-0.3 s per 131k-read batch.
+Env knobs:
+  PHENIQS_BENCH_MODE=e2e|step   step = round-1 device decode-step bench
+  PHENIQS_BENCH_E2E_READS       workload size (default 5,000,000)
+  PHENIQS_BENCH_BASELINE_READS  strict-baseline slice (default 200,000)
+  PHENIQS_BENCH_THREADS         engine --threads (default 4)
+  PHENIQS_BENCH_BATCH           engine batch size (default 131072)
+  PHENIQS_BENCH_DIR             input cache dir (default /tmp/pheniqs_bench)
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+MODE = os.environ.get("PHENIQS_BENCH_MODE", "e2e")
+E2E_READS = int(os.environ.get("PHENIQS_BENCH_E2E_READS", 5_000_000))
+BASELINE_READS = int(os.environ.get("PHENIQS_BENCH_BASELINE_READS", 200_000))
+THREADS = int(os.environ.get("PHENIQS_BENCH_THREADS", 4))
 BATCH = int(os.environ.get("PHENIQS_BENCH_BATCH", 1 << 17))
-ITERS = int(os.environ.get("PHENIQS_BENCH_ITERS", 20))
-BASELINE_READS = int(os.environ.get("PHENIQS_BENCH_BASELINE_READS", 1 << 14))
+BENCH_DIR = os.environ.get("PHENIQS_BENCH_DIR", "/tmp/pheniqs_bench")
 
 
-def main():
+def main_e2e():
+    from pheniqs_tpu.benchmark import run_e2e, synthesize_fastq_input
+
+    paths = synthesize_fastq_input(os.path.join(BENCH_DIR, "main"), E2E_READS)
+    baseline_paths = synthesize_fastq_input(
+        os.path.join(BENCH_DIR, "baseline"), BASELINE_READS
+    )
+
+    # strict float64 serial host engine: the reference stand-in
+    baseline = run_e2e(
+        baseline_paths,
+        os.path.join(BENCH_DIR, "baseline_out.sam"),
+        fidelity="strict",
+        threads=1,
+        batch_size=16384,
+    )
+
+    stats = run_e2e(
+        paths,
+        os.path.join(BENCH_DIR, "main_out.sam"),
+        fidelity="hybrid",
+        threads=THREADS,
+        batch_size=BATCH,
+    )
+
+    steady = stats.get("steady_reads_per_s", stats["reads_per_s"])
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_hybrid_fastq_to_tagged_sam",
+                "value": steady,
+                "unit": "reads/s",
+                "vs_baseline": round(steady / baseline["reads_per_s"], 2),
+                "total_reads": stats["reads"],
+                "wall_s": stats["wall_s"],
+                "overall_reads_per_s": stats["reads_per_s"],
+                "cold_start_s": stats.get("cold_start_s"),
+                "baseline_strict_serial_reads_per_s": baseline["reads_per_s"],
+                "threads": THREADS,
+                "batch": BATCH,
+            }
+        )
+    )
+
+
+def main_step():
+    """Round-1 device decode-step bench (H2D + decode + packed D2H pull)."""
+    import time
+
     import jax
     import numpy as np
 
-    from pheniqs_tpu.decode.oracle import mdd_classify, pamld_classify
+    from pheniqs_tpu.decode.oracle import pamld_classify
     from pheniqs_tpu.decode.spec import spec_from_ontology
     from pheniqs_tpu.device.flagship import (
         flagship_instrument,
@@ -52,12 +103,11 @@ def main():
     )
     from pheniqs_tpu.device.step import make_decode_step
 
+    iters = int(os.environ.get("PHENIQS_BENCH_ITERS", 20))
     ontology = flagship_ontology()
     instrument = flagship_instrument()
     batch_np = synthetic_batch(instrument, ontology, BATCH, seed=11)
     used = instrument.used_segments
-    # ship codes/qualities as uint8 — 4x less tunnel/PCIe traffic; the step
-    # upcasts on device
     host_segments = [
         (
             batch_np["segments"][s][0].astype(np.uint8),
@@ -67,9 +117,6 @@ def main():
         for s in used
     ]
     qcfail = batch_np["qcfail"]
-
-    # the production DeviceEngine configuration: packed per-read outputs,
-    # statistics accumulated host-side from them
     step = jax.jit(
         make_decode_step(instrument, want_counters=False, pack_outputs=True)
     )
@@ -84,19 +131,15 @@ def main():
         }
         return step(batch)
 
-    # compile + warm up
-    out = jax.block_until_ready(ship_and_run(host_segments))
-    # two host copies of the input so iterations alternate buffers
+    jax.block_until_ready(ship_and_run(host_segments))
     variants = [
         host_segments,
         [(c.copy(), q.copy(), l.copy()) for c, q, l in host_segments],
     ]
     start = time.perf_counter()
     pending = None
-    for i in range(ITERS):
+    for i in range(iters):
         out = ship_and_run(variants[i % 2])
-        # one-batch lookahead, exactly like the engine: pull the previous
-        # batch's packed decisions while this one is in flight
         if pending is not None:
             np.asarray(pending[0]["ints"])
             np.asarray(pending[0]["flags"])
@@ -106,12 +149,11 @@ def main():
     np.asarray(pending[0]["flags"])
     np.asarray(pending[0]["floats"])
     elapsed = time.perf_counter() - start
-    device_rps = BATCH * ITERS / elapsed
+    device_rps = BATCH * iters / elapsed
 
-    # ---- strict float64 host baseline on a smaller slice, extrapolated
     sample_spec = spec_from_ontology(ontology["sample"], "sample")
     cell_spec = spec_from_ontology(ontology["cellular"][0], "cellular")
-    m = BASELINE_READS
+    m = min(BASELINE_READS, 1 << 14)
     i7 = batch_np["segments"][1]
     i5 = batch_np["segments"][2]
     cell = batch_np["segments"][3]
@@ -121,14 +163,16 @@ def main():
     obs_sample_qual = np.concatenate(
         [i7[1][:m].astype(np.uint8), i5[1][:m].astype(np.uint8)], axis=1
     )
-    obs_cell_code = cell[0][:m, :16].astype(np.uint8)
-    obs_cell_qual = cell[1][:m, :16].astype(np.uint8)
     fail = np.zeros(m, dtype=bool)
     t0 = time.perf_counter()
     r1 = pamld_classify(sample_spec, obs_sample_code, obs_sample_qual, fail)
-    r2 = pamld_classify(cell_spec, obs_cell_code, obs_cell_qual, r1.qcfail)
-    strict_elapsed = time.perf_counter() - t0
-    strict_rps = m / strict_elapsed
+    pamld_classify(
+        cell_spec,
+        cell[0][:m, :16].astype(np.uint8),
+        cell[1][:m, :16].astype(np.uint8),
+        r1.qcfail,
+    )
+    strict_rps = m / (time.perf_counter() - t0)
 
     print(
         json.dumps(
@@ -143,4 +187,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if MODE == "step":
+        main_step()
+    else:
+        main_e2e()

@@ -12,11 +12,16 @@
 // image). All functions are thread-compatible: one handle per stream, no
 // shared state.
 
+#include <algorithm>
 #include <cerrno>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -44,8 +49,13 @@ const AsciiToBam kAsciiToBam;
 
 constexpr size_t kChunk = 1 << 20;
 
+struct BgzfReader;  // defined below
+static int64_t bgzf_read_helper(BgzfReader* reader, uint8_t* out, int64_t want);
+static const char* bgzf_error_helper(BgzfReader* reader);
+
 struct Reader {
     gzFile file = nullptr;
+    BgzfReader* bgzf = nullptr;  // parallel block-decompress path when BGZF
     std::string buffer;   // decompressed carry-over
     size_t position = 0;  // consume offset into buffer
     bool eof = false;
@@ -72,14 +82,29 @@ struct Reader {
         }
         size_t old = buffer.size();
         buffer.resize(old + kChunk);
-        int got = gzread(file, &buffer[old], static_cast<unsigned>(kChunk));
-        if (got < 0) {
-            int errnum = 0;
-            const char* message = gzerror(file, &errnum);
-            error = message ? message : "gzread failed";
-            buffer.resize(old);
-            eof = true;
-            return false;
+        int64_t got;
+        if (bgzf != nullptr) {
+            got = bgzf_read_helper(
+                bgzf, reinterpret_cast<uint8_t*>(&buffer[old]),
+                static_cast<int64_t>(kChunk));
+            if (got < 0) {
+                error = bgzf_error_helper(bgzf);
+                if (error.empty()) error = "BGZF read failed";
+                buffer.resize(old);
+                eof = true;
+                return false;
+            }
+        } else {
+            int zgot = gzread(file, &buffer[old], static_cast<unsigned>(kChunk));
+            if (zgot < 0) {
+                int errnum = 0;
+                const char* message = gzerror(file, &errnum);
+                error = message ? message : "gzread failed";
+                buffer.resize(old);
+                eof = true;
+                return false;
+            }
+            got = zgot;
         }
         buffer.resize(old + static_cast<size_t>(got));
         if (static_cast<size_t>(got) < kChunk) eof = true;
@@ -117,19 +142,315 @@ struct Reader {
     }
 };
 
+// --- parallel BGZF input ----------------------------------------------------
+// BGZF (the block-gzip framing BAM and most genomics .gz files use) is a
+// series of independent <=64KB gzip members, each carrying its compressed
+// size in a 'BC' extra subfield — so decompression parallelizes perfectly.
+// This is the ingest analog of the reference's htslib decompression thread
+// pool (reference transcode.cpp:1599-1605); the reference names compressed
+// input as the primary bottleneck (docs/configuration.md:20).
+//
+// One IO thread reads framed blocks into a slot ring; N inflate workers
+// decompress any ready slot; the consumer drains slots strictly in order.
+
+struct BgzfReader {
+    static const int DEPTH = 32;
+    struct Slot {
+        std::vector<uint8_t> payload;  // raw deflate payload
+        std::vector<uint8_t> raw;      // decompressed
+        uint32_t crc = 0;
+        uint32_t isize = 0;
+        int state = 0;  // 0 free, 1 compressed ready, 2 claimed, 3 raw ready
+    };
+    Slot slots[DEPTH];
+    std::mutex mu;
+    std::condition_variable cv_work;   // workers wait for state-1 slots
+    std::condition_variable cv_ready;  // consumer waits for its ordered slot
+    std::condition_variable cv_free;   // io thread waits for a free slot
+    long long produced = 0;  // blocks handed to the ring
+    long long consumed = 0;  // blocks fully drained
+    bool io_done = false;
+    bool shutdown = false;
+    std::string error;
+    FILE* file = nullptr;
+    std::thread io_thread;
+    std::vector<std::thread> workers;
+    size_t raw_pos = 0;  // consumer offset into the current ordered slot
+
+    ~BgzfReader() { stop(); }
+
+    void stop() {
+        {
+            std::lock_guard<std::mutex> lock(mu);
+            shutdown = true;
+        }
+        cv_work.notify_all();
+        cv_free.notify_all();
+        cv_ready.notify_all();
+        if (io_thread.joinable()) io_thread.join();
+        for (auto& worker : workers)
+            if (worker.joinable()) worker.join();
+        if (file != nullptr) {
+            fclose(file);
+            file = nullptr;
+        }
+    }
+
+    void fail(const std::string& message) {
+        std::lock_guard<std::mutex> lock(mu);
+        if (error.empty()) error = message;
+        io_done = true;
+        cv_ready.notify_all();
+        cv_work.notify_all();
+    }
+
+    // Parse one BGZF member from `file` into (payload, crc, isize);
+    // returns 1 on success, 0 on clean EOF, -1 on malformed input.
+    int read_block(std::vector<uint8_t>& payload, uint32_t* crc, uint32_t* isize) {
+        uint8_t header[12];
+        size_t got = fread(header, 1, 12, file);
+        if (got == 0) return 0;
+        if (got < 12 || header[0] != 0x1F || header[1] != 0x8B || header[2] != 8 ||
+            (header[3] & 4) == 0) {
+            return -1;  // not a BGZF member
+        }
+        uint16_t xlen = static_cast<uint16_t>(header[10] | (header[11] << 8));
+        std::vector<uint8_t> extra(xlen);
+        if (fread(extra.data(), 1, xlen, file) != xlen) return -1;
+        int bsize = -1;
+        for (size_t i = 0; i + 4 <= extra.size();) {
+            uint8_t si1 = extra[i], si2 = extra[i + 1];
+            uint16_t slen = static_cast<uint16_t>(extra[i + 2] | (extra[i + 3] << 8));
+            if (si1 == 66 && si2 == 67 && slen == 2 && i + 6 <= extra.size()) {
+                bsize = extra[i + 4] | (extra[i + 5] << 8);
+            }
+            i += 4 + slen;
+        }
+        if (bsize < 0) return -1;
+        // total member size = bsize + 1; payload = rest minus 8-byte trailer
+        long long remaining = static_cast<long long>(bsize) + 1 - 12 - xlen;
+        if (remaining < 8) return -1;
+        size_t payload_size = static_cast<size_t>(remaining - 8);
+        payload.resize(payload_size);
+        if (payload_size > 0 &&
+            fread(payload.data(), 1, payload_size, file) != payload_size) {
+            return -1;
+        }
+        uint8_t trailer[8];
+        if (fread(trailer, 1, 8, file) != 8) return -1;
+        *crc = static_cast<uint32_t>(trailer[0]) | (trailer[1] << 8) |
+               (trailer[2] << 16) | (static_cast<uint32_t>(trailer[3]) << 24);
+        *isize = static_cast<uint32_t>(trailer[4]) | (trailer[5] << 8) |
+                 (trailer[6] << 16) | (static_cast<uint32_t>(trailer[7]) << 24);
+        if (*isize > (1u << 16)) return -1;  // BGZF blocks are <= 64KB raw
+        return 1;
+    }
+
+    void io_loop() {
+        for (;;) {
+            std::vector<uint8_t> payload;
+            uint32_t crc = 0, isize = 0;
+            int status = read_block(payload, &crc, &isize);
+            if (status < 0) {
+                fail("malformed BGZF block");
+                return;
+            }
+            if (status == 0) {
+                std::lock_guard<std::mutex> lock(mu);
+                io_done = true;
+                cv_ready.notify_all();
+                cv_work.notify_all();
+                return;
+            }
+            std::unique_lock<std::mutex> lock(mu);
+            cv_free.wait(lock, [&] {
+                return shutdown || produced - consumed < DEPTH;
+            });
+            if (shutdown) return;
+            Slot& slot = slots[produced % DEPTH];
+            slot.payload = std::move(payload);
+            slot.crc = crc;
+            slot.isize = isize;
+            slot.state = 1;
+            ++produced;
+            lock.unlock();
+            cv_work.notify_one();
+        }
+    }
+
+    void worker_loop() {
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) {
+            fail("inflateInit2 failed");
+            return;
+        }
+        for (;;) {
+            int index = -1;
+            {
+                std::unique_lock<std::mutex> lock(mu);
+                cv_work.wait(lock, [&] {
+                    if (shutdown) return true;
+                    for (long long s = consumed; s < produced; ++s) {
+                        if (slots[s % DEPTH].state == 1) return true;
+                    }
+                    return io_done;
+                });
+                if (shutdown) break;
+                for (long long s = consumed; s < produced; ++s) {
+                    if (slots[s % DEPTH].state == 1) {
+                        index = static_cast<int>(s % DEPTH);
+                        slots[index].state = 2;
+                        break;
+                    }
+                }
+                if (index < 0) {
+                    if (io_done) break;
+                    continue;
+                }
+            }
+            Slot& slot = slots[index];
+            slot.raw.resize(slot.isize);
+            inflateReset(&zs);
+            zs.next_in = slot.payload.data();
+            zs.avail_in = static_cast<uInt>(slot.payload.size());
+            // zlib rejects next_out == NULL even with avail_out == 0
+            // (empty EOF-marker blocks) — give it a scratch byte
+            uint8_t scratch = 0;
+            zs.next_out = slot.isize > 0 ? slot.raw.data() : &scratch;
+            zs.avail_out = slot.isize > 0
+                ? static_cast<uInt>(slot.raw.size()) : 1;
+            int status = inflate(&zs, Z_FINISH);
+            bool ok = status == Z_STREAM_END &&
+                      zs.total_out == slot.isize;
+            if (ok && slot.isize > 0) {
+                uint32_t crc = static_cast<uint32_t>(
+                    crc32(0, slot.raw.data(), static_cast<uInt>(slot.raw.size())));
+                ok = crc == slot.crc;
+            }
+            if (!ok) {
+                fail("BGZF block inflate/CRC failure");
+                break;
+            }
+            {
+                std::lock_guard<std::mutex> lock(mu);
+                slot.state = 3;
+            }
+            cv_ready.notify_all();
+        }
+        inflateEnd(&zs);
+    }
+
+    // Consumer: copy up to `want` decompressed bytes in stream order.
+    // Returns bytes copied (0 at EOF), or -1 on error.
+    int64_t read(uint8_t* out, int64_t want) {
+        int64_t got = 0;
+        while (got < want) {
+            std::unique_lock<std::mutex> lock(mu);
+            cv_ready.wait(lock, [&] {
+                if (shutdown || !error.empty()) return true;
+                if (consumed < produced &&
+                    slots[consumed % DEPTH].state == 3)
+                    return true;
+                return io_done && consumed >= produced;
+            });
+            if (!error.empty()) return -1;
+            if (shutdown) return -1;
+            if (consumed >= produced && io_done) break;  // EOF
+            Slot& slot = slots[consumed % DEPTH];
+            if (slot.state != 3) continue;
+            size_t available = slot.raw.size() - raw_pos;
+            size_t take = static_cast<size_t>(
+                std::min<int64_t>(want - got, static_cast<int64_t>(available)));
+            std::memcpy(out + got, slot.raw.data() + raw_pos, take);
+            raw_pos += take;
+            got += static_cast<int64_t>(take);
+            if (raw_pos >= slot.raw.size()) {
+                slot.state = 0;
+                slot.payload.clear();
+                raw_pos = 0;
+                ++consumed;
+                lock.unlock();
+                cv_free.notify_one();
+            }
+        }
+        return got;
+    }
+};
+
+static int64_t bgzf_read_helper(BgzfReader* reader, uint8_t* out, int64_t want) {
+    return reader->read(out, want);
+}
+
+static const char* bgzf_error_helper(BgzfReader* reader) {
+    return reader->error.c_str();
+}
+
+// Open helper shared by the C ABI and the FASTQ reader: nullptr when the
+// file is missing or not BGZF-framed.
+static BgzfReader* bgzf_open_internal(const char* path, int threads) {
+    FILE* file = fopen(path, "rb");
+    if (file == nullptr) return nullptr;
+    uint8_t header[18];
+    size_t got = fread(header, 1, 18, file);
+    bool bgzf = got == 18 && header[0] == 0x1F && header[1] == 0x8B &&
+                header[2] == 8 && (header[3] & 4) != 0 &&
+                header[12] == 66 && header[13] == 67;
+    if (!bgzf) {
+        fclose(file);
+        return nullptr;
+    }
+    rewind(file);
+    BgzfReader* reader = new BgzfReader();
+    reader->file = file;
+    if (threads < 1) threads = 1;
+    if (threads > 16) threads = 16;
+    reader->io_thread = std::thread([reader] { reader->io_loop(); });
+    for (int i = 0; i < threads; ++i) {
+        reader->workers.emplace_back([reader] { reader->worker_loop(); });
+    }
+    return reader;
+}
+
 }  // namespace
 
 extern "C" {
 
+// Open `path` as a parallel BGZF stream with `threads` inflate workers.
+// Returns nullptr when the file is missing OR not BGZF-framed (the caller
+// falls back to its serial gzip path).
+void* pq_bgzf_open(const char* path, int threads) {
+    return bgzf_open_internal(path, threads);
+}
+
+int64_t pq_bgzf_read(void* handle, uint8_t* out, int64_t want) {
+    return static_cast<BgzfReader*>(handle)->read(out, want);
+}
+
+const char* pq_bgzf_error(void* handle) {
+    return static_cast<BgzfReader*>(handle)->error.c_str();
+}
+
+void pq_bgzf_close(void* handle) {
+    delete static_cast<BgzfReader*>(handle);
+}
+
 void* pq_fastq_open(const char* path, int phred_offset) {
     Reader* reader = new Reader();
     reader->phred_offset = phred_offset;
-    reader->file = gzopen(path, "rb");
-    if (reader->file == nullptr) {
-        delete reader;
-        return nullptr;
+    // BGZF-framed input (BAM-style gzip, htslib-written .gz) decompresses
+    // on the parallel block pool; plain/other gzip falls back to zlib
+    const char* env = getenv("PHENIQS_BGZF_THREADS");
+    int threads = env != nullptr ? atoi(env) : 3;
+    reader->bgzf = bgzf_open_internal(path, threads);
+    if (reader->bgzf == nullptr) {
+        reader->file = gzopen(path, "rb");
+        if (reader->file == nullptr) {
+            delete reader;
+            return nullptr;
+        }
+        gzbuffer(reader->file, 1 << 20);
     }
-    gzbuffer(reader->file, 1 << 20);
     return reader;
 }
 
@@ -142,6 +463,7 @@ void pq_fastq_close(void* handle) {
     if (handle == nullptr) return;
     Reader* reader = static_cast<Reader*>(handle);
     if (reader->file != nullptr) gzclose(reader->file);
+    delete reader->bgzf;
     delete reader;
 }
 

@@ -1,0 +1,199 @@
+"""End-to-end production benchmark harness.
+
+Measures the actual product: FASTQ in, classified+tagged SAM out, through
+the hybrid (device classification + f64 boundary re-resolution + streamed
+render fan-out) engine — not just the device decode step. The workload is
+the flagship instrument (96-barcode dual-index PAMLD sample + 384-barcode
+PAMLD cellular + naive UMI over 4-segment NovaSeq-shaped reads,
+device/flagship.py), materialized as real FASTQ files.
+
+Steady-state accounting: on the tunneled axon TPU the first decode-step
+call pays a multi-minute remote XLA compile; per-batch completion
+timestamps let the report separate cold-start from steady throughput
+(memory: never benchmark the first device call).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .device.flagship import flagship_instrument, flagship_ontology, synthetic_batch
+
+SEGMENT_WIDTHS = (150, 8, 8, 26)
+
+
+def synthesize_fastq_input(
+    directory: str,
+    n_reads: int,
+    seed: int = 20260817,
+    chunk: int = 1 << 17,
+) -> list[str]:
+    """Write the flagship workload as 4 per-segment FASTQ files (R1, I7,
+    I5, R2 in NovaSeq terms). Returns the file paths (cached: reused when
+    already present with the right size)."""
+    from .native import fastq_format_batch
+
+    os.makedirs(directory, exist_ok=True)
+    paths = [
+        os.path.join(directory, f"flagship_s{s + 1:02d}.fastq")
+        for s in range(len(SEGMENT_WIDTHS))
+    ]
+    marker = os.path.join(directory, f".complete_{n_reads}_{seed}")
+    if os.path.exists(marker) and all(os.path.exists(p) for p in paths):
+        return paths
+
+    instrument = flagship_instrument()
+    ontology = flagship_ontology()
+    streams = [open(p, "wb") for p in paths]
+    written = 0
+    part = 0
+    while written < n_reads:
+        n = min(chunk, n_reads - written)
+        batch = synthetic_batch(
+            instrument, ontology, n, seed=seed + part, segment_widths=SEGMENT_WIDTHS
+        )
+        name_list = [b"r%d" % (written + i) for i in range(n)]
+        names = b"".join(name_list)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in name_list], out=offsets[1:])
+        qcfail = np.zeros(n, dtype=np.uint8)
+        for s, stream in enumerate(streams):
+            code, qual, length = batch["segments"][s]
+            arena, _rec = fastq_format_batch(
+                names,
+                offsets,
+                qcfail,
+                0,  # no Illumina comment: keeps the files lean
+                np.ascontiguousarray(code.astype(np.uint8)),
+                np.ascontiguousarray(qual.astype(np.uint8)),
+                length,
+                33,
+                None,
+            )
+            stream.write(arena)
+        written += n
+        part += 1
+    for stream in streams:
+        stream.close()
+    open(marker, "w").close()
+    return paths
+
+
+def e2e_ontology(paths: list[str], output_url: str, threads: int) -> dict:
+    """Compile the flagship instruction against real input feeds through
+    the production config compiler."""
+    from .cli.interface import Interface
+    from .job import TranscodeJob
+
+    base = flagship_ontology()
+    instruction = {
+        "input": list(paths),
+        "template": {"transform": {"token": ["0::"]}},
+        "sample": base["sample"],
+        "cellular": base["cellular"],
+        "molecular": base["molecular"],
+        "output": [output_url],
+        "report url": "/dev/null",
+        "threads": threads,
+    }
+    import json as json_mod
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as handle:
+        json_mod.dump(instruction, handle)
+        config_path = handle.name
+    interface = Interface(
+        ["pheniqs-tpu", "mux", "--config", config_path, "--threads", str(threads)]
+    )
+    job = TranscodeJob(interface.operation())
+    job.compiler.assemble()
+    ontology = job.compiler.compile()
+    os.unlink(config_path)
+    return ontology
+
+
+class _TimedMixin:
+    """Record a wall-clock timestamp and cumulative read count after each
+    batch completes its host-side consumption."""
+
+    def _init_timeline(self):
+        self.timeline: list[tuple[float, int]] = []
+        self._timeline_reads = 0
+
+    def _consume_classified(self, batch, results):
+        super()._consume_classified(batch, results)
+        self._timeline_reads += batch.size
+        self.timeline.append((time.perf_counter(), self._timeline_reads))
+
+
+def run_e2e(
+    paths: list[str],
+    output_url: str,
+    fidelity: str = "hybrid",
+    threads: int = 4,
+    batch_size: int = 65536,
+) -> dict:
+    """Run the end-to-end engine over `paths`, returning throughput stats
+    with cold-start (first two batches: XLA compile + warmup) separated
+    from steady state."""
+    ontology = e2e_ontology(paths, output_url, threads)
+
+    if fidelity == "strict":
+        from .engine.strict import StrictEngine
+
+        class Engine(_TimedMixin, StrictEngine):
+            pass
+
+        engine = Engine(ontology)
+    else:
+        from .engine.device import DeviceEngine, StreamedDeviceEngine
+
+        hybrid = fidelity == "hybrid"
+        if threads > 1:
+
+            class Engine(_TimedMixin, StreamedDeviceEngine):
+                pass
+
+            engine = Engine(ontology, hybrid=hybrid, workers=max(1, threads - 1))
+        else:
+
+            class Engine(_TimedMixin, DeviceEngine):
+                pass
+
+            engine = Engine(ontology, hybrid=hybrid)
+
+    engine._init_timeline()
+    start = time.perf_counter()
+    engine.execute(batch_size=batch_size)
+    wall = time.perf_counter() - start
+    report = engine.finalize_report()
+
+    timeline = engine.timeline
+    total_reads = timeline[-1][1] if timeline else 0
+    stats = {
+        "reads": total_reads,
+        "wall_s": round(wall, 3),
+        "reads_per_s": round(total_reads / wall, 1) if wall else 0.0,
+        "batches": len(timeline),
+    }
+    # steady state: drop the first two batches (compile + pipeline fill)
+    if len(timeline) > 3:
+        t0, r0 = timeline[1]
+        t1, r1 = timeline[-1]
+        if t1 > t0:
+            stats["steady_reads_per_s"] = round((r1 - r0) / (t1 - t0), 1)
+            stats["cold_start_s"] = round(timeline[1][0] - start, 3)
+    # classification sanity: the synthetic panel reads should mostly decode
+    incoming = report.get("incoming", {}).get("count", 0)
+    sample = report.get("sample", {})
+    classified = sum(
+        entry.get("count", 0) for entry in sample.get("classified", [])
+    )
+    if incoming:
+        stats["classified_fraction"] = round(classified / incoming, 4)
+    return stats

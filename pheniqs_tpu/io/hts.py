@@ -316,8 +316,17 @@ _LO = np.arange(256, dtype=np.uint8) & 0xF
 
 
 def read_bam(path: str):
-    """Yield HtsRecord from a BAM file (gzip handles BGZF members)."""
-    stream = gzip.open(path, "rb")
+    """Yield HtsRecord from a BAM file.
+
+    Decompression runs on the native parallel BGZF block pool when the
+    host library is built (the ingest analog of the reference's htslib
+    thread pool, reference transcode.cpp:1599-1605); serial gzip
+    otherwise (plain gzip handles BGZF members transparently)."""
+    from ..native import open_bgzf
+
+    stream = open_bgzf(path)
+    if stream is None:
+        stream = gzip.open(path, "rb")
     try:
         magic = stream.read(4)
         if magic != b"BAM\x01":

@@ -34,7 +34,7 @@ def _build() -> str | None:
         return None
     command = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        _SOURCE, "-o", _LIBRARY, "-lz",
+        _SOURCE, "-o", _LIBRARY, "-lz", "-lpthread",
     ]
     result = subprocess.run(command, capture_output=True, text=True)
     if result.returncode != 0:
@@ -166,6 +166,18 @@ def load():
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.pq_bgzf_open.restype = ctypes.c_void_p
+        lib.pq_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.pq_bgzf_read.restype = ctypes.c_int64
+        lib.pq_bgzf_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.pq_bgzf_error.restype = ctypes.c_char_p
+        lib.pq_bgzf_error.argtypes = [ctypes.c_void_p]
+        lib.pq_bgzf_close.restype = None
+        lib.pq_bgzf_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -582,3 +594,90 @@ def rans_uncompress(data: bytes, raw_size: int) -> bytes | None:
 
         raise IOError_("rANS: malformed stream (native decoder)")
     return out.raw[:written]
+
+
+class NativeBgzfFile:
+    """Buffered file-like over the native parallel BGZF reader.
+
+    Supports exactly the interface the BAM/CRAM readers use: ``read(n)``
+    (n > 0) and ``close()``. Small reads (per-record headers) are served
+    from a 1MB staging buffer so each ctypes crossing moves a chunk."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, handle, lib):
+        self._handle = handle
+        self._lib = lib
+        self._buffer = b""
+        self._position = 0
+
+    def _fill(self) -> bool:
+        buf = np.empty(self.CHUNK, dtype=np.uint8)
+        got = self._lib.pq_bgzf_read(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.CHUNK,
+        )
+        if got < 0:
+            from ..errors import IOError_
+
+            message = (self._lib.pq_bgzf_error(self._handle) or b"").decode(
+                "utf-8", errors="replace"
+            )
+            raise IOError_(message or "BGZF read failed")
+        if got == 0:
+            return False
+        self._buffer = buf[:got].tobytes()
+        self._position = 0
+        return True
+
+    def read(self, n: int) -> bytes:
+        if n <= 0 or self._handle is None:
+            return b""
+        pieces = []
+        needed = n
+        while needed > 0:
+            available = len(self._buffer) - self._position
+            if available == 0:
+                if not self._fill():
+                    break
+                continue
+            take = min(needed, available)
+            pieces.append(self._buffer[self._position : self._position + take])
+            self._position += take
+            needed -= take
+        if len(pieces) == 1:
+            return pieces[0]
+        return b"".join(pieces)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.pq_bgzf_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_bgzf(path: str, threads: int | None = None):
+    """Open `path` through the parallel BGZF decompressor, or None when
+    the native library is unavailable or the file is not BGZF-framed
+    (caller falls back to serial gzip)."""
+    lib = load()
+    if lib is None:
+        return None
+    if threads is None:
+        threads = int(os.environ.get("PHENIQS_BGZF_THREADS", "3"))
+    handle = lib.pq_bgzf_open(path.encode(), threads)
+    if not handle:
+        return None
+    return NativeBgzfFile(handle, lib)

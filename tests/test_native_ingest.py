@@ -153,3 +153,64 @@ def test_tiny_batch_size_names_arena(native, bdggg):
     assert batch is not None
     assert batch[0].shape[0] == 10
     reader.close()
+
+
+def test_parallel_bgzf_input(native, tmp_path):
+    """BGZF-framed gzip input decompresses on the native block pool and
+    parses identically to plain text (round 2: reference
+    transcode.cpp:1599-1605 dedicates an htslib thread pool to this)."""
+    from pheniqs_tpu.io.hts import BgzfWriter
+    from pheniqs_tpu.native import open_bgzf
+
+    payload = b"".join(
+        b"@r%d 1:N:0:AA\nACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIII\n" % i
+        for i in range(50000)
+    )
+    path = tmp_path / "reads.fastq.gz"
+    with open(path, "wb") as raw:
+        writer = BgzfWriter(raw, 5)
+        writer.write(payload)
+        writer.close()
+
+    handle = open_bgzf(str(path))
+    assert handle is not None  # detected as BGZF
+    data = bytearray()
+    while True:
+        chunk = handle.read(1 << 18)
+        if not chunk:
+            break
+        data += chunk
+    handle.close()
+    assert bytes(data) == payload
+
+    reader = native.NativeFastqReader(str(path), max_length=32)
+    parsed = 0
+    while True:
+        batch = reader.read_batch(16384)
+        if batch is None:
+            break
+        parsed += batch[0].shape[0]
+    reader.close()
+    assert parsed == 50000
+
+
+def test_bgzf_corrupt_block_fails_typed(native, tmp_path):
+    from pheniqs_tpu.io.hts import BgzfWriter
+    from pheniqs_tpu.errors import IOError_
+    from pheniqs_tpu.native import open_bgzf
+
+    path = tmp_path / "corrupt.gz"
+    with open(path, "wb") as raw:
+        writer = BgzfWriter(raw, 5)
+        writer.write(b"@r0\nACGT\n+\nIIII\n" * 5000)
+        writer.close()
+    blob = bytearray(path.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte inside a compressed block
+    path.write_bytes(bytes(blob))
+
+    handle = open_bgzf(str(path))
+    assert handle is not None
+    with pytest.raises(IOError_):
+        while handle.read(1 << 18):
+            pass
+    handle.close()
