@@ -524,8 +524,6 @@ int32_t pq_fastq_read_batch(
                 int q = static_cast<unsigned char>(reader->pending_quality[i]) - offset;
                 qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
             }
-            std::memset(code_row + plen, 0, max_length - plen);
-            std::memset(qual_row + plen, 0, max_length - plen);
             size_t name_length = std::min<size_t>(reader->pending_name.size(), 4000);
             std::memcpy(names + names_used, reader->pending_name.data(), name_length);
             length[count] = static_cast<int32_t>(plen);
@@ -609,7 +607,10 @@ int32_t pq_fastq_read_batch(
             return count > 0 ? count : -3;
         }
         // encode the sequence into its row immediately, before the span can
-        // be invalidated
+        // be invalidated. Rows are NOT padded here: zero-filling every row
+        // to the full matrix stride cost ~GBs of memset per million reads;
+        // the Python caller zeroes only the (rare) short rows up to the
+        // batch width.
         uint8_t* code_row = code + static_cast<int64_t>(count) * max_length;
         uint8_t* qual_row = qual + static_cast<int64_t>(count) * max_length;
         size_t keep = sequence_length;
@@ -617,7 +618,6 @@ int32_t pq_fastq_read_batch(
             code_row[i] = kAsciiToBam.table[
                 static_cast<unsigned char>(sequence[i])];
         }
-        std::memset(code_row + keep, 0, max_length - keep);
 
         const char* separator;
         size_t separator_length;
@@ -642,7 +642,6 @@ int32_t pq_fastq_read_batch(
             int q = static_cast<unsigned char>(quality[i]) - offset;
             qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
         }
-        std::memset(qual_row + keep, 0, max_length - keep);
 
         length[count] = static_cast<int32_t>(sequence_length);
         qcfail[count] = fail;

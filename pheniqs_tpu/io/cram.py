@@ -7,20 +7,27 @@ block / slice structure with CRC32 trailers, the compression-header
 preservation + data-series + tag encoding maps, and the EXTERNAL /
 BYTE_ARRAY_STOP / BYTE_ARRAY_LEN / zero-bit-HUFFMAN codecs.
 
-Scope: demultiplexer traffic — unmapped, detached records (BAM flag 0x4
-set, refID/pos -1), which is exactly what this framework and the
-reference emit. The writer stores every data series in EXTERNAL blocks
-(gzip-compressed), read names preserved, qualities always stored; the
-reader additionally understands bzip2/lzma block compression and
-zero-length Huffman codes, and rejects mapped records and core-stream
-bit codecs explicitly. Validated by round-trip against the BAM codec
-(tests/test_cram.py); no htslib is available in this environment for
-cross-validation.
+Writer scope: demultiplexer traffic — unmapped, detached records (BAM
+flag 0x4 set, refID/pos -1), which is exactly what this framework and
+the reference emit; every data series in EXTERNAL blocks, read names
+preserved, qualities always stored.
+
+Reader scope (round 2): general CRAM 3.0 — additionally bzip2/lzma/rANS
+block compression, the core-stream bit codecs (canonical Huffman §13.6,
+Beta §13.7, Gamma §13.8), and mapped records (read features §8.5.10.2
+reconstructed against a slice-embedded reference block or an external
+FASTA via ``reference=`` / $PHENIQS_CRAM_REFERENCE, with the SM
+substitution matrix). Genuinely unsupported structures (Golomb/subexp
+codecs, CRAM 2.x/4.x) fail typed. Validated by round-trip against the
+BAM codec plus hand-assembled spec-derived conformance vectors
+(tests/test_cram.py, tests/test_cram_conformance.py); no htslib is
+available in this environment for cross-validation.
 """
 
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 
@@ -45,6 +52,7 @@ FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, EXTERNAL, CORE = 0, 1, 2, 4, 5
 E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN, E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP = (
     0, 1, 2, 3, 4, 5,
 )
+E_BETA, E_SUBEXP, E_GOLOMB_RICE, E_GAMMA = 6, 7, 8, 9
 # CRAM record flags (CF series)
 CF_QUALITY, CF_DETACHED, CF_MATE_DOWNSTREAM, CF_NO_SEQ = 1, 2, 4, 8
 # BAM flags
@@ -239,8 +247,59 @@ def _byte_array_len(content_id: int) -> bytes:
     )
 
 
+class CoreBitReader:
+    """MSB-first bit reader over a slice's CORE block (CRAM 3.0 §2.2:
+    the core data block is a sequence of bits consumed most-significant
+    first by the bit codecs)."""
+
+    __slots__ = ("buf", "position", "bit")
+
+    def __init__(self, buf: bytes = b""):
+        self.buf = buf
+        self.position = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.position >= len(self.buf):
+            raise IOError_("CRAM core stream exhausted")
+        value = (self.buf[self.position] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.position += 1
+        return value
+
+    def read_bits(self, count: int) -> int:
+        value = 0
+        for _ in range(count):
+            value = (value << 1) | self.read_bit()
+        return value
+
+
+def _canonical_codes(alphabet: list[int], lengths: list[int]):
+    """Canonical Huffman assignment (CRAM 3.0 §13.6): symbols sorted by
+    (bit length, symbol value) receive consecutive codes, shifting left
+    at each length increase. Returns {length: {code: symbol}}."""
+    pairs = sorted(
+        (length, symbol)
+        for symbol, length in zip(alphabet, lengths)
+        if length > 0
+    )
+    table: dict[int, dict[int, int]] = {}
+    code = 0
+    previous_length = 0
+    for length, symbol in pairs:
+        code <<= length - previous_length
+        table.setdefault(length, {})[code] = symbol
+        code += 1
+        previous_length = length
+    return table
+
+
 class _Decoder:
-    """One parsed encoding; decodes values from external streams."""
+    """One parsed encoding; decodes values from the external streams and
+    (for the bit codecs: Huffman §13.6, Beta §13.7, Gamma §13.8) the
+    slice's core bit stream."""
 
     def __init__(self, codec: int, params: bytes):
         self.codec = codec
@@ -273,17 +332,53 @@ class _Decoder:
             for _ in range(count2):
                 length, offset = itf8_get(params, offset)
                 lengths.append(length)
-            if len(alphabet) != 1 or lengths != [0]:
-                raise UnsupportedError(
-                    "CRAM core-stream Huffman codes not supported"
-                )
-            self.symbol = alphabet[0]
+            if count != count2:
+                raise IOError_("CRAM Huffman alphabet/length count mismatch")
+            if len(alphabet) == 1 and lengths == [0]:
+                # the common degenerate case: a constant series costs 0 bits
+                self.symbol: int | None = alphabet[0]
+                self.table = None
+            else:
+                self.symbol = None
+                self.table = _canonical_codes(alphabet, lengths)
+                self.max_length = max(self.table) if self.table else 0
+        elif codec == E_BETA:
+            self.offset_, offset = itf8_get(params, 0)
+            self.length, offset = itf8_get(params, offset)
+        elif codec == E_GAMMA:
+            self.offset_, offset = itf8_get(params, 0)
         else:
             raise UnsupportedError(f"CRAM encoding codec {codec} not supported")
 
-    def read_int(self, streams) -> int:
+    def read_int(self, streams, core: CoreBitReader | None = None) -> int:
         if self.codec == E_HUFFMAN:
-            return self.symbol
+            if self.symbol is not None:
+                return self.symbol
+            if core is None:
+                raise IOError_("CRAM Huffman codec without a core block")
+            code = 0
+            length = 0
+            while length <= self.max_length:
+                code = (code << 1) | core.read_bit()
+                length += 1
+                row = self.table.get(length)
+                if row is not None and code in row:
+                    return row[code]
+            raise IOError_("CRAM core stream: invalid Huffman code")
+        if self.codec == E_BETA:
+            if core is None:
+                raise IOError_("CRAM beta codec without a core block")
+            return core.read_bits(self.length) - self.offset_
+        if self.codec == E_GAMMA:
+            if core is None:
+                raise IOError_("CRAM gamma codec without a core block")
+            zeros = 0
+            while core.read_bit() == 0:
+                zeros += 1
+                if zeros > 63:
+                    raise IOError_("CRAM core stream: runaway gamma code")
+            value = (1 << zeros) | core.read_bits(zeros)
+            return value - self.offset_
         if self.codec == E_EXTERNAL:
             buf, offset = streams[self.content_id]
             value, offset = itf8_get(buf, offset)
@@ -291,13 +386,29 @@ class _Decoder:
             return value
         raise UnsupportedError(f"integer read from codec {self.codec}")
 
-    def read_bytes(self, streams, count: int) -> bytes:
-        buf, offset = streams[self.content_id]
-        out = bytes(buf[offset : offset + count])
-        streams[self.content_id][1] = offset + count
-        return out
+    def read_byte(self, streams, core: CoreBitReader | None = None) -> int:
+        """Single byte-valued read (feature codes, bases): EXTERNAL reads
+        one raw byte, bit codecs read one symbol."""
+        if self.codec == E_EXTERNAL:
+            buf, offset = streams[self.content_id]
+            if offset >= len(buf):
+                raise IOError_("CRAM external stream exhausted")
+            value = buf[offset]
+            streams[self.content_id][1] = offset + 1
+            return value
+        return self.read_int(streams, core)
 
-    def read_array(self, streams) -> bytes:
+    def read_bytes(
+        self, streams, count: int, core: CoreBitReader | None = None
+    ) -> bytes:
+        if self.codec == E_EXTERNAL:
+            buf, offset = streams[self.content_id]
+            out = bytes(buf[offset : offset + count])
+            streams[self.content_id][1] = offset + count
+            return out
+        return bytes(self.read_int(streams, core) for _ in range(count))
+
+    def read_array(self, streams, core: CoreBitReader | None = None) -> bytes:
         if self.codec == E_BYTE_ARRAY_STOP:
             buf, offset = streams[self.content_id]
             end = buf.index(self.stop, offset)
@@ -305,8 +416,8 @@ class _Decoder:
             streams[self.content_id][1] = end + 1
             return out
         if self.codec == E_BYTE_ARRAY_LEN:
-            count = self.len_decoder.read_int(streams)
-            return self.val_decoder.read_bytes(streams, count)
+            count = self.len_decoder.read_int(streams, core)
+            return self.val_decoder.read_bytes(streams, count, core)
         raise UnsupportedError(f"byte-array read from codec {self.codec}")
 
 
@@ -600,6 +711,8 @@ def _parse_map(buf):
 def _parse_compression_header(raw: bytes):
     # preservation map
     rn_preserved = True
+    ap_delta = True
+    substitution_matrix = b"\x1b\x1b\x1b\x1b\x1b"  # identity-ish default
     td: list[list[bytes]] = [[]]
     size, offset = itf8_get(raw, 0)
     end = offset + size
@@ -612,7 +725,10 @@ def _parse_compression_header(raw: bytes):
             offset += 1
             if key == b"RN":
                 rn_preserved = bool(value)
+            elif key == b"AP":
+                ap_delta = bool(value)
         elif key == b"SM":
+            substitution_matrix = bytes(raw[offset : offset + 5])
             offset += 5
         elif key == b"TD":
             n, offset = itf8_get(raw, offset)
@@ -650,13 +766,20 @@ def _parse_compression_header(raw: bytes):
         key, o2 = itf8_get(raw, o2)
         decoder, o2 = parse_encoding(raw, o2)
         tag_decoders[key] = decoder
-    return rn_preserved, td, series, tag_decoders
+    return {
+        "rn_preserved": rn_preserved,
+        "ap_delta": ap_delta,
+        "substitution_matrix": substitution_matrix,
+        "td": td,
+        "series": series,
+        "tag_decoders": tag_decoders,
+    }
 
 
 def _parse_slice_header(raw: bytes):
     offset = 0
     ref_id, offset = itf8_get(raw, offset)
-    _start, offset = itf8_get(raw, offset)
+    start, offset = itf8_get(raw, offset)
     _span, offset = itf8_get(raw, offset)
     n_records, offset = itf8_get(raw, offset)
     _counter, offset = ltf8_get(raw, offset)
@@ -664,19 +787,82 @@ def _parse_slice_header(raw: bytes):
     n_ids, offset = itf8_get(raw, offset)
     for _ in range(n_ids):
         _, offset = itf8_get(raw, offset)
-    return ref_id, n_records, n_blocks
+    embedded_ref_id = -1
+    if offset < len(raw):
+        embedded_ref_id, offset = itf8_get(raw, offset)
+    return ref_id, start, n_records, n_blocks, embedded_ref_id
 
 
-def read_cram(path: str):
-    """Yield HtsRecord from a CRAM 3.x file of unmapped records."""
+class _ReferenceSource:
+    """Lazy reference-sequence access for mapped-record reconstruction:
+    an external FASTA (``reference`` argument or PHENIQS_CRAM_REFERENCE)
+    keyed by the @SQ names in the CRAM header, or a slice's embedded
+    reference block."""
+
+    def __init__(self, fasta_path: str | None, sq_names: list[str]):
+        self.fasta_path = fasta_path
+        self.sq_names = sq_names
+        self._sequences: dict[str, bytes] | None = None
+
+    def _load(self):
+        if self._sequences is not None:
+            return
+        self._sequences = {}
+        if self.fasta_path is None:
+            return
+        name = None
+        chunks: list[bytes] = []
+        opener = gzip.open if self.fasta_path.endswith(".gz") else open
+        with opener(self.fasta_path, "rb") as stream:
+            for line in stream:
+                line = line.rstrip()
+                if line.startswith(b">"):
+                    if name is not None:
+                        self._sequences[name] = b"".join(chunks)
+                    name = line[1:].split()[0].decode()
+                    chunks = []
+                else:
+                    chunks.append(line.upper())
+        if name is not None:
+            self._sequences[name] = b"".join(chunks)
+
+    def bases(self, ref_id: int, start: int, end: int) -> bytes:
+        """1-based [start, end] reference bases, or raises typed."""
+        self._load()
+        if ref_id < 0 or ref_id >= len(self.sq_names):
+            raise IOError_(f"CRAM record references unknown @SQ index {ref_id}")
+        name = self.sq_names[ref_id]
+        seq = self._sequences.get(name)
+        if seq is None:
+            raise UnsupportedError(
+                "mapped CRAM records require the reference sequence "
+                f"'{name}': pass reference= or set PHENIQS_CRAM_REFERENCE "
+                "to the FASTA the file was compressed against"
+            )
+        return seq[start - 1 : end]
+
+
+def read_cram(path: str, reference: str | None = None):
+    """Yield HtsRecord from a CRAM 3.x file.
+
+    Unmapped records decode standalone. Mapped records reconstruct their
+    sequence against the reference: a slice-embedded reference block when
+    present, else ``reference`` (or $PHENIQS_CRAM_REFERENCE) as a FASTA
+    matching the header's @SQ names (reference-based outer compression,
+    CRAM 3.0 §8.5; the reference tool delegates this to htslib,
+    reference hts.h:42-299)."""
     with open(path, "rb") as stream:
         buf = stream.read()
     if buf[:4] != CRAM_MAGIC:
         raise IOError_(f"{path} is not a CRAM file")
     if buf[4] != 3:
         raise UnsupportedError(f"CRAM major version {buf[4]} not supported")
+    if reference is None:
+        reference = os.environ.get("PHENIQS_CRAM_REFERENCE")
     offset = 26
     rg_ids: list[str] = []
+    sq_names: list[str] = []
+    ref_source: _ReferenceSource | None = None
     first = True
     while offset < len(buf):
         ref_id, n_records, n_blocks, length, offset = _parse_container_header(
@@ -694,6 +880,11 @@ def read_cram(path: str):
                     for field in line.split("\t")[1:]:
                         if field.startswith("ID:"):
                             rg_ids.append(field[3:])
+                elif line.startswith("@SQ"):
+                    for field in line.split("\t")[1:]:
+                        if field.startswith("SN:"):
+                            sq_names.append(field[3:])
+            ref_source = _ReferenceSource(reference, sq_names)
             offset = container_end
             first = False
             continue
@@ -705,49 +896,166 @@ def read_cram(path: str):
         content_type, _, raw, offset = read_block(buf, offset)
         if content_type != COMPRESSION_HEADER:
             raise IOError_("CRAM: expected compression header block")
-        rn_preserved, td, series, tag_decoders = _parse_compression_header(raw)
+        compression = _parse_compression_header(raw)
 
         remaining = n_records
         while remaining > 0 and offset < container_end:
             content_type, _, raw, offset = read_block(buf, offset)
             if content_type != SLICE_HEADER:
                 raise IOError_("CRAM: expected slice header block")
-            slice_ref, slice_records, slice_blocks = _parse_slice_header(raw)
+            (
+                slice_ref,
+                slice_start,
+                slice_records,
+                slice_blocks,
+                embedded_ref_id,
+            ) = _parse_slice_header(raw)
             streams: dict[int, list] = {}
+            core = CoreBitReader()
             for _ in range(slice_blocks):
                 content_type, cid, raw, offset = read_block(buf, offset)
                 if content_type == EXTERNAL:
                     streams[cid] = [raw, 0]
-                elif content_type == CORE and len(raw) > 0:
-                    raise UnsupportedError(
-                        "CRAM core-stream bit codecs not supported"
-                    )
+                elif content_type == CORE:
+                    core = CoreBitReader(raw)
+            embedded_reference = None
+            if embedded_ref_id >= 0 and embedded_ref_id in streams:
+                embedded_reference = (
+                    slice_start,
+                    bytes(streams[embedded_ref_id][0]),
+                )
             yield from _decode_slice(
-                series, tag_decoders, td, streams, slice_records,
-                slice_ref, rn_preserved, rg_ids,
+                compression, streams, core, slice_records, slice_ref,
+                slice_start, rg_ids, ref_source, embedded_reference,
             )
             remaining -= slice_records
         offset = container_end
 
 
-def _decode_slice(series, tag_decoders, td, streams, n_records, slice_ref,
-                  rn_preserved, rg_ids):
-    def read_int(key: bytes) -> int:
-        return series[key].read_int(streams)
+#: read-feature codes (CRAM 3.0 §8.5.10.2) -> the data series they consume
+_ACGTN = b"ACGTN"
 
+
+def _substitution_tables(matrix: bytes) -> list[bytes]:
+    """SM preservation map -> per-reference-base code->base tables.
+
+    For each reference base (A,C,G,T,N order) the matrix byte packs, MSB
+    first, a 2-bit substitution code for each of the other four bases in
+    A,C,G,T,N order; decoding inverts that: code -> substituted base."""
+    tables = []
+    for r in range(5):
+        others = [b for b in range(5) if b != r]
+        byte = matrix[r]
+        code_to_base = bytearray(4)
+        for j, base_index in enumerate(others):
+            code = (byte >> (6 - 2 * j)) & 3
+            code_to_base[code] = _ACGTN[base_index]
+        tables.append(bytes(code_to_base))
+    return tables
+
+
+def _reconstruct_mapped(
+    rl, features, ref_bases, position, substitution, preserved_quality
+):
+    """Rebuild a mapped record's bases (and feature-carried qualities)
+    from its read features against the reference (CRAM 3.0 §8.5):
+    positions not covered by a feature copy through from the reference."""
+    seq = bytearray(b"N" * rl)
+    qual = bytearray(rl)
+    if preserved_quality is not None:
+        qual[:] = preserved_quality
+    pos = 1       # 1-based position in the read
+    ref_pos = position  # 1-based position on the reference
+
+    def copy_reference(count: int):
+        nonlocal pos, ref_pos
+        if count <= 0:
+            return
+        seq[pos - 1 : pos - 1 + count] = ref_bases(ref_pos, ref_pos + count - 1)
+        pos += count
+        ref_pos += count
+
+    for code, fpos, payload in features:
+        copy_reference(fpos - pos)
+        if code == ord("B"):
+            seq[pos - 1] = payload[0]
+            qual[pos - 1] = payload[1]
+            pos += 1
+            ref_pos += 1
+        elif code == ord("X"):
+            ref_base = ref_bases(ref_pos, ref_pos)[0]
+            rank = _ACGTN.find(bytes((ref_base,)).upper())
+            if rank < 0:
+                rank = 4
+            seq[pos - 1] = substitution[rank][payload]
+            pos += 1
+            ref_pos += 1
+        elif code == ord("I") or code == ord("S") or code == ord("b"):
+            seq[pos - 1 : pos - 1 + len(payload)] = payload
+            pos += len(payload)
+            if code == ord("b"):
+                ref_pos += len(payload)
+        elif code == ord("i"):
+            seq[pos - 1] = payload
+            pos += 1
+        elif code == ord("D") or code == ord("N"):
+            ref_pos += payload
+        elif code == ord("H") or code == ord("P"):
+            pass  # consume neither read nor emitted sequence
+        elif code == ord("Q"):
+            qual[pos - 1] = payload
+        elif code == ord("q"):
+            qual[pos - 1 : pos - 1 + len(payload)] = payload
+        else:
+            raise UnsupportedError(
+                f"CRAM read feature code {chr(code)!r} not supported"
+            )
+    copy_reference(rl - (pos - 1))
+    return bytes(seq), bytes(qual)
+
+
+def _decode_slice(compression, streams, core, n_records, slice_ref,
+                  slice_start, rg_ids, ref_source, embedded_reference):
+    series = compression["series"]
+    tag_decoders = compression["tag_decoders"]
+    td = compression["td"]
+    rn_preserved = compression["rn_preserved"]
+    ap_delta = compression["ap_delta"]
+    substitution = _substitution_tables(compression["substitution_matrix"])
+
+    def read_int(key: bytes) -> int:
+        return series[key].read_int(streams, core)
+
+    def ref_bases(start: int, end: int) -> bytes:
+        if embedded_reference is not None:
+            offset, blob = embedded_reference
+            return blob[start - offset : end - offset + 1]
+        if ref_source is None:
+            raise UnsupportedError(
+                "mapped CRAM records require a reference sequence"
+            )
+        return ref_source.bases(record_ref, start, end)
+
+    last_position = slice_start
     for _ in range(n_records):
         bf = read_int(b"BF")
         cf = read_int(b"CF")
+        record_ref = slice_ref
         if slice_ref == -2:
-            read_int(b"RI")
+            record_ref = read_int(b"RI")
         rl = read_int(b"RL")
-        read_int(b"AP")
+        ap = read_int(b"AP")
+        if ap_delta:
+            position = last_position + ap
+            last_position = position
+        else:
+            position = ap
         rg = read_int(b"RG")
-        name = series[b"RN"].read_array(streams) if rn_preserved else b""
+        name = series[b"RN"].read_array(streams, core) if rn_preserved else b""
         if cf & CF_DETACHED:
             mf = read_int(b"MF")
             if not rn_preserved:
-                name = series[b"RN"].read_array(streams)
+                name = series[b"RN"].read_array(streams, core)
             read_int(b"NS")
             read_int(b"NP")
             read_int(b"TS")
@@ -762,24 +1070,70 @@ def _decode_slice(series, tag_decoders, td, streams, n_records, slice_ref,
         for key in td[tl]:
             raw_value = tag_decoders[
                 (key[0] << 16) | (key[1] << 8) | key[2]
-            ].read_array(streams)
+            ].read_array(streams, core)
             aux[key[:2].decode()] = _decode_tag_value(chr(key[2]), raw_value)
         if 0 <= rg < len(rg_ids):
             aux["RG"] = rg_ids[rg]
         if not bf & FLAG_UNMAPPED:
-            raise UnsupportedError(
-                "mapped CRAM records not supported (demultiplexer traffic "
-                "is unmapped)"
+            # mapped record: read features + mapping quality, reconstruct
+            # the sequence against the reference
+            feature_count = read_int(b"FN")
+            features = []
+            fpos = 0
+            for _ in range(feature_count):
+                fc = series[b"FC"].read_byte(streams, core)
+                fpos += read_int(b"FP")
+                if fc == ord("B"):
+                    base = series[b"BA"].read_byte(streams, core)
+                    score = series[b"QS"].read_byte(streams, core)
+                    payload = (base, score)
+                elif fc == ord("X"):
+                    payload = read_int(b"BS")
+                elif fc == ord("I"):
+                    payload = series[b"IN"].read_array(streams, core)
+                elif fc == ord("S"):
+                    payload = series[b"SC"].read_array(streams, core)
+                elif fc == ord("b"):
+                    payload = series[b"BB"].read_array(streams, core)
+                elif fc == ord("q"):
+                    payload = series[b"QQ"].read_array(streams, core)
+                elif fc == ord("i"):
+                    payload = series[b"BA"].read_byte(streams, core)
+                elif fc == ord("D"):
+                    payload = read_int(b"DL")
+                elif fc == ord("N"):
+                    payload = read_int(b"RS")
+                elif fc == ord("P"):
+                    payload = read_int(b"PD")
+                elif fc == ord("H"):
+                    payload = read_int(b"HC")
+                elif fc == ord("Q"):
+                    payload = series[b"QS"].read_byte(streams, core)
+                else:
+                    raise UnsupportedError(
+                        f"CRAM read feature code {chr(fc)!r} not supported"
+                    )
+                features.append((fc, fpos, payload))
+            read_int(b"MQ")
+            preserved = None
+            if cf & CF_QUALITY:
+                preserved = series[b"QS"].read_bytes(streams, rl, core)
+            bases, quality_bytes = _reconstruct_mapped(
+                rl, features, ref_bases, position, substitution, preserved
             )
+            code = ASCII_TO_BAM[np.frombuffer(bases, dtype=np.uint8)].copy()
+            quality = np.frombuffer(quality_bytes, dtype=np.uint8).copy()
+            yield HtsRecord(bytes(name), bf, code, quality, aux)
+            continue
         if cf & CF_NO_SEQ:
             code = np.zeros(rl, dtype=np.uint8)
             quality = np.zeros(rl, dtype=np.uint8)
         else:
-            bases = series[b"BA"].read_bytes(streams, rl)
+            bases = series[b"BA"].read_bytes(streams, rl, core)
             code = ASCII_TO_BAM[np.frombuffer(bases, dtype=np.uint8)].copy()
             if cf & CF_QUALITY:
                 quality = np.frombuffer(
-                    series[b"QS"].read_bytes(streams, rl), dtype=np.uint8
+                    series[b"QS"].read_bytes(streams, rl, core), dtype=np.uint8
                 ).copy()
             else:
                 quality = np.zeros(rl, dtype=np.uint8)

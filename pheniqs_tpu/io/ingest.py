@@ -22,7 +22,7 @@ def native_read_batches(
     segment_urls: list[str],
     phred_offset: int,
     batch_size: int,
-    max_length: int = 1024,
+    max_length: int = 256,
     leading_segment_index: int = 0,
 ):
     """Yield ReadBatch objects via the native parser.

@@ -317,6 +317,14 @@ class NativeFastqReader:
             if count == 0:
                 return None
             break
+        # the parser leaves row padding untouched (zeroing every row to the
+        # full stride cost GBs of memset); zero only the short rows, up to
+        # the batch width — columns past max(length) are undefined
+        batch_width = min(int(length[:count].max(initial=0)), w)
+        short_rows = np.flatnonzero(length[:count] < batch_width)
+        for row in short_rows:
+            code[row, length[row] : batch_width] = 0
+            qual[row, length[row] : batch_width] = 0
         blob = names[: name_offset[count]].tobytes()
         offsets = name_offset[: count + 1].copy()
         return (
