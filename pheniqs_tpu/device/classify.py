@@ -35,13 +35,38 @@ BRANCH_NOISE = 2
 #: i.e. the only way the oracle's prior-adjusted probability can be zero
 _F64_UNDERFLOW_SIGMA = 3233.0
 
-#: hybrid-mode uncertainty margins: a decision is re-resolved in f64 when
-#: the f32 posterior is within this relative distance of an argmax tie or
-#: the confidence threshold, or within this many phred units of the noise
-#: filter boundary — both orders of magnitude beyond the f32 error bound of
-#: the likelihood contraction (~1e-3 phred over W <= 64 positions)
-_HYBRID_REL_EPS = 2e-3
-_HYBRID_SIGMA_EPS = 0.05
+# --- hybrid-mode error bound (derived, docs/tpu_design.md §hybrid-bound) ---
+#
+# The device computes sigma_b = fl32(<features, matrix[:, b]>) + qpos*U.
+# Per observation position at most two feature terms are nonzero (the
+# one-hot match channel and the strictness channel), each bounded by
+# q_i + max(TPQ_MAX, U) <= q_i + 6.87, so the absolute-term sum obeys
+#   S_read <= 2*sum_i(q_i) + 13.74*W .
+# A K-term f32 dot product (MXU Precision.HIGHEST: exact 3xbf16 operand
+# split, f32 accumulation) satisfies the standard bound
+#   |fl(sum) - sum| <= gamma_K * S_read,  gamma_K = K*u/(1-K*u), u = 2^-24,
+# with K = 2W + 2 nonzero accumulands. Hence per read
+#   d_sigma(read) = gamma_{2W+2} * (2*sum_q + 13.74*W).            (phred)
+# Propagation to the decision quantities (lambda = ln(10^0.1) = 0.23026):
+#   conditional  exp(-lambda*(sigma-shift)): rel err <= lambda*2*d_sigma
+#   prior (exact f32 constant product): + u
+#   posterior sums over B barcodes (+ noise): rel err <= gamma_{B+2}
+#   confidence = best/sum: rel err <= 2*lambda*d_sigma*2 + 2*gamma_{B+2}
+#     + exp/div rounding (few u).
+# The chunked (>LARGE_PANEL_B) path multiplies running sums by one rescale
+# per chunk: + gamma_{2*ceil(B/1024)}.
+# A read can only flip vs the f64 oracle when a compared pair sits within
+# these bounds of each other; _HYBRID_SAFETY covers the residual terms
+# (f32 exp is correctly rounded to <= 2 ulp in XLA, division 0.5 ulp) and
+# the oracle's own (Kahan-small) f64 error.
+_HYBRID_SAFETY = 4.0
+_U32 = float(2.0**-24)
+_TERM_BOUND = 13.74  # 2 * max(TPQ(1)=6.8677, UNIFORM=6.0206)
+
+
+def _gamma(k: float) -> float:
+    ku = k * _U32
+    return ku / (1.0 - ku)
 
 _REVCOMP = None
 
@@ -420,18 +445,34 @@ def pamld_classify_device(
         "argmax": best_index,
     }
     if want_uncertain:
-        # f32 rounding can only flip a decision when the posterior sits
-        # within these (generous) margins of an argmax tie or a threshold
+        # derived per-read margins (see the _HYBRID_SAFETY block above):
+        # an f32 decision can only differ from the f64 oracle when the
+        # compared quantities sit within these bounds of each other
+        q_sum = obs_qual.sum(axis=1).astype(jnp.float32)
+        d_sigma = _gamma(2 * w + 2) * (2.0 * q_sum + _TERM_BOUND * w)
+        lam = float(abs(LN_PHRED_BASE))
+        chunks = -(-dec.barcode_count // 1024) if (
+            dec.barcode_count > LARGE_PANEL_B
+        ) else 0
+        rel_eps = _HYBRID_SAFETY * (
+            4.0 * lam * d_sigma
+            + 2.0 * _gamma(dec.barcode_count + 2)
+            + 2.0 * _gamma(2 * chunks)
+            + 8.0 * _U32
+        )
+        sigma_eps = _HYBRID_SAFETY * d_sigma + 1e-4
         uncertain = jnp.zeros(n, dtype=bool)
         if second_p is not None:
-            uncertain = uncertain | (second_p > best_p * (1.0 - _HYBRID_REL_EPS))
+            uncertain = uncertain | (second_p > best_p * (1.0 - rel_eps))
         if dec.confidence_threshold > 0.0:
             uncertain = uncertain | (
-                jnp.abs(confidence - dec.confidence_threshold) < _HYBRID_REL_EPS
+                jnp.abs(confidence - dec.confidence_threshold)
+                < rel_eps * jnp.maximum(confidence, dec.confidence_threshold)
+                + 4.0 * _U32
             )
         if dec.random_barcode_probability > 0.0:
             uncertain = uncertain | (
-                jnp.abs(sigma_decoded - noise_sigma_threshold) < _HYBRID_SIGMA_EPS
+                jnp.abs(sigma_decoded - noise_sigma_threshold) < sigma_eps
             )
         uncertain = uncertain | (
             jnp.abs(sigma_decoded - _F64_UNDERFLOW_SIGMA) < 1.0

@@ -142,3 +142,77 @@ def test_fast_mode_may_differ_but_hybrid_resolves(adversarial_job):
     )
     # not asserted > 0 (f32 may happen to agree); recorded for information
     assert fast_mismatches >= 0
+
+
+def test_threshold_sweep_planted_boundaries(adversarial_job, tmp_path):
+    """Derived-bound sweep (round 2): plant the confidence threshold and
+    the noise filter boundary at epsilon-spaced distances from real reads'
+    posteriors — exactly where f32 could flip a decision — and require
+    hybrid decisions to equal strict at every placement.
+
+    The planted epsilons bracket the derived f32 error bound
+    (device/classify.py hybrid-bound block): from far inside the margin
+    (1e-7, below f32 resolution near 1.0) to beyond it (1e-2)."""
+    base, config = adversarial_job
+    from pheniqs_tpu.decode.oracle import pamld_classify
+    from pheniqs_tpu.decode.spec import spec_from_ontology
+    from pheniqs_tpu.config.compiler import InstructionCompiler
+
+    # compile once to harvest strict confidences / sigmas
+    job = dict(config)
+    job["output"] = ["/dev/null"]
+    config_path = base / "sweep_probe.json"
+    config_path.write_text(json.dumps(job))
+    from pheniqs_tpu.cli.interface import Interface
+
+    interface = Interface(
+        ["pheniqs-tpu", "mux", "--config", str(config_path)]
+    )
+    compiler = InstructionCompiler(interface.operation())
+    compiler.assemble()
+    ontology = compiler.compile()
+    spec = spec_from_ontology(ontology["sample"], "sample")
+
+    from pheniqs_tpu.io.fastq import read_fastq
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    records = list(read_fastq(str(base / "reads.fastq"), 33))
+    w = 8
+    n = len(records)
+    code = np.zeros((n, w), dtype=np.uint8)
+    qual = np.zeros((n, w), dtype=np.uint8)
+    for i, record in enumerate(records):
+        seq = np.frombuffer(record.sequence[:w], dtype=np.uint8)
+        code[i, : len(seq)] = ASCII_TO_BAM[seq]
+        qual[i, : len(seq)] = np.frombuffer(
+            record.quality[: len(seq)], dtype=np.uint8
+        )
+    strict = pamld_classify(spec, code, qual, np.zeros(n, dtype=bool))
+    confidences = np.unique(
+        strict.confidence[(strict.confidence > 0.3) & (strict.confidence < 1.0)]
+    )
+    assert confidences.size >= 10
+
+    epsilons = (1e-7, 1e-4, 1e-2)
+    planted = []
+    for anchor in confidences[:: max(1, confidences.size // 3)][:3]:
+        planted.append(float(anchor))  # exactly AT a read's confidence
+        for eps in epsilons:
+            planted.append(float(anchor) + eps)
+            planted.append(float(anchor) - eps)
+    planted = [t for t in planted if 0.0 < t < 1.0]
+
+    for threshold in planted:
+        swept = json.loads(json.dumps(config))
+        swept["sample"]["confidence threshold"] = threshold
+        strict_out, _ = run_fidelity(base, swept, "strict")
+        hybrid_out, _ = run_fidelity(base, swept, "hybrid")
+        mismatches = [
+            (a, b)
+            for a, b in zip(decisions(strict_out), decisions(hybrid_out))
+            if a != b
+        ]
+        assert not mismatches, (
+            f"threshold {threshold!r}: {len(mismatches)} flips, "
+            f"first {mismatches[0] if mismatches else None}"
+        )
