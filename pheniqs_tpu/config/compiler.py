@@ -295,7 +295,9 @@ class InstructionCompiler:
         feed_urls = [url_by_path[url.path] for url in feed_urls]
         ontology["input"] = [url.encoded for url in feed_urls]
 
-        if self.interactive.get("sense input layout"):
+        if self.interactive.get("sense input layout") or ontology.get(
+            "sense input layout"
+        ):
             self.compile_sensed_input()
         else:
             self.compile_explicit_input()

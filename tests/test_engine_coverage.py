@@ -208,3 +208,51 @@ def test_three_segment_output_fi_tc_tags(reference_root, tmp_path):
         assert f"FI:i:{index % 3 + 1}" in fields
         assert "TC:i:3" in fields
         assert "RG:Z:undetermined" in fields  # no None:None prefix
+
+
+# --- sensed-input mid-stream sync verification (round 2) -------------------
+# The reference verifies all feeds stay in agreement past the sensing
+# window (reference transcode.cpp:559-682); a feed whose interleave
+# pattern diverges mid-stream must fail typed, not silently miscount.
+
+
+def _write_interleaved(path, n_pairs, diverge_at=None):
+    with open(path, "w") as stream:
+        for i in range(n_pairs):
+            for segment in range(2):
+                name = f"pair{i}"
+                if diverge_at is not None and i == diverge_at and segment == 1:
+                    name = f"rogue{i}"  # breaks the sensed resolution-2 pattern
+                stream.write(f"@{name} {segment+1}:N:0:AA\nACGTACGT\n+\nIIIIIIII\n")
+
+
+@pytest.mark.parametrize("native_path", [True, False])
+def test_sensed_interleave_divergence_fails_typed(tmp_path, native_path, monkeypatch):
+    import json as json_mod
+    import subprocess
+    import sys as sys_mod
+
+    path = tmp_path / "interleaved.fastq"
+    # diverge far past the sensing window (first records)
+    _write_interleaved(path, 600, diverge_at=500)
+    config = {
+        "input": [str(path)],
+        "sense input layout": True,
+        "template": {"transform": {"token": ["0::", "1::"]}},
+        "output": [str(tmp_path / "out.sam")],
+    }
+    config_path = tmp_path / "job.json"
+    config_path.write_text(json_mod.dumps(config))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    if not native_path:
+        env["PHENIQS_NATIVE"] = "0"
+    result = subprocess.run(
+        [sys_mod.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+         "--config", str(config_path)],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 7, (result.returncode, result.stderr[-500:])
+    assert "out of sync" in result.stderr
