@@ -4,36 +4,57 @@ The host-side scale-out architecture (the TPU-native answer to the
 reference's N decoding threads over shared ring buffers, reference
 transcode.cpp:1491-1500, transcode.h:202-225):
 
-    parent:  ingest -> classify (+ statistics)      [strict CPU or device]
-    workers: template -> tags -> QC -> format        [N processes]
-    writer:  sequence worker chunks in batch order -> feeds
+Two topologies share the worker pool, the ordered writer thread and the
+worker-side compression (each worker BGZF-compresses its own chunks):
 
-Unlike round-1's ParallelEngine (every worker re-parsed the whole input
-and all output was buffered in memory until the end), classification
-state (the observation-scratch carry, the accumulators) stays sequential
-in one owner — so output is byte-identical to the serial engine at any
-worker count — and rendered chunks stream to disk with bounded memory.
-Workers compress their own BGZF blocks (BAM and gzip text feeds), so
-compression parallelizes with rendering; the writer thread only sequences
-and writes raw bytes (the single-owner replacement for the reference's
-ordered feed-lock protocol, multiplex.h:201-216).
+1. Device modes (fast/hybrid): the parent owns ingest + device
+   classification + the f64 re-resolution + statistics; workers own
+   template/tag/QC/format work. Output and statistics are identical to
+   the serial engine at any worker count (single-owner classification
+   state).
 
-Transport: when every input is a disk file (replayable), workers re-parse
-the input themselves — the native parser runs at ~2M records/s with the
-GIL released, so duplicating the parse is far cheaper than shipping batch
-matrices through a pipe — and the parent sends only the per-decoder
-decision arrays (~22 bytes/read). Non-replayable inputs (stdin) fall back
-to shipping whole batches.
+2. Strict mode: workers run the f64 classification too — the
+   reference's N decoding threads (transcode.cpp:1491-1500) — and the
+   parent merges their accumulators in worker order, so a run is
+   deterministic for a fixed worker count.
+
+Batch transport (auto-selected, PHENIQS_STREAM_TRANSPORT overrides):
+the default is tmpfs shared memory (engine/shm.py) — parse stays
+single-owner, one memcpy in, zero-copy views out. Fallbacks: replay
+(workers re-parse disk input; parent ships only ~22 B/read of decision
+arrays), autonomous (strict replay: workers own the whole pipeline
+including the parse), and ship (whole batches pickled through the pipe;
+the stdin path).
+
+Rendered chunks stream to disk with bounded memory in raw batch order —
+the single-owner replacement for the reference's ordered feed-lock
+protocol (multiplex.h:201-216) — unlike round-1's ParallelEngine, which
+buffered the entire output in memory.
 """
 
 from __future__ import annotations
 
+import contextlib
 import multiprocessing as mp
 import pickle
 import threading
+import warnings
 
 from ..decode.oracle import ClassifyResult
 from .strict import StrictEngine
+
+
+@contextlib.contextmanager
+def _quiet_fork():
+    """Our fork sites are deliberate: render workers never touch jax (the
+    source of the CPython 3.12 'os.fork() with threads' RuntimeWarning,
+    imported into the parent by the site hook), and the warning would
+    corrupt stderr consumers that parse the JSON report."""
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=r".*os\.fork\(\).*", category=RuntimeWarning
+        )
+        yield
 
 _RESULT_FIELDS = (
     "decoded",
@@ -203,6 +224,75 @@ def _render_worker_replay(
     result_queue.put(("state", engine.channel_quality))
 
 
+def _snapshot_state(engine: StrictEngine) -> dict:
+    """Worker-side accumulator snapshot for the parent's end-of-run merge
+    (the streamed analog of Transcode::collect, reference
+    transcode.cpp:317-320)."""
+    return {
+        "incoming_count": engine.incoming_count,
+        "incoming_pf_count": engine.incoming_pf_count,
+        "outgoing_count": engine.outgoing_count,
+        "outgoing_pf_count": engine.outgoing_pf_count,
+        "accumulators": [
+            runtime.accumulator for runtime in engine.iter_runtimes()
+        ],
+        "quality": engine.channel_quality,
+    }
+
+
+def _autonomous_worker(
+    ontology_blob: bytes,
+    worker_id: int,
+    workers: int,
+    batch_size: int,
+    result_queue,
+):
+    """Fully autonomous strict worker: re-parse the input, own batches
+    round-robin by raw index, classify AND render them, stream ordered
+    chunks out, and ship accumulator state at the end. The parent does no
+    per-read work at all — this is how `--fidelity strict --threads N`
+    scales the f64 classification itself (the reference's N decoding
+    threads, transcode.cpp:1491-1500). Classification decisions are
+    deterministic for a fixed worker count; the serial observation-scratch
+    carry becomes per-worker state exactly as it becomes per-thread state
+    in the reference."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _debug = _os.environ.get("PHENIQS_STREAM_DEBUG") == "1"
+    _t_parse = _t_proc = _t_put = 0.0
+    _t0 = _time.perf_counter()
+    engine = _build_worker_engine(ontology_blob)
+    _t_build = _time.perf_counter() - _t0
+    stream = engine.read_batches(batch_size)
+    index = -1
+    while True:
+        _t = _time.perf_counter()
+        try:
+            batch = next(stream)
+        except StopIteration:
+            break
+        _t_parse += _time.perf_counter() - _t
+        index += 1
+        if index % workers != worker_id:
+            continue
+        _t = _time.perf_counter()
+        engine.process_batch(batch)
+        chunk = _collect_chunk(engine)
+        _t_proc += _time.perf_counter() - _t
+        _t = _time.perf_counter()
+        result_queue.put((index, chunk))
+        _t_put += _time.perf_counter() - _t
+    if _debug:
+        _sys.stderr.write(
+            f"[worker {worker_id}] build={_t_build:.2f} parse={_t_parse:.2f} "
+            f"process={_t_proc:.2f} put={_t_put:.2f} "
+            f"wall={_time.perf_counter()-_t0:.2f}\n")
+    state = _snapshot_state(engine)
+    state["worker_id"] = worker_id
+    result_queue.put(("state", state))
+
+
 def _render_worker_ship(
     ontology_blob: bytes,
     task_pipe,
@@ -223,11 +313,63 @@ def _render_worker_ship(
     result_queue.put(("state", engine.channel_quality))
 
 
+def _render_worker_shm(
+    ontology_blob: bytes,
+    worker_id: int,
+    task_pipe,
+    result_queue,
+):
+    """Shared-memory worker: tasks arrive as tiny descriptors; batch
+    arrays are zero-copy views into one segment per task (engine/shm.py).
+    A task with decision arrays renders only (device modes); one without
+    classifies too (strict mode) and ships its accumulator state at the
+    end — the parse stays single-owner either way."""
+    from .shm import release_shm, shm_to_batch
+
+    engine = _build_worker_engine(ontology_blob)
+    classified_any = False
+    while True:
+        message = pickle.loads(task_pipe.recv_bytes())
+        if message is None:
+            break
+        if isinstance(message, tuple) and message[0] == "skip":
+            result_queue.put((message[1], {}))
+            continue
+        batch, decisions, shm = shm_to_batch(message)
+        try:
+            if decisions is not None:
+                _apply_decisions(engine, batch, decisions)
+            else:
+                classified_any = True
+                engine.process_batch(batch)
+            index = batch.raw_index
+        finally:
+            release_shm(shm, unlink=True)
+        result_queue.put((index, _collect_chunk(engine)))
+    if classified_any:
+        state = _snapshot_state(engine)
+        state["worker_id"] = worker_id
+        result_queue.put(("state", state))
+    else:
+        result_queue.put(("state", engine.channel_quality))
+
+
+def _shm_available() -> bool:
+    from .shm import shm_supported
+
+    return shm_supported()
+
+
 class StreamRunner:
     """Owns the render worker pool and the ordered writer thread.
 
-    ``replay`` workers re-parse the input; parent ships decisions only.
-    Task transport is one pipe per worker, written from the parent's main
+    Transport (auto-selected, PHENIQS_STREAM_TRANSPORT overrides):
+      shm        — parent ships batches (+ decisions) through one
+                   shared-memory segment per task; parse single-owner
+      autonomous — strict only: workers re-parse and own everything
+      replay     — workers re-parse; parent ships decision arrays
+      ship       — whole batches pickled through the pipe (stdin input)
+    Control flow is one pipe per worker, written from the parent's main
     thread (no feeder threads competing for the GIL)."""
 
     def __init__(
@@ -235,17 +377,39 @@ class StreamRunner:
         engine: StrictEngine,
         workers: int,
         batch_size: int = 16384,
-        replay: bool | None = None,
+        classify_in_worker: bool = False,
+        transport: str | None = None,
     ):
+        import os
+
         self.engine = engine
         self.workers = max(1, workers)
         self.batch_size = batch_size
-        self.replay = self._input_replayable() if replay is None else replay
+        self.classify_in_worker = classify_in_worker
+        if transport is None:
+            transport = os.environ.get("PHENIQS_STREAM_TRANSPORT")
+        if transport is None:
+            if _shm_available():
+                transport = "shm"
+            elif self._input_replayable():
+                transport = "autonomous" if classify_in_worker else "replay"
+            else:
+                transport = "ship"
+        if transport == "autonomous" and not (
+            classify_in_worker and self._input_replayable()
+        ):
+            transport = "ship"
+        if transport == "replay" and not self._input_replayable():
+            transport = "ship"
+        self.transport = transport
         self._processes: list = []
         self._task_pipes: list = []
         self._result_queue = None
         self._writer: threading.Thread | None = None
         self._writer_error: list = []
+        self._states: list = []
+        self._shm_names: list[str] = []
+        self._slots: threading.Semaphore | None = None
 
     def _input_replayable(self) -> bool:
         """Workers can re-parse iff every input is a real file (not a
@@ -268,9 +432,39 @@ class StreamRunner:
         context = mp.get_context("fork")
         self._result_queue = context.Queue()
         ontology_blob = pickle.dumps(self.engine.ontology)
+        if self.transport == "shm":
+            # bound the number of unconsumed segments living in /dev/shm
+            self._slots = threading.Semaphore(self.workers * 2 + 1)
         for worker_id in range(self.workers):
+            if self.transport == "autonomous":
+                process = context.Process(
+                    target=_autonomous_worker,
+                    args=(
+                        ontology_blob,
+                        worker_id,
+                        self.workers,
+                        self.batch_size,
+                        self._result_queue,
+                    ),
+                    daemon=True,
+                )
+                with _quiet_fork():
+                    process.start()
+                self._processes.append(process)
+                continue
             parent_end, child_end = context.Pipe()
-            if self.replay:
+            if self.transport == "shm":
+                process = context.Process(
+                    target=_render_worker_shm,
+                    args=(
+                        ontology_blob,
+                        worker_id,
+                        child_end,
+                        self._result_queue,
+                    ),
+                    daemon=True,
+                )
+            elif self.transport == "replay":
                 process = context.Process(
                     target=_render_worker_replay,
                     args=(
@@ -287,7 +481,8 @@ class StreamRunner:
                     args=(ontology_blob, child_end, self._result_queue),
                     daemon=True,
                 )
-            process.start()
+            with _quiet_fork():
+                process.start()
             child_end.close()
             self._processes.append(process)
             self._task_pipes.append(parent_end)
@@ -301,16 +496,34 @@ class StreamRunner:
             for result in results
         ]
         pipe = self._task_pipes[index % self.workers]
-        if self.replay:
+        if self.transport == "shm":
+            self._send_shm(pipe, batch, payloads)
+        elif self.transport == "replay":
             pipe.send_bytes(pickle.dumps((index, payloads)))
         else:
             pipe.send_bytes(pickle.dumps((index, batch, payloads)))
+
+    def submit_raw(self, batch):
+        """Strict shm mode: ship the unclassified batch; the worker runs
+        the whole per-read pipeline on it."""
+        pipe = self._task_pipes[batch.raw_index % self.workers]
+        self._send_shm(pipe, batch, None)
+
+    def _send_shm(self, pipe, batch, payloads):
+        from .shm import batch_to_shm
+
+        self._slots.acquire()
+        descriptor, path = batch_to_shm(batch, payloads)
+        self._shm_names.append(path)
+        pipe.send_bytes(pickle.dumps(descriptor))
 
     def submit_skip(self, index: int):
         """Nothing survived this raw batch's input filters: keep the index
         sequence gapless for the writer and the replay streams."""
         pipe = self._task_pipes[index % self.workers]
-        if self.replay:
+        if self.transport == "shm":
+            pipe.send_bytes(pickle.dumps(("skip", index)))
+        elif self.transport == "replay":
             pipe.send_bytes(pickle.dumps((index, "skip")))
         else:
             pipe.send_bytes(pickle.dumps((index, None, "skip")))
@@ -326,7 +539,12 @@ class StreamRunner:
                 item = self._result_queue.get()
                 if item[0] == "state":
                     states_seen += 1
-                    quality = item[1]
+                    state = item[1]
+                    if isinstance(state, dict):
+                        self._states.append(state)  # autonomous full state
+                        quality = state.get("quality")
+                    else:
+                        quality = state
                     if quality is not None and self.engine.channel_quality is not None:
                         for mine, theirs in zip(
                             self.engine.channel_quality, quality
@@ -334,6 +552,8 @@ class StreamRunner:
                             mine.merge(theirs)
                     continue
                 index, chunk = item
+                if self._slots is not None:
+                    self._slots.release()
                 pending[index] = chunk
                 while next_write in pending:
                     for url, data in pending.pop(next_write).items():
@@ -359,10 +579,40 @@ class StreamRunner:
                 )
         if self._writer_error:
             raise self._writer_error[0]
+        if self._shm_names:
+            # consumed segments are already unlinked by their workers;
+            # this only catches segments a crashed worker never touched
+            from .shm import unlink_leftover
+
+            for name in self._shm_names:
+                unlink_leftover(name)
+        # merge worker statistics in worker order — the deterministic
+        # analog of Transcode::collect iterating its thread array
+        # (reference transcode.cpp:317-320)
+        engine = self.engine
+        self._states.sort(key=lambda state: state.get("worker_id", 0))
+        for state in self._states:
+            engine.incoming_count += state["incoming_count"]
+            engine.incoming_pf_count += state["incoming_pf_count"]
+            engine.outgoing_count += state["outgoing_count"]
+            engine.outgoing_pf_count += state["outgoing_pf_count"]
+            for runtime, theirs in zip(
+                engine.iter_runtimes(), state["accumulators"]
+            ):
+                runtime.accumulator.collect(theirs)
 
 
 class StreamedStrictEngine(StrictEngine):
-    """--threads N CPU engine: parent classifies, workers render."""
+    """--threads N CPU engine.
+
+    With replayable (disk-file) input, workers run the FULL pipeline —
+    parse, classify, render — over their round-robin batch slice, so the
+    f64 classification itself scales with workers (the reference's N
+    decoding threads, transcode.cpp:1491-1500); the parent only sequences
+    output chunks and merges statistics in worker order, which keeps the
+    run deterministic for a fixed worker count. Non-replayable input
+    (stdin) falls back to parent-side classification with worker
+    rendering."""
 
     def __init__(self, ontology: dict, workers: int):
         super().__init__(ontology)
@@ -371,8 +621,31 @@ class StreamedStrictEngine(StrictEngine):
         self._raw_counter = -1
 
     def execute(self, batch_size: int = 4096):
-        self._runner = StreamRunner(self, self.workers, batch_size)
+        import time
+
+        self._runner = StreamRunner(
+            self, self.workers, batch_size, classify_in_worker=True
+        )
         self._runner.start()
+        if self._runner.transport == "shm":
+            # parent parses once; workers classify + render their
+            # round-robin slice out of shared memory
+            self._initiate_feeds()
+            start = time.perf_counter()
+            for index, batch in enumerate(self.read_batches(batch_size)):
+                batch.raw_index = index
+                self._runner.submit_raw(batch)
+            self._close_feeds()
+            self._trace_summary(start)
+            return
+        if self._runner.transport == "autonomous":
+            # workers own the whole per-read pipeline including the parse;
+            # the parent just waits for the ordered writer + merge
+            self._initiate_feeds()
+            start = time.perf_counter()
+            self._close_feeds()
+            self._trace_summary(start)
+            return
         super().execute(batch_size)
 
     def process_batch(self, batch, filtered: bool = False):

@@ -74,11 +74,19 @@ class TranscodeJob:
         fidelity = self.interactive.get("fidelity", "strict")
         from .engine.strict import StrictEngine
 
+        # our workers each run the whole per-read pipeline, so the worker
+        # count is the full --threads budget; the reference's derived
+        # "decoding threads" split (transcode.cpp:1491-1500, ~1 for short
+        # barcodes) only applies when the user overrides it explicitly
+        import os as os_mod
+
         threads = int(
-            self.ontology.get("decoding threads")
+            self.interactive.get("decoding threads")
             or self.ontology.get("threads")
             or 1
         )
+        # more workers than cores oversubscribes the duplicated parse
+        threads = min(threads, os_mod.cpu_count() or threads)
         # render workers stream CRAM containers independently, which would
         # break the format's sequential record counter — CRAM output stays
         # on the serial render path
@@ -86,15 +94,17 @@ class TranscodeJob:
             URL(str(proxy.get("url", ""))).format_type == "cram"
             for proxy in self.ontology.get("feed", {}).get("output feed", []) or []
         )
-        # parent owns ingest+classify+stats; the rest of the thread budget
-        # renders (reference transcode.cpp:1491-1500 splits its budget the
-        # same way between io and decoding threads)
+        # device modes: the parent owns ingest+classify+stats and the rest
+        # of the thread budget renders; strict mode: autonomous workers own
+        # the whole pipeline, so they get the full budget (reference
+        # transcode.cpp:1491-1500 splits its budget the same way between
+        # io and decoding threads)
         workers = max(1, threads - 1)
         if fidelity in ("strict", "exact", None):
             if threads > 1 and not cram_output:
                 from .engine.stream import StreamedStrictEngine
 
-                self.engine = StreamedStrictEngine(self.ontology, workers)
+                self.engine = StreamedStrictEngine(self.ontology, threads)
             else:
                 self.engine = StrictEngine(self.ontology)
         elif fidelity in ("fast", "device"):

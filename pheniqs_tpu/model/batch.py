@@ -74,17 +74,19 @@ class ReadBatch:
     def select(self, mask: np.ndarray) -> "ReadBatch":
         """Subset the batch by boolean mask, preserving order."""
         idx = np.flatnonzero(mask)
-        # gather the name arena spans without materializing per-read bytes
+        # gather the name arena spans fully vectorized: for each output
+        # byte, source = span start + position within its span
         starts = self.name_offsets[idx]
         lengths = self.name_offsets[idx + 1] - starts
         offsets = np.zeros(idx.size + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
-        blob_view = np.frombuffer(self.names_blob, dtype=np.uint8)
-        if idx.size:
-            gather = np.concatenate(
-                [blob_view[s : s + l] for s, l in zip(starts, lengths)]
+        total = int(offsets[-1])
+        if total:
+            blob_view = np.frombuffer(self.names_blob, dtype=np.uint8)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                offsets[:-1], lengths
             )
-            blob = gather.tobytes()
+            blob = blob_view[np.repeat(starts, lengths) + within].tobytes()
         else:
             blob = b""
         selected = ReadBatch(

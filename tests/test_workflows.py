@@ -425,3 +425,44 @@ def test_observability_envs(bdggg, tmp_path):
                 result.stderr[-500:]
             )
     assert (tmp_path / "trace").exists()
+
+
+def test_autonomous_threads_multibatch_identical(reference_root, tmp_path):
+    """--threads with multiple batches per worker: the autonomous strict
+    workers must produce byte-identical SAM to serial (decisions are f64
+    and per-read; chunk resequencing restores global input order), and
+    count-level report fields must match exactly."""
+    import json as json_mod
+
+    base = reference_root + "/test/BDGGG"
+    # replicate BDGGG 40x -> 10k reads; batch size 512 -> ~20 batches
+    for s in (1, 2, 3):
+        data = open(f"{base}/BDGGG_s0{s}.fastq", "rb").read()
+        with open(tmp_path / f"BDGGG_s0{s}.fastq", "wb") as out:
+            for _ in range(40):
+                out.write(data)
+
+    outputs = {}
+    reports = {}
+    for threads in ("1", "3"):
+        result = run_mux(
+            reference_root,
+            [
+                "--config", f"{base}/BDGGG_annotated.json",
+                "--base-input", str(tmp_path),
+                "--precision", "15",
+                "--threads", threads,
+                "--batch-size", "512",
+            ],
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        outputs[threads] = "\n".join(
+            line for line in result.stdout.splitlines()
+            if not line.startswith("@PG")
+        )
+        reports[threads] = json_mod.loads(result.stderr)
+    assert outputs["1"] == outputs["3"]
+    for key in ("count", "pf count", "classified count"):
+        assert (
+            reports["1"]["sample"][key] == reports["3"]["sample"][key]
+        ), key
