@@ -15,11 +15,9 @@ import threading
 
 import numpy as np
 
-_SOURCE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "pheniqs_host.cpp",
-)
+# the C++ source ships inside the package (wheel/sdist carry it; the
+# library is compiled on demand next to it and cached)
+_SOURCE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pheniqs_host.cpp")
 _LIBRARY = os.path.join(os.path.dirname(_SOURCE), "libpheniqs_host.so")
 
 _lock = threading.Lock()
