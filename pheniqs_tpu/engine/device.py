@@ -66,11 +66,14 @@ class DeviceEngine(StrictEngine):
         self._current_batch: ReadBatch | None = None
         self._batch_results: list[dict] | None = None
         self._predispatched = None
-        # two staging buffer sets, alternated per dispatch: with the
-        # one-batch lookahead, batch k's arrays may still back an in-flight
-        # transfer while k+1 stages (jax can alias host memory on CPU)
+        # rotating staging buffer sets: with D batches of lookahead, a
+        # batch's host arrays may still back an in-flight transfer while
+        # D more stage (jax can alias host memory on CPU), so keep D+2
         self._staging: dict[tuple, list] = {}
         self._staging_flip = 0
+        self._staging_sets = (
+            max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2"))) + 2
+        )
 
     # --- device dispatch -------------------------------------------------
     def _mesh(self):
@@ -148,7 +151,7 @@ class DeviceEngine(StrictEngine):
             widths.append(w)
         signature = (padded_n, tuple(widths))
         staging_key = (self._staging_flip, signature)
-        self._staging_flip ^= 1
+        self._staging_flip = (self._staging_flip + 1) % self._staging_sets
         staging = self._staging.get(staging_key)
         if staging is None:
             staging = [
@@ -211,16 +214,23 @@ class DeviceEngine(StrictEngine):
             return self._execute_pipeline(batch_size)
 
     def _execute_pipeline(self, batch_size: int):
+        import collections
         import time
 
         self._initiate_feeds()
         start = time.perf_counter()
         batches = self.read_batches(batch_size)
-        if os.environ.get("PHENIQS_PREFETCH") == "1":
+        if os.environ.get("PHENIQS_PREFETCH", "1") != "0":
+            # ingest on its own thread by default: the native parse
+            # releases the GIL, so it overlaps the dispatch/pull loop
             from .strict import _prefetch
 
             batches = _prefetch(batches)
-        pending = None
+        # in-flight depth: more than one batch of lookahead hides the
+        # transfer latency of high-latency links (the tunneled axon relay
+        # adds ~0.3s per round trip); bounded to keep memory finite
+        depth = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
+        pending = collections.deque()
         for raw_index, batch in enumerate(batches):
             batch.raw_index = raw_index
             # account + filter BEFORE dispatch so device rows match exactly
@@ -231,11 +241,11 @@ class DeviceEngine(StrictEngine):
                 self._note_skipped_batch(raw_index)
                 continue
             handles = self._dispatch(batch)
-            if pending is not None:
-                self._finish(*pending)
-            pending = (batch, handles)
-        if pending is not None:
-            self._finish(*pending)
+            pending.append((batch, handles))
+            if len(pending) > depth:
+                self._finish(*pending.popleft())
+        while pending:
+            self._finish(*pending.popleft())
         self._close_feeds()
         self._trace_summary(start)
 

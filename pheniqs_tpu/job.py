@@ -80,12 +80,18 @@ class TranscodeJob:
         # barcodes) only applies when the user overrides it explicitly
         import os as os_mod
 
-        threads = int(
-            self.interactive.get("decoding threads")
-            or self.ontology.get("threads")
-            or 1
+        # an EXPLICIT decoding-thread override (CLI or instruction file)
+        # wins; otherwise the full --threads budget. The compiled
+        # ontology's "decoding threads" is ignored here because the
+        # compiler derives it with the reference's io/decode split
+        # (transcode.cpp:1491-1500), which does not describe our workers.
+        explicit = self.interactive.get("decoding threads") or (
+            self.compiler.instruction.get("decoding threads")
+            if isinstance(self.compiler.instruction, dict)
+            else None
         )
-        # more workers than cores oversubscribes the duplicated parse
+        threads = int(explicit or self.ontology.get("threads") or 1)
+        # more workers than cores oversubscribes the host
         threads = min(threads, os_mod.cpu_count() or threads)
         # render workers stream CRAM containers independently, which would
         # break the format's sequential record counter — CRAM output stays
