@@ -108,10 +108,14 @@ def native_read_batches(
                         f"record length {width} exceeds parsed matrix width "
                         f"{code.shape[1]} for {url}"
                     )
+                # views, not copies: after the reader adapts its stride to
+                # the run's read length the slice is the whole matrix, and
+                # downstream consumers (device staging, SHM serialization,
+                # native renderers) handle strided views where it is not
                 segments.append(
                     SegmentBatch(
-                        code=np.ascontiguousarray(code[:, :width]),
-                        quality=np.ascontiguousarray(qual[:, :width]),
+                        code=code[:, :width],
+                        quality=qual[:, :width],
                         length=length,
                     )
                 )

@@ -258,6 +258,7 @@ class NativeFastqReader:
             raise RuntimeError(f"native host library unavailable: {_build_error}")
         self._lib = lib
         self.max_length = max_length
+        self._adapted = False
         self.handle = lib.pq_fastq_open(path.encode(), phred_offset)
         if not self.handle:
             raise FileNotFoundError(path)
@@ -319,6 +320,13 @@ class NativeFastqReader:
         # full stride cost GBs of memset); zero only the short rows, up to
         # the batch width — columns past max(length) are undefined
         batch_width = min(int(length[:count].max(initial=0)), w)
+        if not self._adapted:
+            # adopt the observed read length as the matrix stride so the
+            # caller's [:, :width] slice is the whole (contiguous) matrix
+            # — Illumina runs are fixed-length; a longer record later
+            # re-grows via the -3 protocol
+            self._adapted = True
+            self.max_length = max(batch_width, 8)
         short_rows = np.flatnonzero(length[:count] < batch_width)
         for row in short_rows:
             code[row, length[row] : batch_width] = 0
