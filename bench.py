@@ -141,13 +141,9 @@ def main_step():
     for i in range(iters):
         out = ship_and_run(variants[i % 2])
         if pending is not None:
-            np.asarray(pending[0]["ints"])
-            np.asarray(pending[0]["flags"])
-            np.asarray(pending[0]["floats"])
+            np.asarray(pending[0]["blob"])
         pending = out
-    np.asarray(pending[0]["ints"])
-    np.asarray(pending[0]["flags"])
-    np.asarray(pending[0]["floats"])
+    np.asarray(pending[0]["blob"])
     elapsed = time.perf_counter() - start
     device_rps = BATCH * iters / elapsed
 

@@ -71,29 +71,6 @@ def _gamma(k: float) -> float:
 _REVCOMP = None
 
 
-def _use_pallas(n: int, w: int, b: int) -> bool:
-    """Route the posterior through the fused Pallas kernel.
-
-    Measured on v5e (131k reads, dual 8nt 96-barcode + 16nt 384-barcode
-    flagship): XLA's fused matmul+epilogue runs the monolithic posterior at
-    1.13M reads/s vs 0.73M for the per-tile kernel — small per-tile matmuls
-    underutilize the MXU — so the kernel is opt-in (PHENIQS_PALLAS=1 on
-    TPU, =interpret for CPU testing) and kept decision-identical by test.
-    Panels beyond LARGE_PANEL_B take the chunked online path instead."""
-    import os
-
-    mode = os.environ.get("PHENIQS_PALLAS", "auto")
-    if mode in ("0", "auto"):
-        return False
-    from .kernels import TILE_N, pallas_supported
-
-    if n % TILE_N != 0 or not pallas_supported(5 * w, b):
-        return False
-    if mode.endswith("interpret"):
-        return True
-    return jax.default_backend() in ("tpu", "axon")
-
-
 def _revcomp_table():
     global _REVCOMP
     if _REVCOMP is None:
@@ -321,34 +298,15 @@ def pamld_classify_device(
             dec.concentration,
             float(adjusted_noise),
         )
-    elif not want_uncertain and _use_pallas(n, w, dec.barcode_count):
-        import os
-
-        mode = os.environ.get("PHENIQS_PALLAS", "auto")
-        interpret = mode.endswith("interpret")
-        if mode.startswith("fused"):
-            from .kernels import pamld_fused_pallas
-
-            best0, best_p, sigma_p, sigma_decoded = pamld_fused_pallas(
-                obs_code,
-                obs_qual,
-                dec.likelihood_matrix,
-                dec.concentration,
-                float(adjusted_noise),
-                interpret=interpret,
-            )
-        else:
-            from .kernels import pamld_posterior_pallas
-
-            best0, best_p, sigma_p, sigma_decoded = pamld_posterior_pallas(
-                features,
-                (q_positive * UNIFORM_BASE_QUALITY)[:, None],
-                dec.likelihood_matrix,
-                dec.concentration,
-                float(adjusted_noise),
-                interpret=interpret,
-            )
     else:
+        # Hand-written Pallas kernels for this posterior were built and
+        # measured in rounds 1-2 and RETIRED: XLA's fused matmul+epilogue
+        # beat the per-tile kernel at every panel size measured on v5e
+        # (B=384: 0.72M vs 0.73M r/s round-1 local; B=1024: 0.72M; B=4096
+        # chunked: 0.92M) and the kernels failed to compile on the axon
+        # remote-compile stack at all. The decode step runs at ~0.3% of
+        # the chip roofline (BASELINE.md) — the system is host-bound, so
+        # a custom kernel has no regime on this workload.
         # full-f32 contraction: the TPU MXU's default precision truncates
         # operands to bfloat16, which costs ~0.1 phred units of sigma —
         # enough to move posterior confidences; HIGHEST runs the multi-pass

@@ -175,14 +175,16 @@ def make_decode_step(
             channel_index = jnp.zeros(qcfail.shape[0], dtype=jnp.int32)
 
         if pack_outputs:
-            # dense matrices instead of ~7 arrays per decoder: minimal
-            # device->host pull (the tunneled transport pays per-array
-            # latency AND bandwidth). Indices/distances fit int16 unless a
-            # panel exceeds that; branch/qcfail/uncertain pack into int8.
+            # ONE dense uint8 matrix for the whole device->host pull: the
+            # tunneled transport pays per-array latency as well as
+            # bandwidth, so indices/distances (int16 unless a panel
+            # overflows it), packed flag bytes and f32 confidences bitcast
+            # into a single (N, bytes_per_read) blob.
             wide = any(
                 dec.barcode_count >= 32000 for dec in instrument.decoders
             )
             index_dtype = jnp.int32 if wide else jnp.int16
+            n = qcfail.shape[0]
             int_columns = []
             flag_columns = []
             float_columns = []
@@ -199,11 +201,22 @@ def make_decode_step(
                     flags = flags | (entry["uncertain"].astype(jnp.int8) << 3)
                 flag_columns.append(flags)
                 float_columns.append(entry["confidence"])
-            packed = {
-                "ints": jnp.stack(int_columns, axis=1),
-                "flags": jnp.stack(flag_columns, axis=1),
-                "floats": jnp.stack(float_columns, axis=1),
-            }
+            ints = jnp.stack(int_columns, axis=1)
+            flags8 = jnp.stack(flag_columns, axis=1)
+            floats = jnp.stack(float_columns, axis=1)
+            blob = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(ints, jnp.uint8).reshape(
+                        n, -1
+                    ),
+                    flags8.astype(jnp.uint8),
+                    jax.lax.bitcast_convert_type(floats, jnp.uint8).reshape(
+                        n, -1
+                    ),
+                ],
+                axis=1,
+            )
+            packed = {"blob": blob}
             if axis_name is not None and want_counters:
                 counters = jax.lax.psum(counters, axis_name)
             return packed, counters

@@ -272,10 +272,24 @@ class DeviceEngine(StrictEngine):
             step = self._get_step(signature)
             packed, _counters = step(device_batch)
         n = batch.size
-        # three pulls total: index matrix (int16/int32), flag bytes, f32
-        ints = np.asarray(packed["ints"])[:n].astype(np.int32)
-        flag_bytes = np.asarray(packed["flags"])[:n]
-        floats = np.asarray(packed["floats"])[:n].astype(np.float64)
+        # one pull: the packed uint8 blob (see step.py pack_outputs)
+        blob = np.asarray(packed["blob"])[:n]
+        d = len(self.instrument.decoders)
+        wide = any(
+            dec.barcode_count >= 32000 for dec in self.instrument.decoders
+        )
+        int_bytes = (4 if wide else 2) * 3 * d
+        ints = (
+            np.ascontiguousarray(blob[:, :int_bytes])
+            .view(np.int32 if wide else np.int16)
+            .astype(np.int32)
+        )
+        flag_bytes = blob[:, int_bytes : int_bytes + d]
+        floats = (
+            np.ascontiguousarray(blob[:, int_bytes + d :])
+            .view(np.float32)
+            .astype(np.float64)
+        )
         results = []
         for k in range(len(self.instrument.decoders)):
             base = 3 * k

@@ -255,46 +255,6 @@ def test_sharded_step_matches_single_device(pamld_case):
     )
 
 
-def test_pallas_kernel_interpret_matches_jnp(pamld_case, monkeypatch):
-    """Fused posterior kernel (interpreter mode on CPU) vs the XLA path."""
-    spec, ontology, code, qual, length = pamld_case
-    n = code.shape[0]
-    from pheniqs_tpu.device.kernels import TILE_N
-
-    reps = -(-TILE_N // n) if n < TILE_N else 1
-    code_t = np.tile(code, (reps, 1))[:TILE_N]
-    qual_t = np.tile(qual, (reps, 1))[:TILE_N]
-    qcfail = np.zeros(TILE_N, dtype=bool)
-
-    instrument = compile_instrument({"sample": ontology, "input segment cardinality": 1})
-    dec = instrument.decoders[0]
-    args = (
-        instrument,
-        dec,
-        jnp.asarray(code_t.astype(np.int32)),
-        jnp.asarray(qual_t.astype(np.int32)),
-        jnp.asarray(qcfail),
-    )
-
-    monkeypatch.setenv("PHENIQS_PALLAS", "0")
-    base = pamld_classify_device(*args)
-    monkeypatch.setenv("PHENIQS_PALLAS", "interpret")
-    fused = pamld_classify_device(*args)
-
-    np.testing.assert_array_equal(
-        np.asarray(fused["decoded"]), np.asarray(base["decoded"])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(fused["qcfail"]), np.asarray(base["qcfail"])
-    )
-    np.testing.assert_allclose(
-        np.asarray(fused["confidence"]),
-        np.asarray(base["confidence"]),
-        rtol=1e-5,
-        atol=1e-7,
-    )
-
-
 def test_large_panel_chunked_posterior_matches_oracle():
     """Panels beyond LARGE_PANEL_B stream through the online-logsumexp scan
     without materializing (N, B); decisions must still match the oracle."""
@@ -384,47 +344,6 @@ def test_high_quality_distance_filter_matches_oracle():
     )
     np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
     np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
-
-
-def test_fused_pallas_kernel_interpret_matches_jnp(pamld_case, monkeypatch):
-    """Fully-fused classify kernel (codes -> posterior in VMEM, analytic
-    tpq) must reproduce the XLA path's decisions."""
-    spec, ontology, code, qual, length = pamld_case
-    from pheniqs_tpu.device.kernels import TILE_N
-
-    n = code.shape[0]
-    reps = -(-TILE_N // n) if n < TILE_N else 1
-    code_t = np.tile(code, (reps, 1))[:TILE_N]
-    qual_t = np.tile(qual, (reps, 1))[:TILE_N]
-    qcfail = np.zeros(TILE_N, dtype=bool)
-
-    instrument = compile_instrument(
-        {"sample": ontology, "input segment cardinality": 1}
-    )
-    args = (
-        instrument,
-        instrument.decoders[0],
-        jnp.asarray(code_t.astype(np.int32)),
-        jnp.asarray(qual_t.astype(np.int32)),
-        jnp.asarray(qcfail),
-    )
-    monkeypatch.setenv("PHENIQS_PALLAS", "0")
-    base = pamld_classify_device(*args)
-    monkeypatch.setenv("PHENIQS_PALLAS", "fused-interpret")
-    fused = pamld_classify_device(*args)
-
-    np.testing.assert_array_equal(
-        np.asarray(fused["decoded"]), np.asarray(base["decoded"])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(fused["qcfail"]), np.asarray(base["qcfail"])
-    )
-    np.testing.assert_allclose(
-        np.asarray(fused["confidence"]),
-        np.asarray(base["confidence"]),
-        rtol=2e-4,
-        atol=1e-6,
-    )
 
 
 def test_100k_barcode_panel_smoke():
