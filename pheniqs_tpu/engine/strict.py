@@ -42,9 +42,6 @@ from ..io.sam import (
     FLAG_UNMAP,
     AuxTags,
     SamHeader,
-    bam_codes_to_ascii,
-    format_record,
-    quality_to_ascii,
 )
 from ..iupac import BAM_TO_ASCII
 from ..model.batch import ReadBatch
