@@ -1,6 +1,7 @@
-"""Worker for the two-process multi-host integration test: both processes
-decode their half of a deterministic batch over a global 4-device mesh and
-verify the psum-merged counters equal the single-process result."""
+"""Worker for the N-process multi-host integration test: each process
+decodes its slice of a deterministic batch over the global mesh (2 local
+devices per process) and verifies the psum-merged counters equal the
+single-process result."""
 
 import os
 import sys
@@ -16,10 +17,10 @@ import jax
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 
-def main(process_id: int, coordinator: str):
+def main(process_id: int, coordinator: str, num_processes: int = 2):
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=2,
+        num_processes=num_processes,
         process_id=process_id,
     )
     import numpy as np
@@ -37,7 +38,7 @@ def main(process_id: int, coordinator: str):
 
     instrument = flagship_instrument(sample_barcodes=8, cellular_barcodes=16)
     ontology = flagship_ontology(sample_barcodes=8, cellular_barcodes=16)
-    total = 64  # divisible by 4 devices
+    total = 64 * num_processes  # divisible by the global device count
     full = synthetic_batch(instrument, ontology, total, seed=5)
     used = instrument.used_segments
 
@@ -58,9 +59,9 @@ def main(process_id: int, coordinator: str):
 
     # distributed: each process owns its contiguous half of the reads
     mesh = reads_mesh()
-    half = total // 2
-    lo = process_id * half
-    hi = lo + half
+    share = total // num_processes
+    lo = process_id * share
+    hi = lo + share
 
     def to_global(local):
         return multihost_utils.host_local_array_to_global_array(
@@ -105,4 +106,8 @@ def main(process_id: int, coordinator: str):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2])
+    main(
+        int(sys.argv[1]),
+        sys.argv[2],
+        int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+    )

@@ -1,6 +1,6 @@
-"""Two-process multi-host SPMD integration: the sharded decode step runs
-across processes (gloo collectives over the coordination service) and its
-psum-merged counters equal the single-process result."""
+"""Multi-process (2 and 4) multi-host SPMD integration: the sharded decode
+step runs across processes (gloo collectives over the coordination
+service) and its psum-merged counters equal the single-process result."""
 
 import os
 import socket
@@ -17,20 +17,24 @@ def free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_decode_and_psum():
+import pytest
+
+
+@pytest.mark.parametrize("num_processes", [2, 4])
+def test_multi_process_decode_and_psum(num_processes):
     coordinator = f"127.0.0.1:{free_port()}"
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("PALLAS_AXON_POOL_IPS", None)
     workers = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(rank), coordinator],
+            [sys.executable, WORKER, str(rank), coordinator, str(num_processes)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for rank in (0, 1)
+        for rank in range(num_processes)
     ]
     outputs = []
     for rank, worker in enumerate(workers):
