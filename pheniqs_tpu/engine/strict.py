@@ -397,22 +397,29 @@ class StrictEngine:
 
     def _all_read_batches(self, batch_size: int = 4096):
         segment_proxies = self.ontology["feed"]["input feed by segment"]
-        all_fastq = all(
-            URL(proxy["url"]).format_type == "fastq" for proxy in segment_proxies
-        )
-        if all_fastq:
+        formats = [
+            URL(proxy["url"]).format_type or "fastq"
+            for proxy in segment_proxies
+        ]
+        if all(fmt in ("fastq", "bam") for fmt in formats):
             from ..native import available
 
             if available():
                 from ..io.ingest import native_read_batches
 
-                yield from native_read_batches(
-                    [URL(proxy["url"]).path for proxy in segment_proxies],
-                    self.input_phred_offset,
-                    batch_size,
-                    leading_segment_index=self.leading_segment_index,
-                )
-                return
+                try:
+                    yield from native_read_batches(
+                        [URL(proxy["url"]).path for proxy in segment_proxies],
+                        self.input_phred_offset,
+                        batch_size,
+                        leading_segment_index=self.leading_segment_index,
+                        formats=formats,
+                    )
+                    return
+                except FileNotFoundError:
+                    # a .bam that is not BGZF-framed (or otherwise not
+                    # native-readable): fall back to the Python reader
+                    pass
         yield from self._python_read_batches(batch_size)
 
     def _record_stream(self, url: str, phred_offset: int):

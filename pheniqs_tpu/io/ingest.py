@@ -24,13 +24,16 @@ def native_read_batches(
     batch_size: int,
     max_length: int = 256,
     leading_segment_index: int = 0,
+    formats: list[str] | None = None,
 ):
     """Yield ReadBatch objects via the native parser.
 
     ``segment_urls`` maps input segment index -> feed URL path (repeated
-    entries = interleaved feed with that resolution).
+    entries = interleaved feed with that resolution); ``formats`` gives
+    each segment's feed format ("fastq" default, "bam" uses the native
+    BAM batch reader over the parallel BGZF pool).
     """
-    from ..native import NativeFastqReader
+    from ..native import NativeBamReader, NativeFastqReader
 
     unique: list[str] = []
     for url in segment_urls:
@@ -44,7 +47,18 @@ def native_read_batches(
         segment_slot.append((url, slot))
         seen[url] = slot + 1
 
-    readers = {url: NativeFastqReader(url, phred_offset, max_length) for url in unique}
+    format_by_url = {}
+    for position, url in enumerate(segment_urls):
+        fmt = formats[position] if formats else "fastq"
+        format_by_url[url] = fmt
+    readers = {
+        url: (
+            NativeBamReader(url, phred_offset, max_length)
+            if format_by_url[url] == "bam"
+            else NativeFastqReader(url, phred_offset, max_length)
+        )
+        for url in unique
+    }
     pool = None
     if len(unique) > 1:
         from concurrent.futures import ThreadPoolExecutor

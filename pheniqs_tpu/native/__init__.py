@@ -164,6 +164,27 @@ def load():
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.pq_bam_open.restype = ctypes.c_void_p
+        lib.pq_bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.pq_bam_error.restype = ctypes.c_char_p
+        lib.pq_bam_error.argtypes = [ctypes.c_void_p]
+        lib.pq_bam_pending_length.restype = ctypes.c_int64
+        lib.pq_bam_pending_length.argtypes = [ctypes.c_void_p]
+        lib.pq_bam_close.restype = None
+        lib.pq_bam_close.argtypes = [ctypes.c_void_p]
+        lib.pq_bam_read_batch.restype = ctypes.c_int32
+        lib.pq_bam_read_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.pq_bgzf_open.restype = ctypes.c_void_p
         lib.pq_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.pq_bgzf_read.restype = ctypes.c_int64
@@ -252,6 +273,8 @@ class NativeFastqReader:
     qcfail (N,) bool, names list[bytes]) with W = ``max_length``.
     """
 
+    _label = "FASTQ"
+
     def __init__(self, path: str, phred_offset: int = 33, max_length: int = 512):
         lib = load()
         if lib is None:
@@ -259,12 +282,27 @@ class NativeFastqReader:
         self._lib = lib
         self.max_length = max_length
         self._adapted = False
-        self.handle = lib.pq_fastq_open(path.encode(), phred_offset)
+        self.handle = self._open(path, phred_offset)
         if not self.handle:
             raise FileNotFoundError(path)
 
+    # --- format bindings (overridden by NativeBamReader) -----------------
+    def _open(self, path: str, phred_offset: int):
+        return self._lib.pq_fastq_open(path.encode(), phred_offset)
+
+    def _read(self, *args):
+        return self._lib.pq_fastq_read_batch(*args)
+
+    def _pending(self):
+        return self._lib.pq_fastq_pending_length(self.handle)
+
+    def _error(self):
+        return self._lib.pq_fastq_error(self.handle)
+
+    def _close(self):
+        self._lib.pq_fastq_close(self.handle)
+
     def read_batch(self, max_records: int):
-        lib = self._lib
         while True:
             w = self.max_length
             # np.empty everywhere: the parser fully writes every parsed row
@@ -280,7 +318,7 @@ class NativeFastqReader:
             names = np.empty(names_capacity, dtype=np.uint8)
             name_offset = np.empty(max_records + 1, dtype=np.int64)
 
-            count = lib.pq_fastq_read_batch(
+            count = self._read(
                 self.handle,
                 max_records,
                 w,
@@ -297,22 +335,24 @@ class NativeFastqReader:
                 # the native reader (reference handles arbitrary read
                 # lengths — never truncate); grow to the next 128-multiple
                 # covering it and retry
-                pending = int(lib.pq_fastq_pending_length(self.handle))
+                pending = int(self._pending())
                 self.max_length = max(-(-pending // 128) * 128, w * 2)
                 continue
             if count == -2:
                 from ..errors import SequenceError
 
                 raise SequenceError(
-                    "native FASTQ reader: name arena exhausted "
+                    f"native {self._label} reader: name arena exhausted "
                     f"(capacity {names_capacity})"
                 )
             if count < 0:
                 from ..errors import SequenceError
 
-                raw_message = lib.pq_fastq_error(self.handle) or b""
+                raw_message = self._error() or b""
                 message = raw_message.decode("utf-8", errors="replace")
-                raise SequenceError(message or "native FASTQ parse error")
+                raise SequenceError(
+                    message or f"native {self._label} parse error"
+                )
             if count == 0:
                 return None
             break
@@ -344,7 +384,7 @@ class NativeFastqReader:
 
     def close(self):
         if self.handle:
-            self._lib.pq_fastq_close(self.handle)
+            self._close()
             self.handle = None
 
     def __del__(self):
@@ -352,6 +392,33 @@ class NativeFastqReader:
             self.close()
         except Exception:
             pass
+
+
+class NativeBamReader(NativeFastqReader):
+    """Batch BAM reader over the native parser: parallel BGZF inflate +
+    record parsing straight into SoA buffers (BAM nibbles are the 4-bit
+    codes the framework uses natively). Raises FileNotFoundError for
+    non-BGZF/non-BAM files — callers fall back to the Python reader."""
+
+    _label = "BAM"
+
+    def _open(self, path: str, phred_offset: int):
+        import os
+
+        threads = int(os.environ.get("PHENIQS_BGZF_THREADS", "3"))
+        return self._lib.pq_bam_open(path.encode(), threads)
+
+    def _read(self, *args):
+        return self._lib.pq_bam_read_batch(*args)
+
+    def _pending(self):
+        return self._lib.pq_bam_pending_length(self.handle)
+
+    def _error(self):
+        return self._lib.pq_bam_error(self.handle)
+
+    def _close(self):
+        self._lib.pq_bam_close(self.handle)
 
 
 class SpanColumn:

@@ -435,6 +435,191 @@ void pq_bgzf_close(void* handle) {
     delete static_cast<BgzfReader*>(handle);
 }
 
+// --- native BAM batch reader -----------------------------------------------
+// The reference's own docs recommend BAM input for throughput
+// (docs/configuration.md:20): with the parallel BGZF pool above plus this
+// record parser, BAM ingests straight into the SoA batch buffers without
+// a per-record Python loop. BAM seq nibbles ARE the 4-bit codes the whole
+// framework uses, so decoding is an unpack, not a translation.
+
+struct BamBatchReader {
+    BgzfReader* bgzf = nullptr;
+    std::string error;
+    bool eof = false;
+    // pending record that exceeded the caller's matrices (grow protocol)
+    bool has_pending = false;
+    std::vector<uint8_t> pending_record;  // raw record body (after size)
+
+    ~BamBatchReader() { delete bgzf; }
+
+    bool read_exact(uint8_t* out, size_t n) {
+        int64_t got = bgzf->read(out, static_cast<int64_t>(n));
+        if (got < 0) {
+            error = bgzf->error.empty() ? "BGZF read failed" : bgzf->error;
+            return false;
+        }
+        if (static_cast<size_t>(got) != n) {
+            if (got != 0) error = "truncated BAM stream";
+            eof = true;
+            return false;
+        }
+        return true;
+    }
+};
+
+void* pq_bam_open(const char* path, int threads) {
+    BgzfReader* bgzf = bgzf_open_internal(path, threads);
+    if (bgzf == nullptr) return nullptr;  // not BGZF: caller falls back
+    BamBatchReader* reader = new BamBatchReader();
+    reader->bgzf = bgzf;
+    uint8_t magic[4];
+    if (!reader->read_exact(magic, 4) || std::memcmp(magic, "BAM\x01", 4) != 0) {
+        delete reader;
+        return nullptr;
+    }
+    uint8_t quad[4];
+    if (!reader->read_exact(quad, 4)) { delete reader; return nullptr; }
+    int32_t l_text;
+    std::memcpy(&l_text, quad, 4);
+    std::vector<uint8_t> skip(l_text > 0 ? l_text : 0);
+    if (l_text > 0 && !reader->read_exact(skip.data(), skip.size())) {
+        delete reader; return nullptr;
+    }
+    if (!reader->read_exact(quad, 4)) { delete reader; return nullptr; }
+    int32_t n_ref;
+    std::memcpy(&n_ref, quad, 4);
+    for (int32_t i = 0; i < n_ref; ++i) {
+        if (!reader->read_exact(quad, 4)) { delete reader; return nullptr; }
+        int32_t l_name;
+        std::memcpy(&l_name, quad, 4);
+        std::vector<uint8_t> ref(l_name + 4);
+        if (!reader->read_exact(ref.data(), ref.size())) {
+            delete reader; return nullptr;
+        }
+    }
+    return reader;
+}
+
+const char* pq_bam_error(void* handle) {
+    return static_cast<BamBatchReader*>(handle)->error.c_str();
+}
+
+int64_t pq_bam_pending_length(void* handle) {
+    BamBatchReader* reader = static_cast<BamBatchReader*>(handle);
+    if (!reader->has_pending) return 0;
+    int32_t l_seq;
+    std::memcpy(&l_seq, reader->pending_record.data() + 16, 4);
+    return l_seq;
+}
+
+void pq_bam_close(void* handle) {
+    delete static_cast<BamBatchReader*>(handle);
+}
+
+// Emit one raw record body into the batch row; returns false if it does
+// not fit max_length (caller stashes it).
+static bool bam_emit_record(
+    const std::vector<uint8_t>& body, int32_t row, int32_t max_length,
+    uint8_t* code, uint8_t* qual, int32_t* length, uint8_t* qcfail,
+    char* names, int64_t* names_used, int64_t* name_offset,
+    std::string* error
+) {
+    if (body.size() < 32) { *error = "truncated BAM record"; return true; }
+    uint8_t l_read_name = body[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, body.data() + 12, 2);
+    uint16_t flag;
+    std::memcpy(&flag, body.data() + 14, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, body.data() + 16, 4);
+    size_t name_at = 32;
+    size_t cigar_at = name_at + l_read_name;
+    size_t seq_at = cigar_at + 4ull * n_cigar;
+    size_t qual_at = seq_at + (static_cast<size_t>(l_seq) + 1) / 2;
+    if (qual_at + l_seq > body.size()) {
+        *error = "truncated BAM record body";
+        return true;
+    }
+    if (l_seq > max_length) return false;  // caller grows
+
+    uint8_t* code_row = code + static_cast<int64_t>(row) * max_length;
+    uint8_t* qual_row = qual + static_cast<int64_t>(row) * max_length;
+    const uint8_t* nibbles = body.data() + seq_at;
+    for (int32_t i = 0; i < l_seq; ++i) {
+        uint8_t pair = nibbles[i >> 1];
+        code_row[i] = (i & 1) ? (pair & 0xF) : (pair >> 4);
+    }
+    const uint8_t* quals = body.data() + qual_at;
+    for (int32_t i = 0; i < l_seq; ++i) {
+        qual_row[i] = quals[i] == 0xFF ? 0 : quals[i];
+    }
+    size_t name_length = l_read_name > 0 ? l_read_name - 1 : 0;  // drop NUL
+    if (name_length > 4000) name_length = 4000;
+    std::memcpy(names + *names_used, body.data() + name_at, name_length);
+    *names_used += static_cast<int64_t>(name_length);
+    length[row] = l_seq;
+    qcfail[row] = (flag & 0x200) ? 1 : 0;
+    name_offset[row + 1] = *names_used;
+    return true;
+}
+
+// Same contract as pq_fastq_read_batch: count; 0 EOF; -1 malformed;
+// -2 names arena exhausted; -3 record exceeds max_length (stashed).
+int32_t pq_bam_read_batch(
+    void* handle,
+    int32_t max_records,
+    int32_t max_length,
+    uint8_t* code,
+    uint8_t* qual,
+    int32_t* length,
+    uint8_t* qcfail,
+    char* names,
+    int64_t names_capacity,
+    int64_t* name_offset
+) {
+    BamBatchReader* reader = static_cast<BamBatchReader*>(handle);
+    int32_t count = 0;
+    int64_t names_used = 0;
+    name_offset[0] = 0;
+    while (count < max_records) {
+        if (names_capacity - names_used < 4096) {
+            return count > 0 ? count : -2;
+        }
+        std::vector<uint8_t> body;
+        if (reader->has_pending) {
+            body = std::move(reader->pending_record);
+            reader->has_pending = false;
+        } else {
+            uint8_t quad[4];
+            if (!reader->read_exact(quad, 4)) {
+                if (!reader->error.empty()) return -1;
+                break;  // clean EOF
+            }
+            int32_t block_size;
+            std::memcpy(&block_size, quad, 4);
+            if (block_size < 32 || block_size > (1 << 28)) {
+                reader->error = "implausible BAM record size";
+                return -1;
+            }
+            body.resize(block_size);
+            if (!reader->read_exact(body.data(), body.size())) {
+                if (reader->error.empty()) reader->error = "truncated BAM record";
+                return -1;
+            }
+        }
+        if (!bam_emit_record(body, count, max_length, code, qual, length,
+                             qcfail, names, &names_used, name_offset,
+                             &reader->error)) {
+            reader->pending_record = std::move(body);
+            reader->has_pending = true;
+            return count > 0 ? count : -3;
+        }
+        if (!reader->error.empty()) return -1;
+        ++count;
+    }
+    return count;
+}
+
 void* pq_fastq_open(const char* path, int phred_offset) {
     Reader* reader = new Reader();
     reader->phred_offset = phred_offset;

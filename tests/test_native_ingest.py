@@ -214,3 +214,80 @@ def test_bgzf_corrupt_block_fails_typed(native, tmp_path):
         while handle.read(1 << 18):
             pass
     handle.close()
+
+
+def test_native_bam_ingest_matches_fastq(native, bdggg, tmp_path):
+    """BAM input through the native batch reader must classify identically
+    to the same reads ingested as FASTQ (the reference recommends BAM
+    input for throughput, docs/configuration.md:20)."""
+    import json
+    import subprocess
+    import sys
+
+    from pheniqs_tpu.io.fastq import read_fastq
+    from pheniqs_tpu.io.hts import BamWriter
+    from pheniqs_tpu.io.sam import AuxTags
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    # convert the three BDGGG segment files into three BAMs
+    for s in (1, 2, 3):
+        records = list(read_fastq(f"{bdggg}/BDGGG_s0{s}.fastq", 33))
+        with open(tmp_path / f"BDGGG_s0{s}.bam", "wb") as stream:
+            writer = BamWriter(stream, "@HD\tVN:1.0\n")
+            for record in records:
+                seq = np.frombuffer(record.sequence, dtype=np.uint8)
+                writer.write_record(
+                    record.name.decode(),
+                    0x4 | (0x200 if record.qcfail else 0),
+                    ASCII_TO_BAM[seq],
+                    np.frombuffer(record.quality, dtype=np.uint8),
+                    len(seq),
+                    AuxTags(),
+                )
+            writer.close()
+
+    import os as os_mod
+
+    env = dict(os_mod.environ)
+    env["PYTHONPATH"] = os_mod.path.dirname(
+        os_mod.path.dirname(os_mod.path.abspath(__file__))
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    outputs = {}
+    for kind, base in (("fastq", bdggg), ("bam", str(tmp_path))):
+        config = {
+            "input": [
+                f"{base}/BDGGG_s0{s}.{'fastq' if kind == 'fastq' else 'bam'}"
+                for s in (1, 2, 3)
+            ],
+            "output": [str(tmp_path / f"out_{kind}.sam")],
+            "template": {"transform": {"token": ["0::", "1::", "2::"]}},
+            "sample": {
+                "algorithm": "pamld",
+                "confidence threshold": 0.95,
+                "noise": 0.05,
+                "transform": {"token": ["1::8"]},
+                "codec": {
+                    "@AGGCATG": {"barcode": ["AGGCATGT"]},
+                    "@CACGATC": {"barcode": ["CACGATCC"]},
+                    "@TCGCTAG": {"barcode": ["TCGCTAGA"]},
+                },
+            },
+        }
+        config_path = tmp_path / f"job_{kind}.json"
+        config_path.write_text(json.dumps(config))
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", str(config_path), "--precision", "15"],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert result.returncode == 0, (kind, result.stderr[-2000:])
+        outputs[kind] = [
+            line
+            for line in (tmp_path / f"out_{kind}.sam").read_text().splitlines()
+            if not line.startswith("@")
+        ]
+    assert outputs["fastq"] == outputs["bam"]
+    assert len(outputs["bam"]) > 0
