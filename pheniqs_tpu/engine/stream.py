@@ -224,6 +224,24 @@ def _render_worker_replay(
     result_queue.put(("state", engine.channel_quality))
 
 
+def _guarded(target, result_queue, args):
+    """Run a worker body, relaying typed failures to the parent instead
+    of dying with a bare nonzero exit (the parent re-raises the same
+    typed error so exit codes stay faithful to error.h semantics)."""
+    from ..errors import PheniqsError
+
+    try:
+        target(*args)
+    except PheniqsError as error:
+        result_queue.put(
+            ("worker_error", type(error).__name__, error.message, error.code)
+        )
+    except Exception as error:  # noqa: BLE001 - relay, parent re-raises
+        result_queue.put(
+            ("worker_error", "InternalError", f"{type(error).__name__}: {error}", 1)
+        )
+
+
 def _snapshot_state(engine: StrictEngine) -> dict:
     """Worker-side accumulator snapshot for the parent's end-of-run merge
     (the streamed analog of Transcode::collect, reference
@@ -410,6 +428,7 @@ class StreamRunner:
         self._states: list = []
         self._shm_names: list[str] = []
         self._slots: threading.Semaphore | None = None
+        self._worker_failure: tuple | None = None
 
     def _input_replayable(self) -> bool:
         """Workers can re-parse iff every input is a real file (not a
@@ -438,13 +457,17 @@ class StreamRunner:
         for worker_id in range(self.workers):
             if self.transport == "autonomous":
                 process = context.Process(
-                    target=_autonomous_worker,
+                    target=_guarded,
                     args=(
-                        ontology_blob,
-                        worker_id,
-                        self.workers,
-                        self.batch_size,
+                        _autonomous_worker,
                         self._result_queue,
+                        (
+                            ontology_blob,
+                            worker_id,
+                            self.workers,
+                            self.batch_size,
+                            self._result_queue,
+                        ),
                     ),
                     daemon=True,
                 )
@@ -455,30 +478,42 @@ class StreamRunner:
             parent_end, child_end = context.Pipe()
             if self.transport == "shm":
                 process = context.Process(
-                    target=_render_worker_shm,
+                    target=_guarded,
                     args=(
-                        ontology_blob,
-                        worker_id,
-                        child_end,
+                        _render_worker_shm,
                         self._result_queue,
+                        (
+                            ontology_blob,
+                            worker_id,
+                            child_end,
+                            self._result_queue,
+                        ),
                     ),
                     daemon=True,
                 )
             elif self.transport == "replay":
                 process = context.Process(
-                    target=_render_worker_replay,
+                    target=_guarded,
                     args=(
-                        ontology_blob,
-                        self.batch_size,
-                        child_end,
+                        _render_worker_replay,
                         self._result_queue,
+                        (
+                            ontology_blob,
+                            self.batch_size,
+                            child_end,
+                            self._result_queue,
+                        ),
                     ),
                     daemon=True,
                 )
             else:
                 process = context.Process(
-                    target=_render_worker_ship,
-                    args=(ontology_blob, child_end, self._result_queue),
+                    target=_guarded,
+                    args=(
+                        _render_worker_ship,
+                        self._result_queue,
+                        (ontology_blob, child_end, self._result_queue),
+                    ),
                     daemon=True,
                 )
             with _quiet_fork():
@@ -496,18 +531,26 @@ class StreamRunner:
             for result in results
         ]
         pipe = self._task_pipes[index % self.workers]
-        if self.transport == "shm":
-            self._send_shm(pipe, batch, payloads)
-        elif self.transport == "replay":
-            pipe.send_bytes(pickle.dumps((index, payloads)))
-        else:
-            pipe.send_bytes(pickle.dumps((index, batch, payloads)))
+        try:
+            if self.transport == "shm":
+                self._send_shm(pipe, batch, payloads)
+            elif self.transport == "replay":
+                pipe.send_bytes(pickle.dumps((index, payloads)))
+            else:
+                pipe.send_bytes(pickle.dumps((index, batch, payloads)))
+        except (BrokenPipeError, OSError):
+            self._raise_worker_failure()
+            raise
 
     def submit_raw(self, batch):
         """Strict shm mode: ship the unclassified batch; the worker runs
         the whole per-read pipeline on it."""
         pipe = self._task_pipes[batch.raw_index % self.workers]
-        self._send_shm(pipe, batch, None)
+        try:
+            self._send_shm(pipe, batch, None)
+        except (BrokenPipeError, OSError):
+            self._raise_worker_failure()
+            raise
 
     def _send_shm(self, pipe, batch, payloads):
         from .shm import batch_to_shm
@@ -537,6 +580,10 @@ class StreamRunner:
         try:
             while states_seen < self.workers:
                 item = self._result_queue.get()
+                if item[0] == "worker_error":
+                    self._worker_failure = item[1:]
+                    states_seen += 1
+                    continue
                 if item[0] == "state":
                     states_seen += 1
                     state = item[1]
@@ -562,16 +609,31 @@ class StreamRunner:
         except Exception as error:  # surfaced by finish()
             self._writer_error.append(error)
 
+    def _raise_worker_failure(self):
+        if self._worker_failure is None:
+            return
+        from .. import errors as errors_mod
+
+        name, message, _code = self._worker_failure
+        error_class = getattr(errors_mod, name, None)
+        if error_class is None or not isinstance(error_class, type):
+            error_class = errors_mod.InternalError
+        raise error_class(message)
+
     def finish(self):
         sentinel = pickle.dumps(None)
         for pipe in self._task_pipes:
-            pipe.send_bytes(sentinel)
+            try:
+                pipe.send_bytes(sentinel)
+            except (BrokenPipeError, OSError):
+                pass
         self._writer.join()
         for pipe in self._task_pipes:
             pipe.close()
         for process in self._processes:
             process.join()
             if process.exitcode not in (0, None):
+                self._raise_worker_failure()
                 from ..errors import InternalError
 
                 raise InternalError(
@@ -579,6 +641,7 @@ class StreamRunner:
                 )
         if self._writer_error:
             raise self._writer_error[0]
+        self._raise_worker_failure()
         if self._shm_names:
             # consumed segments are already unlinked by their workers;
             # this only catches segments a crashed worker never touched

@@ -256,3 +256,32 @@ def test_sensed_interleave_divergence_fails_typed(tmp_path, native_path, monkeyp
     )
     assert result.returncode == 7, (result.returncode, result.stderr[-500:])
     assert "out of sync" in result.stderr
+
+
+def test_worker_error_relays_typed(tmp_path):
+    """A typed failure inside a streamed worker (here: corrupt FASTQ parsed
+    by an autonomous strict worker) must surface as the same typed error
+    and exit code as the serial engine, not a generic worker crash."""
+    path = tmp_path / "bad.fastq"
+    good = "".join(f"@r{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(2000))
+    path.write_text(good + "JUNK-NOT-A-HEADER\nACGT\n+\nIIII\n")
+    config = {
+        "input": [str(path)],
+        "template": {"transform": {"token": ["0::"]}},
+        "output": [str(tmp_path / "out.sam")],
+    }
+    config_path = tmp_path / "job.json"
+    config_path.write_text(json.dumps(config))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PHENIQS_STREAM_TRANSPORT"] = "autonomous"
+    result = subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+         "--config", str(config_path), "--threads", "3",
+         "--batch-size", "256"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 7, (result.returncode, result.stderr[-500:])
+    assert "corrupt FASTQ" in result.stderr
