@@ -230,8 +230,25 @@ class DeviceEngine(StrictEngine):
         # transfer latency of high-latency links (the tunneled axon relay
         # adds ~0.3s per round trip); bounded to keep memory finite
         depth = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
+        stages = self._stage_seconds = {
+            "ingest_wait": 0.0,
+            "stage_dispatch": 0.0,
+            "finish": 0.0,
+        }
         pending = collections.deque()
-        for raw_index, batch in enumerate(batches):
+        clock = time.perf_counter
+        mark = clock()
+        iterator = iter(batches)
+        raw_index = -1
+        while True:
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                break
+            now = clock()
+            stages["ingest_wait"] += now - mark
+            mark = now
+            raw_index += 1
             batch.raw_index = raw_index
             # account + filter BEFORE dispatch so device rows match exactly
             self.incoming_count += batch.size
@@ -239,13 +256,20 @@ class DeviceEngine(StrictEngine):
             batch = self._apply_input_filters(batch)
             if batch.size == 0:
                 self._note_skipped_batch(raw_index)
+                mark = clock()
                 continue
             handles = self._dispatch(batch)
             pending.append((batch, handles))
+            now = clock()
+            stages["stage_dispatch"] += now - mark
             if len(pending) > depth:
                 self._finish(*pending.popleft())
+            mark = clock()
+            stages["finish"] += mark - now
         while pending:
+            now = clock()
             self._finish(*pending.popleft())
+            stages["finish"] += clock() - now
         self._close_feeds()
         self._trace_summary(start)
 

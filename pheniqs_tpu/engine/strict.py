@@ -508,6 +508,13 @@ class StrictEngine:
                 f"{elapsed:.2f}s = {self.incoming_count / max(elapsed, 1e-9):,.0f} "
                 f"reads/s ({type(self).__name__})\n"
             )
+            stages = getattr(self, "_stage_seconds", None)
+            if stages:
+                breakdown = " ".join(
+                    f"{name}={seconds:.2f}s"
+                    for name, seconds in stages.items()
+                )
+                sys.stderr.write(f"[pheniqs-tpu] pipeline: {breakdown}\n")
 
     def execute(self, batch_size: int = 4096):
         import time
