@@ -125,26 +125,88 @@ def _classify_one(
     raise ValueError(f"unknown algorithm {dec.algorithm}")
 
 
+def h2d_blob_bytes(widths: list[int]) -> int:
+    """Bytes per read of the packed host->device layout for `widths`."""
+    return sum(2 * w + 4 for w in widths) + 1
+
+
+def pack_h2d_blob(
+    widths: list[int], segments, qcfail, out=None
+):
+    """Host-side packing of per-segment (code, qual, length) + qcfail into
+    one (N, bytes_per_read) uint8 matrix — a single transfer instead of
+    3*segments + 1 (the tunneled transport pays per-array latency)."""
+    import numpy as np
+
+    n = qcfail.shape[0]
+    blob = out if out is not None else np.empty(
+        (n, h2d_blob_bytes(widths)), dtype=np.uint8
+    )
+    offset = 0
+    for w, (code, qual, length) in zip(widths, segments):
+        sw = code.shape[1]
+        blob[:, offset : offset + sw] = code
+        if sw < w:
+            blob[:, offset + sw : offset + w] = 0
+        offset += w
+        blob[:, offset : offset + sw] = qual
+        if sw < w:
+            blob[:, offset + sw : offset + w] = 0
+        offset += w
+        blob[:, offset : offset + 4] = (
+            np.ascontiguousarray(length, dtype=np.int32)
+            .view(np.uint8)
+            .reshape(n, 4)
+        )
+        offset += 4
+    blob[:, offset] = qcfail
+    return blob
+
+
+def _unpack_h2d_blob(widths: list[int], blob):
+    """Device-side unpack (inside jit: pure slicing + one bitcast each)."""
+    segments = []
+    offset = 0
+    for w in widths:
+        code = blob[:, offset : offset + w].astype(jnp.int32)
+        offset += w
+        qual = blob[:, offset : offset + w].astype(jnp.int32)
+        offset += w
+        length = jax.lax.bitcast_convert_type(
+            blob[:, offset : offset + 4], jnp.int32
+        )
+        offset += 4
+        segments.append((code, qual, length))
+    qcfail = blob[:, offset] > 0
+    return segments, qcfail
+
+
 def make_decode_step(
     instrument: DeviceInstrument,
     axis_name: str | None = None,
     want_uncertain: bool = False,
     want_counters: bool = True,
     pack_outputs: bool = False,
+    h2d_widths: list[int] | None = None,
 ):
     """Build the (batch) -> (per_read, counters) step function.
 
     ``batch`` is a dict: ``segments`` — list of (code (N, Wi) int32,
     quality (N, Wi) int32, length (N,) int32) — and ``qcfail`` (N,) bool.
+    With ``h2d_widths`` the step instead takes {"blob": (N, bytes) uint8}
+    packed by `pack_h2d_blob` (one transfer up, one back).
     When ``axis_name`` is given, counters are psum'd over that mesh axis.
     """
 
     def step(batch):
-        segments = [
-            (c.astype(jnp.int32), q.astype(jnp.int32), l.astype(jnp.int32))
-            for c, q, l in batch["segments"]
-        ]
-        qcfail = batch["qcfail"]
+        if h2d_widths is not None:
+            segments, qcfail = _unpack_h2d_blob(h2d_widths, batch["blob"])
+        else:
+            segments = [
+                (c.astype(jnp.int32), q.astype(jnp.int32), l.astype(jnp.int32))
+                for c, q, l in batch["segments"]
+            ]
+            qcfail = batch["qcfail"]
 
         per_read = []
         counters = []
@@ -240,6 +302,7 @@ def make_sharded_decode_step(
     want_uncertain: bool = False,
     want_counters: bool = True,
     pack_outputs: bool = False,
+    h2d_widths: list[int] | None = None,
 ):
     """SPMD decode step over a 1-D ``reads`` mesh axis.
 
@@ -254,6 +317,7 @@ def make_sharded_decode_step(
         want_uncertain=want_uncertain,
         want_counters=want_counters,
         pack_outputs=pack_outputs,
+        h2d_widths=h2d_widths,
     )
     sharded = jax.shard_map(
         step,
