@@ -35,6 +35,28 @@ def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (PHENIQS_COMPILE_CACHE=dir, =0
+    disables; default ~/.cache/pheniqs_tpu_xla). Verified to work through
+    the axon remote-compile service: the first process pays the cold
+    remote compile (minutes on a loaded service), every later process
+    starts in seconds — production deployments should always run with
+    this on."""
+    path = os.environ.get(
+        "PHENIQS_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/pheniqs_tpu_xla"),
+    )
+    if not path or path == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: cold compiles only
+
+
 class DeviceEngine(StrictEngine):
     """Accelerator classification engine.
 
@@ -50,6 +72,7 @@ class DeviceEngine(StrictEngine):
         super().__init__(ontology)
         from ..device.instrument import compile_instrument
 
+        enable_compilation_cache()
         self.hybrid = hybrid
         self.instrument = compile_instrument(ontology)
         # classify order must match device.instrument.compile_instrument:
