@@ -342,17 +342,27 @@ def _render_worker_shm(
     A task with decision arrays renders only (device modes); one without
     classifies too (strict mode) and ships its accumulator state at the
     end — the parse stays single-owner either way."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     from .shm import release_shm, shm_to_batch
 
+    _debug = _os.environ.get("PHENIQS_STREAM_DEBUG") == "1"
+    _t_wait = _t_work = 0.0
+    _t0 = _time.perf_counter()
     engine = _build_worker_engine(ontology_blob)
     classified_any = False
     while True:
+        _t = _time.perf_counter()
         message = pickle.loads(task_pipe.recv_bytes())
+        _t_wait += _time.perf_counter() - _t
         if message is None:
             break
         if isinstance(message, tuple) and message[0] == "skip":
             result_queue.put((message[1], {}))
             continue
+        _t = _time.perf_counter()
         batch, decisions, shm = shm_to_batch(message)
         try:
             if decisions is not None:
@@ -364,6 +374,12 @@ def _render_worker_shm(
         finally:
             release_shm(shm, unlink=True)
         result_queue.put((index, _collect_chunk(engine)))
+        _t_work += _time.perf_counter() - _t
+    if _debug:
+        _sys.stderr.write(
+            f"[shm worker {worker_id}] wait={_t_wait:.2f}s work={_t_work:.2f}s "
+            f"wall={_time.perf_counter() - _t0:.2f}s\n"
+        )
     if classified_any:
         state = _snapshot_state(engine)
         state["worker_id"] = worker_id
