@@ -295,7 +295,18 @@ class DeviceEngine(StrictEngine):
     def _dispatch(self, batch: ReadBatch):
         signature, device_batch = self._device_batch(batch)
         step = self._get_step(signature)
-        return step(device_batch)
+        handles = step(device_batch)
+        # start the device->host transfer immediately: by the time the
+        # lookahead window drains to this batch the blob is already local
+        # (the tunneled relay's pull latency otherwise serializes finishes)
+        packed = handles[0]
+        blob = packed.get("blob") if isinstance(packed, dict) else None
+        if blob is not None:
+            try:
+                blob.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # sharded global arrays / older jax: pull at finish
+        return handles
 
     def _finish(self, batch: ReadBatch, handles):
         self._predispatched = handles
