@@ -163,6 +163,34 @@ def pamld_classify(
     n = obs_code.shape[0]
     b = panel.cardinality
 
+    # native C++ fast path: the same float64 LUT gathers, Kahan orders and
+    # libm pow — bit-exact with the NumPy path below (golden-gated)
+    from ..native import pamld_classify_native
+
+    native = pamld_classify_native(
+        obs_code,
+        obs_qual,
+        panel.codes,
+        panel.concentration,
+        SUBSTITUTION_LUT,
+        spec.noise * spec.random_barcode_probability,
+        spec.random_barcode_probability,
+        spec.confidence_threshold,
+        spec.high_quality_threshold,
+        spec.high_quality_distance_threshold,
+        qcfail_in,
+    )
+    if native is not None:
+        decoded_n, confidence_n, distance_n, qcfail_n, branch_n, argmax_n = native
+        return ClassifyResult(
+            decoded=decoded_n,
+            confidence=confidence_n,
+            edit_distance=distance_n,
+            qcfail=qcfail_n | qcfail_in,
+            branch=branch_n,
+            argmax=argmax_n,
+        )
+
     sigma_q, distance, hq_distance = pamld_likelihoods(spec, obs_code, obs_qual)
     conditional = np.power(PHRED_PROBABILITY_BASE, sigma_q)  # (N, B) f64
     prior_adjusted = conditional * panel.concentration[None, :]

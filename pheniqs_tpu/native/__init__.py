@@ -31,7 +31,7 @@ def _build() -> str | None:
     ):
         return None
     command = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-ffp-contract=off", "-std=c++17", "-shared", "-fPIC",
         _SOURCE, "-o", _LIBRARY, "-lz", "-lpthread",
     ]
     result = subprocess.run(command, capture_output=True, text=True)
@@ -163,6 +163,29 @@ def load():
             ctypes.c_int64,
             ctypes.c_char_p,
             ctypes.c_int64,
+        ]
+        lib.pq_pamld_classify.restype = None
+        lib.pq_pamld_classify.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.pq_bam_open.restype = ctypes.c_void_p
         lib.pq_bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
@@ -762,3 +785,62 @@ def open_bgzf(path: str, threads: int | None = None):
     if not handle:
         return None
     return NativeBgzfFile(handle, lib)
+
+
+def pamld_classify_native(
+    obs_code: np.ndarray,
+    obs_qual: np.ndarray,
+    panel_codes: np.ndarray,
+    concentration: np.ndarray,
+    lut: np.ndarray,
+    noise_times_rbp: float,
+    random_barcode_probability: float,
+    confidence_threshold: float,
+    hq_threshold: int,
+    hqd_threshold: int,
+    qcfail_in: np.ndarray,
+):
+    """Strict float64 PAMLD classify in C++ — bit-exact with the NumPy
+    oracle (same LUT gathers, same Kahan order, same libm pow). Returns
+    the result arrays, or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n, w = obs_code.shape
+    b = panel_codes.shape[0]
+    obs_code = np.ascontiguousarray(obs_code, dtype=np.uint8)
+    obs_qual = np.ascontiguousarray(obs_qual, dtype=np.uint8)
+    panel_codes = np.ascontiguousarray(panel_codes, dtype=np.uint8)
+    concentration = np.ascontiguousarray(concentration, dtype=np.float64)
+    lut = np.ascontiguousarray(lut, dtype=np.float64)
+    qcfail_in = np.ascontiguousarray(qcfail_in, dtype=np.uint8)
+    decoded = np.empty(n, dtype=np.int32)
+    confidence = np.empty(n, dtype=np.float64)
+    distance = np.empty(n, dtype=np.int32)
+    qcfail_out = np.empty(n, dtype=np.uint8)
+    branch = np.empty(n, dtype=np.int8)
+    argmax = np.empty(n, dtype=np.int32)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.pq_pamld_classify(
+        n,
+        w,
+        b,
+        obs_code.ctypes.data_as(u8),
+        obs_qual.ctypes.data_as(u8),
+        panel_codes.ctypes.data_as(u8),
+        concentration.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(noise_times_rbp),
+        float(random_barcode_probability),
+        float(confidence_threshold),
+        int(hq_threshold),
+        int(hqd_threshold),
+        qcfail_in.ctypes.data_as(u8),
+        decoded.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        confidence.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        distance.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        qcfail_out.ctypes.data_as(u8),
+        branch.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        argmax.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return decoded, confidence, distance, qcfail_out.astype(bool), branch, argmax

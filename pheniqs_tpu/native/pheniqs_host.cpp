@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <cerrno>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -1112,6 +1113,126 @@ int64_t pq_fastq_format_batch(
     return cursor - out;
 }
 
+
+// --- strict PAMLD classifier ------------------------------------------------
+// Bit-exact C++ mirror of the float64 oracle (pheniqs_tpu/decode/oracle.py
+// pamld_classify, itself the reference pamld.cpp:37-123): the LUT gathers
+// and Kahan sums run in the same order with the same doubles, pow() hits
+// the same libm, so results match the NumPy oracle to the last bit. This
+// is the strict-mode worker hot loop (the classification half of
+// --fidelity strict --threads N).
+
+static const int8_t BRANCH_PASS_C = 0;
+static const int8_t BRANCH_LOW_CONFIDENCE_C = 1;
+static const int8_t BRANCH_NOISE_C = 2;
+
+void pq_pamld_classify(
+    int64_t n,
+    int32_t w,
+    int32_t b,
+    const uint8_t* obs_code,      // (n, w) effective observation codes
+    const uint8_t* obs_qual,      // (n, w) effective observation qualities
+    const uint8_t* panel,         // (b, w) barcode codes
+    const double* concentration,  // (b,)
+    const double* lut,            // (128, 16, 16) substitution LUT, f64
+    double noise_times_rbp,       // spec.noise * random barcode probability
+    double random_barcode_probability,
+    double confidence_threshold,
+    int32_t hq_threshold,
+    int32_t hqd_threshold,
+    const uint8_t* qcfail_in,     // (n,)
+    int32_t* decoded,             // (n,) out: 0 unclassified, 1..b
+    double* confidence,           // (n,) out
+    int32_t* distance,            // (n,) out
+    uint8_t* qcfail_out,          // (n,) out
+    int8_t* branch,               // (n,) out
+    int32_t* argmax_out           // (n,) out: pre-noise-filter argmax
+) {
+    const double phred_base = std::pow(10.0, -0.1);
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* oc = obs_code + r * w;
+        const uint8_t* oq = obs_qual + r * w;
+
+        // posterior accumulation over barcodes in codec order
+        double sigma_p = 0.0, comp = 0.0, best_p = 0.0;
+        int32_t best_index = 0;  // 1-based; 0 until any p > 0
+        double best_conditional = 0.0;
+        int32_t best_distance = 0, best_hqd = 0;
+        for (int32_t j = 0; j < b; ++j) {
+            const uint8_t* ec = panel + static_cast<int64_t>(j) * w;
+            // Kahan over positions, LUT gather order matches the oracle
+            double sigma_q = 0.0, qcomp = 0.0;
+            for (int32_t i = 0; i < w; ++i) {
+                double term = lut[(static_cast<int64_t>(oq[i]) << 8)
+                                  | (static_cast<int64_t>(ec[i] & 0xF) << 4)
+                                  | (oc[i] & 0xF)];
+                double y = term - qcomp;
+                double t = sigma_q + y;
+                qcomp = (t - sigma_q) - y;
+                sigma_q = t;
+            }
+            double conditional = std::pow(phred_base, sigma_q);
+            double p = conditional * concentration[j];
+            double y = p - comp;
+            double t = sigma_p + y;
+            comp = (t - sigma_p) - y;
+            sigma_p = t;
+            if (p > best_p) {
+                best_p = p;
+                best_index = j + 1;
+                best_conditional = conditional;
+                int32_t dist = 0, hqd = 0;
+                for (int32_t i = 0; i < w; ++i) {
+                    if (ec[i] != oc[i]) {
+                        ++dist;
+                        if (oq[i] >= hq_threshold) ++hqd;
+                    }
+                }
+                best_distance = dist;
+                best_hqd = hqd;
+            }
+        }
+        {
+            // noise term folded in with the final compensation, matching
+            // the oracle's last partial Kahan step exactly
+            double y = noise_times_rbp - comp;
+            sigma_p = sigma_p + y;
+        }
+        double conf = best_p / sigma_p;
+
+        bool none_decoded = best_index == 0;
+        double conditional_decoded = none_decoded ? 0.0 : best_conditional;
+        int32_t dist_decoded = none_decoded ? 0 : best_distance;
+        int32_t hqd_decoded = none_decoded ? 0 : best_hqd;
+
+        bool passed_noise = conditional_decoded > random_barcode_probability;
+        bool passed_confidence = conf > confidence_threshold;
+
+        uint8_t fail = qcfail_in[r];
+        int8_t br = BRANCH_PASS_C;
+        int32_t dec = best_index;
+        double out_conf = conf;
+        int32_t out_dist = dist_decoded;
+        if (!passed_noise) {
+            br = BRANCH_NOISE_C;
+            fail = 1;
+            dec = 0;
+            out_conf = 0.0;
+            out_dist = 0;
+        } else if (!passed_confidence) {
+            br = BRANCH_LOW_CONFIDENCE_C;
+            fail = 1;
+        } else if (hqd_threshold > 0 && hqd_decoded >= hqd_threshold) {
+            fail = 1;
+        }
+        decoded[r] = dec;
+        confidence[r] = out_conf;
+        distance[r] = out_dist;
+        qcfail_out[r] = fail;
+        branch[r] = br;
+        argmax_out[r] = best_index;
+    }
+}
 
 // --- rANS 4x8 (CRAM 3.0 method 4) -----------------------------------------
 // Same wire format as pheniqs_tpu/io/rans.py (see its docstring): 12-bit

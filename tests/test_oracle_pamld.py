@@ -113,3 +113,59 @@ def test_observation_scratch_carry():
     np.testing.assert_array_equal(qual[2], [10, 0, 0, 30])
     # carry state persists across batches
     np.testing.assert_array_equal(scratch.code[0], [4, 0, 0, 8])
+
+
+def test_native_classify_matches_numpy_oracle():
+    """The C++ strict classifier must agree with the NumPy oracle on every
+    decision field; confidences may differ by at most 1 ulp (numpy's SIMD
+    pow vs libm) — each run uses one path consistently, and the BDGGG
+    goldens gate both paths byte-for-byte."""
+    import os
+
+    import pheniqs_tpu.native as native_mod
+    from pheniqs_tpu.decode import oracle as oracle_mod
+    from pheniqs_tpu.decode.spec import spec_from_ontology
+    from pheniqs_tpu.device.flagship import flagship_ontology
+
+    if not native_mod.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    ontology = flagship_ontology(sample_barcodes=24, cellular_barcodes=48)
+    spec = spec_from_ontology(ontology["sample"], "sample")
+    rng = np.random.default_rng(11)
+    n, w = 20000, 16
+    codes = spec.panel.codes
+    obs = codes[rng.integers(codes.shape[0], size=n)].astype(np.uint8)
+    err = rng.random((n, w)) < 0.08
+    obs = np.where(
+        err,
+        np.array([1, 2, 4, 8], np.uint8)[rng.integers(4, size=(n, w))],
+        obs,
+    )
+    qual = rng.integers(2, 41, size=(n, w)).astype(np.uint8)
+    qual[rng.random((n, w)) < 0.05] = 0
+    fail = rng.random(n) < 0.1
+
+    native = oracle_mod.pamld_classify(spec, obs, qual, fail)
+    os.environ["PHENIQS_NATIVE"] = "0"
+    native_mod._lib = None
+    native_mod._build_error = None
+    try:
+        pure = oracle_mod.pamld_classify(spec, obs, qual, fail)
+    finally:
+        del os.environ["PHENIQS_NATIVE"]
+        native_mod._lib = None
+        native_mod._build_error = None
+
+    np.testing.assert_array_equal(native.decoded, pure.decoded)
+    np.testing.assert_array_equal(native.edit_distance, pure.edit_distance)
+    np.testing.assert_array_equal(native.qcfail, pure.qcfail)
+    np.testing.assert_array_equal(native.branch, pure.branch)
+    np.testing.assert_array_equal(native.argmax, pure.argmax)
+    # <= 1 ulp confidence agreement
+    both = np.stack([native.confidence, pure.confidence])
+    ulp = np.abs(np.diff(both, axis=0))
+    scale = np.maximum(np.abs(pure.confidence), 1e-300)
+    assert (ulp[0] / scale <= 4e-16).all()
