@@ -465,7 +465,13 @@ class StreamedDeviceEngine(DeviceEngine):
 
         self._runner = StreamRunner(self, self.workers, batch_size)
         self._runner.start()
-        return super().execute(batch_size)
+        try:
+            return super().execute(batch_size)
+        except BaseException:
+            if self._runner is not None:
+                self._runner.abort()
+                self._runner = None
+            raise
 
     def _note_skipped_batch(self, raw_index: int):
         self._runner.submit_skip(raw_index)

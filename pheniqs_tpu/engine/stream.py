@@ -636,6 +636,33 @@ class StreamRunner:
             error_class = errors_mod.InternalError
         raise error_class(message)
 
+    def abort(self):
+        """Tear the pool down after a parent-side failure: kill workers,
+        unblock the writer, and reclaim the tmpfs segments. Never raises."""
+        try:
+            for process in self._processes:
+                if process.is_alive():
+                    process.terminate()
+            if self._result_queue is not None:
+                for _ in range(self.workers):
+                    self._result_queue.put(("state", None))
+            if self._writer is not None:
+                self._writer.join(timeout=10)
+            for pipe in self._task_pipes:
+                try:
+                    pipe.close()
+                except Exception:
+                    pass
+            for process in self._processes:
+                process.join(timeout=10)
+        except Exception:
+            pass
+        finally:
+            from .shm import unlink_leftover
+
+            for name in self._shm_names:
+                unlink_leftover(name)
+
     def finish(self):
         sentinel = pickle.dumps(None)
         for pipe in self._task_pipes:
@@ -706,26 +733,32 @@ class StreamedStrictEngine(StrictEngine):
             self, self.workers, batch_size, classify_in_worker=True
         )
         self._runner.start()
-        if self._runner.transport == "shm":
-            # parent parses once; workers classify + render their
-            # round-robin slice out of shared memory
-            self._initiate_feeds()
-            start = time.perf_counter()
-            for index, batch in enumerate(self.read_batches(batch_size)):
-                batch.raw_index = index
-                self._runner.submit_raw(batch)
-            self._close_feeds()
-            self._trace_summary(start)
-            return
-        if self._runner.transport == "autonomous":
-            # workers own the whole per-read pipeline including the parse;
-            # the parent just waits for the ordered writer + merge
-            self._initiate_feeds()
-            start = time.perf_counter()
-            self._close_feeds()
-            self._trace_summary(start)
-            return
-        super().execute(batch_size)
+        try:
+            if self._runner.transport == "shm":
+                # parent parses once; workers classify + render their
+                # round-robin slice out of shared memory
+                self._initiate_feeds()
+                start = time.perf_counter()
+                for index, batch in enumerate(self.read_batches(batch_size)):
+                    batch.raw_index = index
+                    self._runner.submit_raw(batch)
+                self._close_feeds()
+                self._trace_summary(start)
+                return
+            if self._runner.transport == "autonomous":
+                # workers own the whole per-read pipeline including the
+                # parse; the parent waits for the ordered writer + merge
+                self._initiate_feeds()
+                start = time.perf_counter()
+                self._close_feeds()
+                self._trace_summary(start)
+                return
+            super().execute(batch_size)
+        except BaseException:
+            if self._runner is not None:
+                self._runner.abort()
+                self._runner = None
+            raise
 
     def process_batch(self, batch, filtered: bool = False):
         if self._runner is not None and batch.raw_index is None:
