@@ -533,11 +533,15 @@ static bool bam_emit_record(
     std::memcpy(&flag, body.data() + 14, 2);
     int32_t l_seq;
     std::memcpy(&l_seq, body.data() + 16, 4);
+    if (l_seq < 0 || l_read_name == 0) {
+        *error = "malformed BAM record header";
+        return true;
+    }
     size_t name_at = 32;
     size_t cigar_at = name_at + l_read_name;
     size_t seq_at = cigar_at + 4ull * n_cigar;
     size_t qual_at = seq_at + (static_cast<size_t>(l_seq) + 1) / 2;
-    if (qual_at + l_seq > body.size()) {
+    if (qual_at + static_cast<size_t>(l_seq) > body.size()) {
         *error = "truncated BAM record body";
         return true;
     }

@@ -201,3 +201,46 @@ def test_cram_bitflip_detected(tmp_path):
         except (PheniqsError, IndexError, ValueError, EOFError, struct_error):
             detected += 1
     assert detected >= 18  # CRCs catch essentially every flip
+
+
+def test_native_bam_garbage_fails_typed(tmp_path):
+    """Crafted/corrupt BAM through the native batch reader must fail typed
+    (negative l_seq, truncated bodies) — never read out of bounds."""
+    import struct
+    import numpy as np
+    from pheniqs_tpu import native
+    from pheniqs_tpu.errors import SequenceError
+    from pheniqs_tpu.io.hts import BgzfWriter
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    # valid BAM prologue, then a record with l_seq = -5
+    body = bytearray(48)
+    struct.pack_into("<i", body, 0, -1)        # refID
+    struct.pack_into("<i", body, 4, -1)        # pos
+    body[8] = 3                                # l_read_name
+    struct.pack_into("<H", body, 12, 0)        # n_cigar
+    struct.pack_into("<H", body, 14, 4)        # flag
+    struct.pack_into("<i", body, 16, -5)       # l_seq NEGATIVE
+    payload = (
+        b"BAM\x01"
+        + struct.pack("<i", 11) + b"@HD\tVN:1.0\n"
+        + struct.pack("<i", 0)                 # n_ref
+        + struct.pack("<i", len(body)) + bytes(body)
+    )
+    path = tmp_path / "crafted.bam"
+    with open(path, "wb") as raw:
+        writer = BgzfWriter(raw, 5)
+        writer.write(payload)
+        writer.close()
+
+    reader = native.NativeBamReader(str(path))
+    try:
+        with pytest.raises(SequenceError):
+            while reader.read_batch(64) is not None:
+                pass
+    finally:
+        reader.close()
