@@ -212,9 +212,9 @@ def test_native_bam_garbage_fails_typed(tmp_path):
     from pheniqs_tpu.errors import SequenceError
     from pheniqs_tpu.io.hts import BgzfWriter
 
-    if not native.available():
-        import pytest
+    import pytest
 
+    if not native.available():
         pytest.skip("native library unavailable")
 
     # valid BAM prologue, then a record with l_seq = -5
