@@ -2,6 +2,7 @@
 in-process --prior two-pass flow, and report-driven prior parity."""
 
 import json
+import pytest
 import os
 import subprocess
 import sys
@@ -466,3 +467,42 @@ def test_autonomous_threads_multibatch_identical(reference_root, tmp_path):
         assert (
             reports["1"]["sample"][key] == reports["3"]["sample"][key]
         ), key
+
+
+@pytest.mark.parametrize("transport", ["shm", "replay", "ship", "autonomous"])
+def test_stream_transports_byte_identical(reference_root, tmp_path, transport):
+    """Every worker transport (tmpfs shm default, replay, ship, strict
+    autonomous) must produce byte-identical SAM to the serial engine."""
+    base = reference_root + "/test/BDGGG"
+    for s in (1, 2, 3):
+        data = open(f"{base}/BDGGG_s0{s}.fastq", "rb").read()
+        with open(tmp_path / f"BDGGG_s0{s}.fastq", "wb") as out:
+            for _ in range(8):
+                out.write(data)
+
+    outputs = {}
+    for label, extra_env in (("serial", {}),
+                             (transport, {"PHENIQS_STREAM_TRANSPORT": transport})):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.update(extra_env)
+        args = [
+            "--config", f"{base}/BDGGG_annotated.json",
+            "--base-input", str(tmp_path),
+            "--precision", "15",
+            "--batch-size", "512",
+        ]
+        args += ["--threads", "1"] if label == "serial" else ["--threads", "3"]
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux", *args],
+            cwd=reference_root, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert result.returncode == 0, (label, result.stderr[-2000:])
+        outputs[label] = "\n".join(
+            line for line in result.stdout.splitlines()
+            if not line.startswith("@PG")
+        )
+    assert outputs["serial"] == outputs[transport], transport
