@@ -285,6 +285,33 @@ def mdd_classify(
     b = panel.cardinality
     slices = panel.segment_slices()
 
+    # native C++ fast path (integer-exact; golden-gated like the python path)
+    from ..native import mdd_classify_native
+
+    native = mdd_classify_native(
+        [seg.code for seg in observation],
+        [seg.quality for seg in observation],
+        [seg.length for seg in observation],
+        panel.codes,
+        [sl.stop - sl.start for sl in slices],
+        list(spec.distance_tolerance)
+        if spec.distance_tolerance
+        else [0] * len(slices),
+        spec.quality_masking_threshold,
+        qcfail_in,
+    )
+    if native is not None:
+        decoded_n, distance_n, qcfail_n = native
+        return ClassifyResult(
+            decoded=decoded_n,
+            confidence=np.zeros(n, dtype=np.float64),
+            edit_distance=distance_n,
+            qcfail=qcfail_n | qcfail_in,
+            branch=np.full(n, BRANCH_PASS, dtype=np.int8),
+            argmax=decoded_n.copy(),
+            observation=observation,
+        )
+
     per_segment_error = np.zeros((n, b, len(slices)), dtype=np.int32)
     exact = np.ones((n, b), dtype=bool)
     for s, sl in enumerate(slices):

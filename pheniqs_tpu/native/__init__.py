@@ -164,6 +164,26 @@ def load():
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.pq_mdd_classify.restype = None
+        lib.pq_mdd_classify.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.pq_pamld_classify.restype = None
         lib.pq_pamld_classify.argtypes = [
             ctypes.c_int64,
@@ -844,3 +864,63 @@ def pamld_classify_native(
         argmax.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return decoded, confidence, distance, qcfail_out.astype(bool), branch, argmax
+
+
+def mdd_classify_native(
+    obs_codes: list,
+    obs_quals: list,
+    obs_lengths: list,
+    panel_codes: np.ndarray,
+    panel_widths: list,
+    tolerance: list,
+    quality_masking_threshold: int,
+    qcfail_in: np.ndarray,
+):
+    """Integer-exact minimum-distance classify in C++ (exact-match scan
+    then first-within-tolerance, reference mdd.cpp:37-86). Returns
+    (decoded, distance, qcfail) or None when unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    s = len(obs_codes)
+    n = obs_codes[0].shape[0] if s else 0
+    b = panel_codes.shape[0]
+    obs_code = np.ascontiguousarray(
+        np.concatenate([np.asarray(c, dtype=np.uint8) for c in obs_codes], axis=1)
+        if s else np.zeros((n, 0), np.uint8)
+    )
+    obs_qual = np.ascontiguousarray(
+        np.concatenate([np.asarray(q, dtype=np.uint8) for q in obs_quals], axis=1)
+        if s else np.zeros((n, 0), np.uint8)
+    )
+    obs_widths = np.array([c.shape[1] for c in obs_codes], dtype=np.int32)
+    lengths = np.ascontiguousarray(
+        np.stack([np.asarray(l, dtype=np.int32) for l in obs_lengths], axis=1)
+    )
+    panel_codes = np.ascontiguousarray(panel_codes, dtype=np.uint8)
+    panel_width_arr = np.array(panel_widths, dtype=np.int32)
+    tolerance_arr = np.array(tolerance, dtype=np.int32)
+    qcfail_in = np.ascontiguousarray(qcfail_in, dtype=np.uint8)
+    decoded = np.empty(n, dtype=np.int32)
+    distance = np.empty(n, dtype=np.int32)
+    qcfail_out = np.empty(n, dtype=np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.pq_mdd_classify(
+        n, s, b,
+        obs_code.ctypes.data_as(u8),
+        obs_qual.ctypes.data_as(u8),
+        obs_code.shape[1],
+        obs_widths.ctypes.data_as(i32),
+        lengths.ctypes.data_as(i32),
+        panel_codes.ctypes.data_as(u8),
+        panel_codes.shape[1],
+        panel_width_arr.ctypes.data_as(i32),
+        tolerance_arr.ctypes.data_as(i32),
+        int(quality_masking_threshold),
+        qcfail_in.ctypes.data_as(u8),
+        decoded.ctypes.data_as(i32),
+        distance.ctypes.data_as(i32),
+        qcfail_out.ctypes.data_as(u8),
+    )
+    return decoded, distance, qcfail_out.astype(bool)

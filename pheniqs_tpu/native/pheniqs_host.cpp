@@ -1238,6 +1238,96 @@ void pq_pamld_classify(
     }
 }
 
+// --- strict MDD classifier --------------------------------------------------
+// Integer-exact C++ mirror of the minimum-distance oracle
+// (decode/oracle.py mdd_classify, reference mdd.cpp:37-86): exact-match
+// scan first (full-length equality, first hit in codec order), then the
+// first barcode whose per-segment error counts fit the tolerances — NOT
+// the closest. Positions past min(observation width, length) are never
+// compared (reference sequence.h:90-98 iterates the observation length).
+
+void pq_mdd_classify(
+    int64_t n,
+    int32_t s,
+    int32_t b,
+    const uint8_t* obs_code,      // (n, obs_stride) segment-concatenated
+    const uint8_t* obs_qual,      // (n, obs_stride)
+    int32_t obs_stride,
+    const int32_t* obs_widths,    // (s,)
+    const int32_t* lengths,       // (n, s)
+    const uint8_t* panel,         // (b, panel_stride) segment-concatenated
+    int32_t panel_stride,
+    const int32_t* panel_widths,  // (s,)
+    const int32_t* tolerance,     // (s,)
+    int32_t quality_masking_threshold,
+    const uint8_t* qcfail_in,
+    int32_t* decoded,
+    int32_t* distance,
+    uint8_t* qcfail_out
+) {
+    // per-segment offsets into the concatenated layouts
+    std::vector<int32_t> obs_at(s), panel_at(s);
+    int32_t oa = 0, pa = 0;
+    for (int32_t k = 0; k < s; ++k) {
+        obs_at[k] = oa;
+        panel_at[k] = pa;
+        oa += obs_widths[k];
+        pa += panel_widths[k];
+    }
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* oc = obs_code + r * obs_stride;
+        const uint8_t* oq = obs_qual + r * obs_stride;
+        const int32_t* len = lengths + r * s;
+        int32_t dec = 0, dist = 0;
+
+        // pass 1: exact match (first in codec order)
+        for (int32_t j = 0; j < b && dec == 0; ++j) {
+            const uint8_t* ec = panel + static_cast<int64_t>(j) * panel_stride;
+            bool exact = true;
+            for (int32_t k = 0; k < s && exact; ++k) {
+                if (len[k] != panel_widths[k]) { exact = false; break; }
+                int32_t limit = std::min(obs_widths[k], len[k]);
+                const uint8_t* o = oc + obs_at[k];
+                const uint8_t* e = ec + panel_at[k];
+                for (int32_t p = 0; p < limit; ++p) {
+                    if (o[p] != e[p]) { exact = false; break; }
+                }
+            }
+            if (exact) dec = j + 1;  // distance stays 0
+        }
+        // pass 2: first barcode within per-segment tolerance
+        if (dec == 0) {
+            for (int32_t j = 0; j < b && dec == 0; ++j) {
+                const uint8_t* ec =
+                    panel + static_cast<int64_t>(j) * panel_stride;
+                bool within = true;
+                int32_t total = 0;
+                for (int32_t k = 0; k < s && within; ++k) {
+                    int32_t limit = std::min(obs_widths[k], len[k]);
+                    const uint8_t* o = oc + obs_at[k];
+                    const uint8_t* q = oq + obs_at[k];
+                    const uint8_t* e = ec + panel_at[k];
+                    int32_t err = 0;
+                    for (int32_t p = 0; p < limit; ++p) {
+                        bool bad = o[p] != e[p];
+                        if (quality_masking_threshold > 0 &&
+                            q[p] < quality_masking_threshold) {
+                            bad = true;
+                        }
+                        if (bad) ++err;
+                    }
+                    if (err > tolerance[k]) within = false;
+                    total += err;
+                }
+                if (within) { dec = j + 1; dist = total; }
+            }
+        }
+        decoded[r] = dec;
+        distance[r] = dist;
+        qcfail_out[r] = qcfail_in[r] | (dec == 0 ? 1 : 0);
+    }
+}
+
 // --- rANS 4x8 (CRAM 3.0 method 4) -----------------------------------------
 // Same wire format as pheniqs_tpu/io/rans.py (see its docstring): 12-bit
 // frequencies, four interleaved states, byte renormalization at 2^23.
