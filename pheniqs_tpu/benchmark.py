@@ -119,16 +119,23 @@ def e2e_ontology(paths: list[str], output_url: str, threads: int) -> dict:
 
 class _TimedMixin:
     """Record a wall-clock timestamp and cumulative read count after each
-    batch completes its host-side consumption."""
+    batch completes its host-side consumption (classified consume on the
+    device/serial paths, raw submit on the strict worker path)."""
 
     def _init_timeline(self):
         self.timeline: list[tuple[float, int]] = []
         self._timeline_reads = 0
 
-    def _consume_classified(self, batch, results):
-        super()._consume_classified(batch, results)
+    def _note_batch(self, batch):
         self._timeline_reads += batch.size
         self.timeline.append((time.perf_counter(), self._timeline_reads))
+
+    def _consume_classified(self, batch, results):
+        super()._consume_classified(batch, results)
+        self._note_batch(batch)
+
+    def _note_batch_submitted(self, batch):
+        self._note_batch(batch)
 
 
 def run_e2e(
@@ -144,12 +151,20 @@ def run_e2e(
     ontology = e2e_ontology(paths, output_url, threads)
 
     if fidelity == "strict":
-        from .engine.strict import StrictEngine
+        if threads > 1:
+            from .engine.stream import StreamedStrictEngine
 
-        class Engine(_TimedMixin, StrictEngine):
-            pass
+            class Engine(_TimedMixin, StreamedStrictEngine):
+                pass
 
-        engine = Engine(ontology)
+            engine = Engine(ontology, workers=max(1, threads))
+        else:
+            from .engine.strict import StrictEngine
+
+            class Engine(_TimedMixin, StrictEngine):
+                pass
+
+            engine = Engine(ontology)
     else:
         from .engine.device import DeviceEngine, StreamedDeviceEngine
 

@@ -742,6 +742,7 @@ class StreamedStrictEngine(StrictEngine):
                 for index, batch in enumerate(self.read_batches(batch_size)):
                     batch.raw_index = index
                     self._runner.submit_raw(batch)
+                    self._note_batch_submitted(batch)
                 self._close_feeds()
                 self._trace_summary(start)
                 return
@@ -773,6 +774,9 @@ class StreamedStrictEngine(StrictEngine):
 
     def _consume_classified(self, batch, results):
         self._runner.submit(batch, results)
+
+    def _note_batch_submitted(self, batch):
+        """Per-raw-batch hook for instrumentation (benchmark timelines)."""
 
     def _close_feeds(self):
         if self._runner is not None:
