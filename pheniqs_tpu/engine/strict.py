@@ -401,7 +401,7 @@ class StrictEngine:
             URL(proxy["url"]).format_type or "fastq"
             for proxy in segment_proxies
         ]
-        if all(fmt in ("fastq", "bam") for fmt in formats):
+        if all(fmt in ("fastq", "bam", "cram") for fmt in formats):
             from ..native import available
 
             if available():

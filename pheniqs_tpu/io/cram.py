@@ -26,6 +26,7 @@ available in this environment for cross-validation.
 
 from __future__ import annotations
 
+import ctypes
 import gzip
 import os
 import struct
@@ -1160,3 +1161,340 @@ def _decode_tag_value(kind: str, raw: bytes):
     if kind == "f":
         return struct.unpack("<f", raw)[0]
     raise UnsupportedError(f"CRAM tag type {kind}")
+
+
+# --- native batch reader ----------------------------------------------------
+
+
+class NativeCramReader:
+    """Batch CRAM reader with the same interface as NativeFastqReader:
+    Python walks containers and decompresses blocks (native rANS/zlib);
+    the per-record decode runs in C++ (pq_cram_decode_slice) for the
+    common demultiplexer layout — unmapped records, EXTERNAL/constant
+    series, BYTE_ARRAY_STOP names, same-stream BYTE_ARRAY_LEN tags —
+    falling back to the Python record decoder per slice otherwise."""
+
+    _FIXED = (
+        b"BF", b"CF", b"RI", b"RL", b"AP", b"RG",
+        b"MF", b"NS", b"NP", b"TS", b"NF", b"TL",
+    )
+
+    def __init__(self, path: str, phred_offset: int = 33, max_length: int = 512):
+        from ..native import load
+
+        self._lib = load()
+        if self._lib is None:
+            raise RuntimeError("native host library unavailable")
+        self.max_length = max_length
+        self._adapted = False
+        with open(path, "rb") as stream:
+            self._buf = stream.read()
+        if self._buf[:4] != CRAM_MAGIC:
+            raise IOError_(f"{path} is not a CRAM file")
+        if self._buf[4] != 3:
+            raise UnsupportedError(
+                f"CRAM major version {self._buf[4]} not supported"
+            )
+        self._offset = 26
+        self._first = True
+        self._rg_ids: list[str] = []
+        self._pending: list[tuple] = []  # decoded slice arrays
+        self._pending_records = 0
+        self._eof = False
+
+    # --- slice production -------------------------------------------------
+    def _native_slice(self, compression, streams, core, n_records, slice_ref):
+        """Decode one slice natively; None -> caller uses the Python path."""
+        import numpy as np
+
+        if core.buf:  # core bit codecs -> python path
+            return None
+        series = compression["series"]
+        if compression["td"] is None:
+            return None
+        kinds = np.zeros(12, dtype=np.int32)
+        values = np.zeros(12, dtype=np.int32)
+        stream_ids = sorted(streams)
+        stream_pos = {cid: k for k, cid in enumerate(stream_ids)}
+
+        def describe(decoder):
+            if decoder is None:
+                return None
+            if decoder.codec == E_EXTERNAL:
+                if decoder.content_id not in stream_pos:
+                    # a series may reference a stream with no block when
+                    # it is never consumed; map to an empty stream slot
+                    return None
+                return (1, stream_pos[decoder.content_id])
+            if decoder.codec == E_HUFFMAN and decoder.symbol is not None:
+                return (2, decoder.symbol)
+            return None
+
+        for position, key in enumerate(self._FIXED):
+            decoder = series.get(key)
+            if decoder is None:
+                continue  # stays absent
+            if position == 2 and slice_ref != -2:
+                continue  # RI only consumed for multi-ref slices
+            described = describe(decoder)
+            if described is None:
+                return None
+            kinds[position], values[position] = described
+
+        rn = series.get(b"RN")
+        rn_stream = -1
+        rn_stop = 0
+        if compression["rn_preserved"] or True:
+            if rn is None or rn.codec != E_BYTE_ARRAY_STOP:
+                return None
+            if rn.content_id not in stream_pos:
+                return None
+            rn_stream = stream_pos[rn.content_id]
+            rn_stop = rn.stop
+        ba = series.get(b"BA")
+        qs = series.get(b"QS")
+        if (
+            ba is None or ba.codec != E_EXTERNAL
+            or qs is None or qs.codec != E_EXTERNAL
+            or ba.content_id not in stream_pos
+            or qs.content_id not in stream_pos
+        ):
+            return None
+
+        td_flat: list[int] = []
+        td_offsets = [0]
+        for line in compression["td"]:
+            for key3 in line:
+                tag = compression["tag_decoders"].get(
+                    (key3[0] << 16) | (key3[1] << 8) | key3[2]
+                )
+                if (
+                    tag is None
+                    or tag.codec != E_BYTE_ARRAY_LEN
+                    or tag.len_decoder.codec != E_EXTERNAL
+                    or tag.val_decoder.codec != E_EXTERNAL
+                    or tag.len_decoder.content_id != tag.val_decoder.content_id
+                    or tag.len_decoder.content_id not in stream_pos
+                ):
+                    return None
+                td_flat.append(stream_pos[tag.len_decoder.content_id])
+            td_offsets.append(len(td_flat))
+
+        buffers = [bytes(streams[cid][0]) for cid in stream_ids]
+        pointers = (ctypes.c_char_p * len(buffers))(*buffers)
+        sizes = np.array([len(x) for x in buffers], dtype=np.int64)
+        td_flat_arr = np.array(td_flat or [0], dtype=np.int32)
+        td_offsets_arr = np.array(td_offsets, dtype=np.int32)
+
+        lib = self._lib
+        while True:
+            w = self.max_length
+            code = np.empty((n_records, w), dtype=np.uint8)
+            qual = np.empty((n_records, w), dtype=np.uint8)
+            length = np.empty(n_records, dtype=np.int32)
+            qcfail = np.empty(n_records, dtype=np.uint8)
+            names_capacity = max(n_records * 256, 8192)
+            names = np.empty(names_capacity, dtype=np.uint8)
+            name_offset = np.empty(n_records + 1, dtype=np.int64)
+            status = lib.pq_cram_decode_slice(
+                n_records,
+                np.ascontiguousarray(kinds).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)
+                ),
+                np.ascontiguousarray(values).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)
+                ),
+                1,
+                rn_stop,
+                rn_stream,
+                stream_pos[ba.content_id],
+                stream_pos[qs.content_id],
+                ctypes.cast(pointers, ctypes.POINTER(ctypes.c_char_p)),
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(buffers),
+                td_flat_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                td_offsets_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(td_offsets) - 1,
+                w,
+                code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                length.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                qcfail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                names.ctypes.data_as(ctypes.c_void_p),
+                names_capacity,
+                name_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if status == -3:
+                self.max_length = max(self.max_length * 2, 16)
+                continue
+            if status != n_records:
+                return None  # python fallback (mapped/odd layout/corrupt)
+            # zero the short rows up to the slice width (rows are written
+            # only to their own length; strict classify expects the NUL
+            # convention past the read end)
+            batch_width = min(int(length.max(initial=0)), w)
+            for row in np.flatnonzero(length < batch_width):
+                code[row, length[row] : batch_width] = 0
+                qual[row, length[row] : batch_width] = 0
+            if not self._adapted:
+                self._adapted = True
+                self.max_length = max(int(length.max(initial=8)), 8)
+            blob = names[: name_offset[n_records]].tobytes()
+            return (
+                code, qual, length, qcfail.astype(bool),
+                blob, name_offset.copy(),
+            )
+
+    def _python_slice(self, compression, streams, core, n_records,
+                      slice_ref, slice_start):
+        import numpy as np
+
+        records = list(
+            _decode_slice(
+                compression, streams, core, n_records, slice_ref,
+                slice_start, self._rg_ids, None, None,
+            )
+        )
+        w = max((record.code.shape[0] for record in records), default=1)
+        self.max_length = max(self.max_length, w)
+        code = np.zeros((len(records), w), dtype=np.uint8)
+        qual = np.zeros((len(records), w), dtype=np.uint8)
+        length = np.zeros(len(records), dtype=np.int32)
+        qcfail = np.zeros(len(records), dtype=bool)
+        names = []
+        for i, record in enumerate(records):
+            l = record.code.shape[0]
+            code[i, :l] = record.code
+            qual[i, :l] = record.quality
+            length[i] = l
+            qcfail[i] = bool(record.flag & 0x200)
+            names.append(record.name)
+        blob = b"".join(names)
+        offsets = np.zeros(len(records) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in names], out=offsets[1:])
+        return code, qual, length, qcfail, blob, offsets
+
+    def _advance(self) -> bool:
+        """Decode the next slice into the pending queue; False at EOF."""
+        buf = self._buf
+        while self._offset < len(buf):
+            ref_id, n_records, n_blocks, length, offset = (
+                _parse_container_header(buf, self._offset)
+            )
+            container_end = offset + length
+            if self._first:
+                content_type, _, raw, offset = read_block(buf, offset)
+                if content_type != FILE_HEADER:
+                    raise IOError_("CRAM: first block is not the SAM header")
+                (l_text,) = struct.unpack_from("<i", raw, 0)
+                for line in raw[4 : 4 + l_text].decode().splitlines():
+                    if line.startswith("@RG"):
+                        for field in line.split("\t")[1:]:
+                            if field.startswith("ID:"):
+                                self._rg_ids.append(field[3:])
+                self._offset = container_end
+                self._first = False
+                continue
+            if n_records == 0:
+                self._offset = container_end
+                continue
+            content_type, _, raw, offset = read_block(buf, offset)
+            if content_type != COMPRESSION_HEADER:
+                raise IOError_("CRAM: expected compression header block")
+            compression = _parse_compression_header(raw)
+            produced = False
+            while offset < container_end:
+                content_type, _, raw, offset = read_block(buf, offset)
+                if content_type != SLICE_HEADER:
+                    raise IOError_("CRAM: expected slice header block")
+                (
+                    slice_ref, slice_start, slice_records, slice_blocks,
+                    _embedded,
+                ) = _parse_slice_header(raw)
+                streams: dict[int, list] = {}
+                core = CoreBitReader()
+                for _ in range(slice_blocks):
+                    content_type, cid, raw2, offset = read_block(buf, offset)
+                    if content_type == EXTERNAL:
+                        streams[cid] = [raw2, 0]
+                    elif content_type == CORE:
+                        core = CoreBitReader(raw2)
+                batch = self._native_slice(
+                    compression, streams, core, slice_records, slice_ref
+                )
+                if batch is None:
+                    batch = self._python_slice(
+                        compression, streams, core, slice_records,
+                        slice_ref, slice_start,
+                    )
+                self._pending.append(batch)
+                self._pending_records += batch[2].shape[0]
+                produced = True
+            self._offset = container_end
+            if produced:
+                return True
+        self._eof = True
+        return False
+
+    def read_batch(self, max_records: int):
+        import numpy as np
+
+        while self._pending_records < max_records and not self._eof:
+            self._advance()
+        if self._pending_records == 0:
+            return None
+        take = min(max_records, self._pending_records)
+        parts = []
+        got = 0
+        while got < take:
+            part = self._pending[0]
+            size = part[2].shape[0]
+            if got + size <= take:
+                parts.append(part)
+                self._pending.pop(0)
+                got += size
+            else:
+                keep = take - got
+                head = (
+                    part[0][:keep], part[1][:keep], part[2][:keep],
+                    part[3][:keep],
+                    part[4][: part[5][keep]],
+                    part[5][: keep + 1].copy(),
+                )
+                tail_offsets = (part[5][keep:] - part[5][keep]).copy()
+                tail = (
+                    part[0][keep:], part[1][keep:], part[2][keep:],
+                    part[3][keep:],
+                    part[4][part[5][keep] :],
+                    tail_offsets,
+                )
+                parts.append(head)
+                self._pending[0] = tail
+                got = take
+        self._pending_records -= take
+
+        width = max(int(part[0].shape[1]) for part in parts)
+        n = take
+        code = np.zeros((n, width), dtype=np.uint8)
+        qual = np.zeros((n, width), dtype=np.uint8)
+        length = np.empty(n, dtype=np.int32)
+        qcfail = np.empty(n, dtype=bool)
+        blobs = []
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        at = 0
+        base = 0
+        for part in parts:
+            size = part[2].shape[0]
+            code[at : at + size, : part[0].shape[1]] = part[0][:size]
+            qual[at : at + size, : part[1].shape[1]] = part[1][:size]
+            length[at : at + size] = part[2]
+            qcfail[at : at + size] = part[3]
+            blobs.append(part[4])
+            offsets[at + 1 : at + size + 1] = part[5][1 : size + 1] + base
+            base += part[5][size]
+            at += size
+        return code, qual, length, qcfail, b"".join(blobs), offsets
+
+    def close(self):
+        self._buf = b""
+        self._pending = []

@@ -33,6 +33,7 @@ def native_read_batches(
     each segment's feed format ("fastq" default, "bam" uses the native
     BAM batch reader over the parallel BGZF pool).
     """
+    from ..io.cram import NativeCramReader
     from ..native import NativeBamReader, NativeFastqReader
 
     unique: list[str] = []
@@ -51,11 +52,13 @@ def native_read_batches(
     for position, url in enumerate(segment_urls):
         fmt = formats[position] if formats else "fastq"
         format_by_url[url] = fmt
+    reader_classes = {
+        "bam": NativeBamReader,
+        "cram": NativeCramReader,
+    }
     readers = {
-        url: (
-            NativeBamReader(url, phred_offset, max_length)
-            if format_by_url[url] == "bam"
-            else NativeFastqReader(url, phred_offset, max_length)
+        url: reader_classes.get(format_by_url[url], NativeFastqReader)(
+            url, phred_offset, max_length
         )
         for url in unique
     }

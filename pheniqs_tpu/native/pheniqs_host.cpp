@@ -1118,6 +1118,191 @@ int64_t pq_fastq_format_batch(
 }
 
 
+// --- CRAM slice record decoder ----------------------------------------------
+// Decodes one CRAM 3.0 slice's records into SoA batch buffers for the
+// common demultiplexer layout: unmapped records, every consumed series in
+// EXTERNAL streams (ITF-8 ints) or constant zero-bit Huffman, read names
+// BYTE_ARRAY_STOP, bases/qualities EXTERNAL bytes, tags BYTE_ARRAY_LEN
+// with length+value in one external stream (skipped, not reconstructed —
+// input aux tags do not cross the demultiplexer in the reference either,
+// transcode.h:206-215). Python walks containers and decompresses blocks
+// (native rANS/zlib); this removes the per-record Python loop.
+//
+// Series descriptor codes: 0 = absent, 1 = EXTERNAL ITF-8 (stream index
+// in `value`), 2 = constant (value in `value`).
+
+struct CramStream {
+    const uint8_t* data;
+    int64_t size;
+    int64_t offset;
+};
+
+static bool cram_itf8(CramStream* s, int32_t* out) {
+    if (s->offset >= s->size) return false;
+    uint8_t b0 = s->data[s->offset++];
+    uint32_t v;
+    int extra;
+    if (b0 < 0x80) { v = b0; extra = 0; }
+    else if (b0 < 0xC0) { v = b0 & 0x3F; extra = 1; }
+    else if (b0 < 0xE0) { v = b0 & 0x1F; extra = 2; }
+    else if (b0 < 0xF0) { v = b0 & 0x0F; extra = 3; }
+    else { v = b0 & 0x0F; extra = 4; }
+    if (s->offset + extra > s->size) return false;
+    for (int i = 0; i < extra; ++i) {
+        uint8_t byte = s->data[s->offset++];
+        if (extra == 4 && i == 3) v = (v << 4) | (byte & 0x0F);
+        else v = (v << 8) | byte;
+    }
+    *out = static_cast<int32_t>(v);
+    return true;
+}
+
+// series descriptor: kinds[i] 0 absent / 1 external itf8 / 2 constant;
+// values[i] = stream index or the constant
+static bool cram_series_int(
+    int32_t kind, int32_t value, CramStream* streams, int32_t* out
+) {
+    if (kind == 2) { *out = value; return true; }
+    if (kind == 1) return cram_itf8(&streams[value], out);
+    return false;
+}
+
+// Fixed-series order in the descriptor array:
+// 0 BF, 1 CF, 2 RI, 3 RL, 4 AP, 5 RG, 6 MF, 7 NS, 8 NP, 9 TS, 10 NF, 11 TL
+// Returns records decoded; -1 malformed; -3 record longer than max_length
+// (caller grows and retries the WHOLE slice — streams are restartable).
+int32_t pq_cram_decode_slice(
+    int32_t n_records,
+    const int32_t* series_kinds,        // (12,)
+    const int32_t* series_values,       // (12,)
+    int32_t rn_preserved,
+    int32_t rn_stop,                    // stop byte for RN
+    int32_t rn_stream,                  // RN stream index (-1 when absent)
+    int32_t ba_stream,
+    int32_t qs_stream,
+    const uint8_t** stream_data,        // (k,)
+    const int64_t* stream_sizes,        // (k,)
+    int32_t n_streams,
+    const int32_t* td_flat,             // concatenated tag stream ids per line
+    const int32_t* td_offsets,          // (lines+1,)
+    int32_t td_lines,
+    int32_t max_length,
+    uint8_t* code,                      // (n, max_length) BAM codes
+    uint8_t* qual,
+    int32_t* length,
+    uint8_t* qcfail,
+    char* names,
+    int64_t names_capacity,
+    int64_t* name_offset
+) {
+    std::vector<CramStream> streams(n_streams);
+    for (int32_t k = 0; k < n_streams; ++k) {
+        streams[k] = CramStream{stream_data[k], stream_sizes[k], 0};
+    }
+    int64_t names_used = 0;
+    name_offset[0] = 0;
+    for (int32_t r = 0; r < n_records; ++r) {
+        if (names_capacity - names_used < 4096) return -1;
+        int32_t bf, cf, rl;
+        if (!cram_series_int(series_kinds[0], series_values[0], streams.data(), &bf)) return -1;
+        if (!cram_series_int(series_kinds[1], series_values[1], streams.data(), &cf)) return -1;
+        if (series_kinds[2] != 0) {  // RI (multi-ref slice)
+            int32_t ri;
+            if (!cram_series_int(series_kinds[2], series_values[2], streams.data(), &ri)) return -1;
+        }
+        if (!cram_series_int(series_kinds[3], series_values[3], streams.data(), &rl)) return -1;
+        {
+            int32_t ap;
+            if (!cram_series_int(series_kinds[4], series_values[4], streams.data(), &ap)) return -1;
+        }
+        {
+            int32_t rg;
+            if (!cram_series_int(series_kinds[5], series_values[5], streams.data(), &rg)) return -1;
+        }
+        if (bf >= 0 && (bf & 0x4) == 0) return -1;  // mapped: python path
+        if (rl < 0) return -1;
+        // read name
+        size_t name_length = 0;
+        if (rn_preserved) {
+            if (rn_stream < 0) return -1;
+            CramStream* rn = &streams[rn_stream];
+            int64_t start = rn->offset;
+            while (rn->offset < rn->size &&
+                   rn->data[rn->offset] != rn_stop) {
+                ++rn->offset;
+            }
+            if (rn->offset >= rn->size) return -1;
+            name_length = std::min<size_t>(rn->offset - start, 4000);
+            std::memcpy(names + names_used, rn->data + start, name_length);
+            ++rn->offset;  // consume the stop byte
+        }
+        int32_t mf = 0;
+        if (cf & 2) {  // detached
+            if (!cram_series_int(series_kinds[6], series_values[6], streams.data(), &mf)) return -1;
+            if (!rn_preserved) {
+                if (rn_stream < 0) return -1;
+                CramStream* rn = &streams[rn_stream];
+                int64_t start = rn->offset;
+                while (rn->offset < rn->size &&
+                       rn->data[rn->offset] != rn_stop) {
+                    ++rn->offset;
+                }
+                if (rn->offset >= rn->size) return -1;
+                name_length = std::min<size_t>(rn->offset - start, 4000);
+                std::memcpy(names + names_used, rn->data + start, name_length);
+                ++rn->offset;
+            }
+            int32_t scratch;
+            if (!cram_series_int(series_kinds[7], series_values[7], streams.data(), &scratch)) return -1;
+            if (!cram_series_int(series_kinds[8], series_values[8], streams.data(), &scratch)) return -1;
+            if (!cram_series_int(series_kinds[9], series_values[9], streams.data(), &scratch)) return -1;
+        } else if (cf & 4) {  // mate downstream
+            int32_t nf;
+            if (!cram_series_int(series_kinds[10], series_values[10], streams.data(), &nf)) return -1;
+        }
+        int32_t tl;
+        if (!cram_series_int(series_kinds[11], series_values[11], streams.data(), &tl)) return -1;
+        if (tl < 0 || tl >= td_lines) return -1;
+        for (int32_t t = td_offsets[tl]; t < td_offsets[tl + 1]; ++t) {
+            // BYTE_ARRAY_LEN with length+value in one stream: skip
+            CramStream* tag = &streams[td_flat[t]];
+            int32_t tag_length;
+            if (!cram_itf8(tag, &tag_length)) return -1;
+            if (tag_length < 0 || tag->offset + tag_length > tag->size) {
+                return -1;
+            }
+            tag->offset += tag_length;
+        }
+        if (rl > max_length) return -3;  // caller grows + retries the slice
+        uint8_t* code_row = code + static_cast<int64_t>(r) * max_length;
+        uint8_t* qual_row = qual + static_cast<int64_t>(r) * max_length;
+        if (cf & 8) {  // no sequence stored
+            std::memset(code_row, 0, rl);
+            std::memset(qual_row, 0, rl);
+        } else {
+            CramStream* ba = &streams[ba_stream];
+            if (ba->offset + rl > ba->size) return -1;
+            for (int32_t i = 0; i < rl; ++i) {
+                code_row[i] = kAsciiToBam.table[ba->data[ba->offset + i]];
+            }
+            ba->offset += rl;
+            if (cf & 1) {  // qualities stored
+                CramStream* qs = &streams[qs_stream];
+                if (qs->offset + rl > qs->size) return -1;
+                std::memcpy(qual_row, qs->data + qs->offset, rl);
+                qs->offset += rl;
+            } else {
+                std::memset(qual_row, 0, rl);
+            }
+        }
+        length[r] = rl;
+        qcfail[r] = (bf & 0x200) ? 1 : 0;
+        names_used += static_cast<int64_t>(name_length);
+        name_offset[r + 1] = names_used;
+    }
+    return n_records;
+}
+
 // --- strict PAMLD classifier ------------------------------------------------
 // Bit-exact C++ mirror of the float64 oracle (pheniqs_tpu/decode/oracle.py
 // pamld_classify, itself the reference pamld.cpp:37-123): the LUT gathers
