@@ -450,20 +450,47 @@ struct BamBatchReader {
     // pending record that exceeded the caller's matrices (grow protocol)
     bool has_pending = false;
     std::vector<uint8_t> pending_record;  // raw record body (after size)
+    // local decompressed buffer: per-record reads would otherwise take
+    // the BGZF ring mutex twice per record
+    std::vector<uint8_t> buffer;
+    size_t position = 0;
+    bool stream_eof = false;
 
     ~BamBatchReader() { delete bgzf; }
 
+    bool refill(size_t need) {
+        if (position > 0) {
+            buffer.erase(buffer.begin(), buffer.begin() + position);
+            position = 0;
+        }
+        while (buffer.size() < need && !stream_eof) {
+            size_t old = buffer.size();
+            size_t chunk = std::max<size_t>(need, 1 << 20);
+            buffer.resize(old + chunk);
+            int64_t got = bgzf->read(buffer.data() + old,
+                                     static_cast<int64_t>(chunk));
+            if (got < 0) {
+                error = bgzf->error.empty() ? "BGZF read failed"
+                                            : bgzf->error;
+                buffer.resize(old);
+                return false;
+            }
+            buffer.resize(old + static_cast<size_t>(got));
+            if (static_cast<size_t>(got) < chunk) stream_eof = true;
+        }
+        return buffer.size() >= need;
+    }
+
     bool read_exact(uint8_t* out, size_t n) {
-        int64_t got = bgzf->read(out, static_cast<int64_t>(n));
-        if (got < 0) {
-            error = bgzf->error.empty() ? "BGZF read failed" : bgzf->error;
+        if (buffer.size() - position < n && !refill(n)) {
+            if (error.empty()) {
+                if (buffer.size() > position) error = "truncated BAM stream";
+                eof = true;
+            }
             return false;
         }
-        if (static_cast<size_t>(got) != n) {
-            if (got != 0) error = "truncated BAM stream";
-            eof = true;
-            return false;
-        }
+        std::memcpy(out, buffer.data() + position, n);
+        position += n;
         return true;
     }
 };
@@ -586,11 +613,11 @@ int32_t pq_bam_read_batch(
     int32_t count = 0;
     int64_t names_used = 0;
     name_offset[0] = 0;
+    std::vector<uint8_t> body;  // reused across records (no per-record heap)
     while (count < max_records) {
         if (names_capacity - names_used < 4096) {
             return count > 0 ? count : -2;
         }
-        std::vector<uint8_t> body;
         if (reader->has_pending) {
             body = std::move(reader->pending_record);
             reader->has_pending = false;
