@@ -350,3 +350,112 @@ def test_mapped_record_without_reference_fails_typed(tmp_path):
     path, _fasta = _mapped_file(tmp_path, embedded=False)
     with pytest.raises(IOError_):
         list(read_cram(str(path)))
+
+
+def test_native_batch_reader_falls_back_on_core_codecs(tmp_path):
+    """NativeCramReader must transparently use the Python record decoder
+    for slices the native fast path cannot handle (core bit codecs) and
+    still deliver correct batches."""
+    from pheniqs_tpu.io.cram import NativeCramReader
+    from pheniqs_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    series = {
+        b"BF": _huffman_encoding([77], [0]),
+        b"CF": _huffman_encoding([2, 3], [1, 2]),  # CORE codec -> fallback
+        b"RL": _beta_encoding(0, 3),
+        b"AP": _huffman_encoding([0], [0]),
+        b"RG": _huffman_encoding([-1], [0]),
+        b"RN": _byte_array_stop_encoding(0, CID["RN"]),
+        b"MF": _huffman_encoding([2], [0]),
+        b"NS": _huffman_encoding([-1], [0]),
+        b"NP": _huffman_encoding([0], [0]),
+        b"TS": _huffman_encoding([0], [0]),
+        b"TL": _huffman_encoding([0], [0]),
+        b"BA": _external_encoding(CID["BA"]),
+        b"QS": _external_encoding(CID["QS"]),
+    }
+    core = _bits("10 100" + "10 010")
+    externals = {
+        CID["RN"]: b"alpha\x00beta\x00",
+        CID["BA"]: b"ACGT" + b"GG",
+        CID["QS"]: bytes((30, 31, 32, 33)) + bytes((40, 41)),
+    }
+    blob = (
+        _file_definition()
+        + _header_container("@HD\tVN:1.0\n")
+        + _container(
+            [_compression_header(series)] + _slice(2, core, externals), 2
+        )
+        + EOF_CONTAINER
+    )
+    path = tmp_path / "core_fallback.cram"
+    path.write_bytes(blob)
+
+    reader = NativeCramReader(str(path))
+    batch = reader.read_batch(16)
+    assert batch is not None
+    code, qual, length, qcfail, names_blob, offsets = batch
+    assert code.shape[0] == 2
+    assert names_blob[offsets[0] : offsets[1]] == b"alpha"
+    assert BAM_TO_ASCII[code[0, : length[0]]].tobytes() == b"ACGT"
+    np.testing.assert_array_equal(qual[1, : length[1]], [40, 41])
+    assert reader.read_batch(16) is None
+    reader.close()
+
+
+def test_native_batch_reader_matches_read_cram(tmp_path):
+    """The native batch reader and the per-record Python reader must agree
+    on a writer-produced file (names, codes, qualities, qcfail)."""
+    import numpy as np
+
+    from pheniqs_tpu import native
+    from pheniqs_tpu.io.cram import CramWriter, NativeCramReader, read_cram
+    from pheniqs_tpu.io.sam import AuxTags
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    path = tmp_path / "against.cram"
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, "@HD\tVN:1.0\n@RG\tID:g\n")
+        for i in range(5000):
+            n = int(rng.integers(4, 40))
+            code = np.array([1, 2, 4, 8], np.uint8)[
+                rng.integers(4, size=n)
+            ]
+            qual = rng.integers(2, 41, size=n).astype(np.uint8)
+            tags = AuxTags()
+            tags.RG = "g"
+            writer.write_record(
+                f"r{i}", 77 | (0x200 if i % 11 == 0 else 0),
+                ASCII_TO_BAM[np.frombuffer(
+                    bytes("ACGT"[c] for c in rng.integers(4, size=0)), np.uint8
+                )] if False else code,
+                qual, n, tags,
+            )
+        writer.close()
+
+    expected = list(read_cram(str(path)))
+    reader = NativeCramReader(str(path))
+    position = 0
+    while True:
+        batch = reader.read_batch(1024)
+        if batch is None:
+            break
+        code, qual, length, qcfail, blob, offsets = batch
+        for i in range(code.shape[0]):
+            record = expected[position + i]
+            assert blob[offsets[i] : offsets[i + 1]] == record.name
+            n = int(length[i])
+            assert n == record.code.shape[0]
+            np.testing.assert_array_equal(code[i, :n], record.code)
+            np.testing.assert_array_equal(qual[i, :n], record.quality)
+            assert bool(qcfail[i]) == bool(record.flag & 0x200)
+        position += code.shape[0]
+    assert position == len(expected)
+    reader.close()
