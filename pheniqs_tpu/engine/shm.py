@@ -134,3 +134,33 @@ def unlink_leftover(path: str):
         os.unlink(path)
     except FileNotFoundError:
         pass
+
+
+def sweep_stale(max_files: int = 64):
+    """Opportunistically unlink segments left by hard-killed runs: the
+    file name embeds the creating PID; if that process is gone, nothing
+    will ever consume the file."""
+    try:
+        entries = os.listdir(SHM_DIR)
+    except OSError:
+        return
+    removed = 0
+    for name in entries:
+        if not name.startswith("pheniqs-") or removed >= max_files:
+            continue
+        parts = name.split("-")
+        if len(parts) < 3:
+            continue
+        try:
+            pid = int(parts[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            unlink_leftover(os.path.join(SHM_DIR, name))
+            removed += 1
+        except PermissionError:
+            continue

@@ -468,6 +468,9 @@ class StreamRunner:
         self._result_queue = context.Queue()
         ontology_blob = pickle.dumps(self.engine.ontology)
         if self.transport == "shm":
+            from .shm import sweep_stale
+
+            sweep_stale()  # reclaim segments from hard-killed runs
             # bound the number of unconsumed segments living in /dev/shm
             self._slots = threading.Semaphore(self.workers * 2 + 1)
         for worker_id in range(self.workers):
