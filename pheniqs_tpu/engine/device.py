@@ -292,6 +292,18 @@ class DeviceEngine(StrictEngine):
     def _note_skipped_batch(self, raw_index: int):
         """Hook for pipelined consumers tracking the raw batch sequence."""
 
+    def _trace_summary(self, start):
+        super()._trace_summary(start)
+        resolved = getattr(self, "_resolved_reads", 0)
+        if os.environ.get("PHENIQS_TRACE") == "1" and self.hybrid:
+            import sys as sys_mod
+
+            fraction = resolved / max(self.incoming_count, 1)
+            sys_mod.stderr.write(
+                f"[pheniqs-tpu] hybrid f64 re-resolution: {resolved} reads "
+                f"({fraction:.3%}) flagged by the derived bound\n"
+            )
+
     def _dispatch(self, batch: ReadBatch):
         signature, device_batch = self._device_batch(batch)
         step = self._get_step(signature)
@@ -429,6 +441,7 @@ class DeviceEngine(StrictEngine):
             "uncertain", np.zeros(decoded.shape[0], dtype=bool)
         ) | short
         rows = np.flatnonzero(uncertain)
+        self._resolved_reads = getattr(self, "_resolved_reads", 0) + rows.size
         if rows.size == 0:
             return out_qcfail
         obs_code = np.concatenate([c[rows] for c in eff_codes], axis=1)
