@@ -244,3 +244,51 @@ def test_native_bam_garbage_fails_typed(tmp_path):
                 pass
     finally:
         reader.close()
+
+
+def test_native_cram_reader_bitflips_fail_typed(tmp_path):
+    """Byte flips anywhere in a CRAM file must surface as typed errors
+    through the native batch reader (CRC trailers catch block damage; the
+    slice decoder and its Python fallback fail typed on the rest)."""
+    import numpy as np
+    import pytest
+
+    from pheniqs_tpu import native
+    from pheniqs_tpu.errors import PheniqsError
+    from pheniqs_tpu.io.cram import CramWriter, NativeCramReader
+    from pheniqs_tpu.io.sam import AuxTags
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    path = tmp_path / "flip.cram"
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, "@HD\tVN:1.0\n")
+        code = ASCII_TO_BAM[np.frombuffer(b"ACGTACGTACGT", dtype=np.uint8)]
+        qual = np.full(12, 30, np.uint8)
+        for i in range(500):
+            writer.write_record(f"r{i}", 77, code, qual, 12, AuxTags())
+        writer.close()
+    blob = bytearray(path.read_bytes())
+
+    rng = np.random.default_rng(13)
+    failures = 0
+    for _ in range(12):
+        flipped = bytearray(blob)
+        index = int(rng.integers(30, len(flipped)))
+        flipped[index] ^= 0xFF
+        target = tmp_path / "flipped.cram"
+        target.write_bytes(bytes(flipped))
+        try:
+            reader = NativeCramReader(str(target))
+            while reader.read_batch(256) is not None:
+                pass
+        except PheniqsError:
+            failures += 1
+        except Exception as error:  # noqa: BLE001
+            raise AssertionError(
+                f"untyped {type(error).__name__} at flip {index}: {error}"
+            )
+    # most flips must be detected (a flip inside a name byte is legal)
+    assert failures >= 6, failures
