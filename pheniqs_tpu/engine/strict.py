@@ -407,6 +407,12 @@ class StrictEngine:
             if available():
                 from ..io.ingest import native_read_batches
 
+                # the input decompression pool honors the same knob as the
+                # output compression pool (reference --htslib-threads)
+                pool_threads = self.ontology.get("htslib threads")
+                if pool_threads and "PHENIQS_BGZF_THREADS" not in os.environ:
+                    os.environ["PHENIQS_BGZF_THREADS"] = str(int(pool_threads))
+
                 try:
                     yield from native_read_batches(
                         [URL(proxy["url"]).path for proxy in segment_proxies],
