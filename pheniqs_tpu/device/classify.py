@@ -270,6 +270,68 @@ def _posterior_chunked(
     return best0, best_p, sigma_p, sigma_best, second_p
 
 
+def _posterior_panel_sharded(
+    features: jnp.ndarray,
+    qpos_uniform: jnp.ndarray,
+    matrix_shard: jnp.ndarray,       # (FW, B/P) this device's columns
+    concentration_shard: jnp.ndarray,
+    adjusted_noise: float,
+    panel_axis: str,
+    barcode_count: int,
+    shard_base: jnp.ndarray,         # scalar: first global column index
+):
+    """Collective posterior over a panel-sharded likelihood matrix — must
+    run inside a shard_map with `panel_axis` live (the engine's TP mode,
+    device/tp.py documents the algebra)."""
+    big = jnp.float32(3.0e38)
+    big_index = jnp.int32(2**30)
+    local_b = matrix_shard.shape[1]
+    column = shard_base + jnp.arange(local_b, dtype=jnp.int32)
+    pad = column >= barcode_count
+
+    sigma = (
+        jnp.dot(
+            features,
+            matrix_shard,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        + qpos_uniform[:, None]
+    )
+    sigma = jnp.where(pad[None, :], big, sigma)
+    shift = jax.lax.pmin(sigma.min(axis=1), panel_axis)
+    conditional = jnp.exp(LN_PHRED_BASE * (sigma - shift[:, None]))
+    prior_adjusted = jnp.where(
+        pad[None, :], 0.0, conditional * concentration_shard[None, :]
+    )
+    total = jax.lax.psum(prior_adjusted.sum(axis=1), panel_axis)
+
+    top2, _ = jax.lax.top_k(prior_adjusted, min(2, local_b))
+    best_p_local = top2[:, 0]
+    second_p_local = top2[:, 1] if local_b > 1 else jnp.zeros_like(best_p_local)
+    best_local = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
+    sigma_best_local = jnp.take_along_axis(sigma, best_local[:, None], axis=1)[:, 0]
+    global_index = shard_base + best_local
+
+    best_p = jax.lax.pmax(best_p_local, panel_axis)
+    candidate = jnp.where(best_p_local >= best_p, global_index, big_index)
+    best0 = jax.lax.pmin(candidate, panel_axis)
+    holder = global_index == best0
+    sigma_best = jax.lax.pmin(
+        jnp.where(holder, sigma_best_local, big), panel_axis
+    )
+    runner = jnp.where(holder, second_p_local, best_p_local)
+    second_p = jax.lax.pmax(runner, panel_axis)
+
+    if adjusted_noise > 0.0:
+        noise_shifted = jnp.exp(
+            float(np.log(adjusted_noise)) - LN_PHRED_BASE * shift
+        )
+    else:
+        noise_shifted = jnp.zeros_like(shift)
+    return best0, best_p, total + noise_shifted, sigma_best, second_p
+
+
 def pamld_classify_device(
     instrument: DeviceInstrument,
     dec: DeviceDecoder,
@@ -277,6 +339,8 @@ def pamld_classify_device(
     obs_qual: jnp.ndarray,
     qcfail_in: jnp.ndarray,
     want_uncertain: bool = False,
+    panel_shard: tuple | None = None,
+    panel_axis: str | None = None,
 ) -> dict:
     """PamlDecoder::classify on device (reference pamld.cpp:37-123).
 
@@ -290,7 +354,21 @@ def pamld_classify_device(
     adjusted_noise = dec.noise * dec.random_barcode_probability
 
     second_p = None
-    if dec.barcode_count > LARGE_PANEL_B:
+    if panel_shard is not None:
+        matrix_shard, concentration_shard, shard_base = panel_shard
+        best0, best_p, sigma_p, sigma_decoded, second_p = (
+            _posterior_panel_sharded(
+                features,
+                q_positive * UNIFORM_BASE_QUALITY,
+                matrix_shard,
+                concentration_shard,
+                float(adjusted_noise),
+                panel_axis,
+                dec.barcode_count,
+                shard_base,
+            )
+        )
+    elif dec.barcode_count > LARGE_PANEL_B:
         best0, best_p, sigma_p, sigma_decoded, second_p = _posterior_chunked(
             features,
             q_positive * UNIFORM_BASE_QUALITY,

@@ -92,6 +92,8 @@ def _classify_one(
     segments,
     qcfail,
     want_uncertain: bool = False,
+    panel_shard=None,
+    panel_axis: str | None = None,
 ):
     n = qcfail.shape[0]
     if dec.algorithm == "passthrough" or not dec.plans:
@@ -119,6 +121,8 @@ def _classify_one(
         return pamld_classify_device(
             instrument, dec, obs_code, obs_qual, qcfail,
             want_uncertain=want_uncertain,
+            panel_shard=panel_shard,
+            panel_axis=panel_axis,
         )
     if dec.algorithm == "mdd":
         return mdd_classify_device(dec, observation, qcfail)
@@ -188,6 +192,7 @@ def make_decode_step(
     want_counters: bool = True,
     pack_outputs: bool = False,
     h2d_widths: list[int] | None = None,
+    panel_axis: str | None = None,
 ):
     """Build the (batch) -> (per_read, counters) step function.
 
@@ -208,11 +213,15 @@ def make_decode_step(
             ]
             qcfail = batch["qcfail"]
 
+        panel_shards = batch.get("panel_shards", {}) if panel_axis else {}
         per_read = []
         counters = []
-        for dec in instrument.decoders:
+        for position, dec in enumerate(instrument.decoders):
             result = _classify_one(
-                instrument, dec, segments, qcfail, want_uncertain=want_uncertain
+                instrument, dec, segments, qcfail,
+                want_uncertain=want_uncertain,
+                panel_shard=panel_shards.get(str(position)),
+                panel_axis=panel_axis,
             )
             qcfail = result["qcfail"]
             entry = {
@@ -356,3 +365,92 @@ def pad_batch(batch: dict, multiple: int) -> tuple[dict, int]:
         ),
     }
     return padded, n
+
+
+def make_tp_sharded_decode_step(
+    instrument: DeviceInstrument,
+    mesh: Mesh,
+    want_uncertain: bool = False,
+    want_counters: bool = True,
+    pack_outputs: bool = False,
+    h2d_widths: list[int] | None = None,
+    shard_threshold: int = 1 << 14,
+):
+    """SPMD decode step over a 2-D ``(reads, panel)`` mesh: reads shard
+    over the first axis, and every PAMLD panel above ``shard_threshold``
+    barcodes shards its likelihood matrix over the second (barcode-axis
+    tensor parallelism — for whitelists beyond one chip's HBM, see
+    device/tp.py for the merge algebra). Returns (step, shard_panels)
+    where ``shard_panels(device_put)`` builds the panel-shard argument
+    dict to pass as ``batch["panel_shards"]``.
+    """
+    reads_axis, panel_axis = mesh.axis_names
+    panel_size = mesh.shape[panel_axis]
+
+    sharded_positions = [
+        position
+        for position, dec in enumerate(instrument.decoders)
+        if dec.algorithm == "pamld" and dec.barcode_count > shard_threshold
+    ]
+
+    step = make_decode_step(
+        instrument,
+        axis_name=reads_axis,
+        want_uncertain=want_uncertain,
+        want_counters=want_counters,
+        pack_outputs=pack_outputs,
+        h2d_widths=h2d_widths,
+        panel_axis=panel_axis,
+    )
+
+    def wrapped(batch, panel_shards):
+        local = {}
+        for key, (matrix, concentration) in panel_shards.items():
+            base = (
+                jax.lax.axis_index(panel_axis) * matrix.shape[1]
+            ).astype(jnp.int32)
+            local[key] = (matrix, concentration, base)
+        batch = dict(batch)
+        batch["panel_shards"] = local
+        return step(batch)
+
+    shard_specs = {
+        str(position): (P(None, panel_axis), P(panel_axis))
+        for position in sharded_positions
+    }
+    sharded = jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(P(reads_axis), shard_specs),
+        out_specs=(P(reads_axis), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def shard_panels():
+        """device_put each large panel's matrix/concentration with the
+        panel-axis sharding (padded to a multiple of the axis size)."""
+        import numpy as np
+        from jax.sharding import NamedSharding
+
+        shards = {}
+        for position in sharded_positions:
+            dec = instrument.decoders[position]
+            matrix = np.asarray(dec.likelihood_matrix)
+            concentration = np.asarray(dec.concentration)
+            b = matrix.shape[1]
+            padded = -(-b // panel_size) * panel_size
+            if padded != b:
+                matrix = np.pad(matrix, ((0, 0), (0, padded - b)))
+                concentration = np.pad(concentration, (0, padded - b))
+            shards[str(position)] = (
+                jax.device_put(
+                    matrix, NamedSharding(mesh, P(None, panel_axis))
+                ),
+                jax.device_put(
+                    concentration, NamedSharding(mesh, P(panel_axis))
+                ),
+            )
+        return shards
+
+    return jitted, shard_panels, sharded_positions

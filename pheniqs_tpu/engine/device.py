@@ -94,6 +94,8 @@ class DeviceEngine(StrictEngine):
         # D more stage (jax can alias host memory on CPU), so keep D+2
         self._staging: dict[tuple, list] = {}
         self._staging_flip = 0
+        self._tp = False
+        self._tp_shards = None
         self._staging_sets = (
             max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2"))) + 2
         )
@@ -101,8 +103,11 @@ class DeviceEngine(StrictEngine):
     # --- device dispatch -------------------------------------------------
     def _mesh(self):
         """Data-parallel mesh over this process's addressable devices (>1),
-        else None. Under jax.distributed each host runs its own engine over
-        its input slice (PHENIQS_SHARD), so the mesh stays local."""
+        else None. PHENIQS_TP="R:P" builds a 2-D (reads, panel) mesh
+        instead: reads data-parallel over R, large PAMLD panels sharded
+        over P (barcode-axis tensor parallelism, device/tp.py). Under
+        jax.distributed each host runs its own engine over its input
+        slice (PHENIQS_SHARD), so the mesh stays local."""
         if self._mesh_cache is not None:
             return self._mesh_cache or None
         import jax
@@ -111,7 +116,14 @@ class DeviceEngine(StrictEngine):
         limit = self.ontology.get("devices")
         if limit is not None and int(limit) > 0:
             devices = devices[: int(limit)]
-        if len(devices) > 1:
+        tp = os.environ.get("PHENIQS_TP")
+        if tp:
+            reads_size, panel_size = (int(x) for x in tp.split(":"))
+            from ..device.tp import tp_mesh
+
+            self._tp = True
+            self._mesh_cache = tp_mesh(reads_size, panel_size, devices)
+        elif len(devices) > 1:
             from ..device.distributed import reads_mesh
 
             self._mesh_cache = reads_mesh(devices)
@@ -128,7 +140,28 @@ class DeviceEngine(StrictEngine):
 
             widths = list(signature[1])
             mesh = self._mesh()
-            if mesh is not None:
+            if mesh is not None and getattr(self, "_tp", False):
+                from ..device.step import make_tp_sharded_decode_step
+
+                threshold = int(
+                    os.environ.get("PHENIQS_TP_THRESHOLD", 1 << 14)
+                )
+                step, shard_panels, positions = make_tp_sharded_decode_step(
+                    self.instrument,
+                    mesh,
+                    want_uncertain=self.hybrid,
+                    want_counters=False,
+                    pack_outputs=True,
+                    h2d_widths=widths,
+                    shard_threshold=threshold,
+                )
+                if self._tp_shards is None:
+                    self._tp_shards = shard_panels()
+                shards = self._tp_shards
+                step = (lambda inner: (lambda batch: inner(batch, shards)))(
+                    step
+                )
+            elif mesh is not None:
                 step = make_sharded_decode_step(
                     self.instrument,
                     mesh,

@@ -95,3 +95,72 @@ def test_tp_posterior_matches_single_device(workload, reads_axis, panel_axis):
     np.testing.assert_allclose(
         np.asarray(second_p), part[:, -2], rtol=1e-3, atol=1e-30
     )
+
+
+def test_tp_engine_decisions_match_default(tmp_path):
+    """PHENIQS_TP engine (2-D mesh, panel-sharded PAMLD) must produce the
+    same classified SAM as the default data-parallel engine."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    from pheniqs_tpu.benchmark import synthesize_fastq_input
+
+    paths = synthesize_fastq_input(str(tmp_path / "input"), 40000)
+    config = {
+        "input": list(paths),
+        "template": {"transform": {"token": ["1::"]}},
+        "output": ["PLACEHOLDER"],
+    }
+    from pheniqs_tpu.device.flagship import flagship_ontology
+
+    base = flagship_ontology()
+    config["sample"] = base["sample"]
+    config["cellular"] = base["cellular"]
+    config["molecular"] = base["molecular"]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outputs = {}
+    for label, extra in (
+        ("default", {}),
+        ("tp", {"PHENIQS_TP": "2:4", "PHENIQS_TP_THRESHOLD": "128"}),
+    ):
+        job = dict(config)
+        out = tmp_path / f"out_{label}.sam"
+        job["output"] = [str(out)]
+        config_path = tmp_path / f"job_{label}.json"
+        config_path.write_text(json.dumps(job))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env.update(extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", str(config_path), "--fidelity", "fast",
+             "--threads", "2", "--batch-size", "8192"],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, (label, result.stderr[-2000:])
+        outputs[label] = [
+            # compare decisions (drop float tags: f32 merge noise)
+            tuple(
+                field
+                for field in line.split("\t")
+                if field[:5] not in ("XB:f:", "XM:f:", "XC:f:")
+            )
+            for line in out.read_text().splitlines()
+            if not line.startswith("@")
+        ]
+    assert len(outputs["default"]) == len(outputs["tp"])
+    mismatches = sum(
+        1 for a, b in zip(outputs["default"], outputs["tp"]) if a != b
+    )
+    # f32 matmul blocking noise may flip reads that sit exactly on a
+    # filter threshold; require essentially identical decisions
+    assert mismatches <= len(outputs["tp"]) // 10000, mismatches
