@@ -371,3 +371,42 @@ def test_100k_barcode_panel_smoke():
     )
     np.testing.assert_array_equal(np.asarray(device["decoded"]), oracle.decoded)
     np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
+
+
+def test_h2d_blob_round_trip():
+    """The packed host->device wire format must survive pack -> device
+    unpack exactly (codes, qualities, lengths, qcfail)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pheniqs_tpu.device.step import (
+        _unpack_h2d_blob,
+        h2d_blob_bytes,
+        pack_h2d_blob,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 257
+    widths = [8, 16]
+    segments = []
+    for w in widths:
+        code = rng.integers(0, 16, size=(n, w)).astype(np.uint8)
+        qual = rng.integers(0, 64, size=(n, w)).astype(np.uint8)
+        length = rng.integers(0, w + 1, size=n).astype(np.int32)
+        segments.append((code, qual, length))
+    qcfail = (rng.random(n) < 0.3).astype(np.uint8)
+
+    blob = pack_h2d_blob(widths, segments, qcfail)
+    assert blob.shape == (n, h2d_blob_bytes(widths))
+
+    unpacked, fail = jax.jit(
+        lambda b: _unpack_h2d_blob(widths, b)
+    )(jnp.asarray(blob))
+    for (code, qual, length), (u_code, u_qual, u_length) in zip(
+        segments, unpacked
+    ):
+        np.testing.assert_array_equal(np.asarray(u_code), code)
+        np.testing.assert_array_equal(np.asarray(u_qual), qual)
+        np.testing.assert_array_equal(np.asarray(u_length), length)
+    np.testing.assert_array_equal(np.asarray(fail), qcfail.astype(bool))
