@@ -164,3 +164,63 @@ def test_tp_engine_decisions_match_default(tmp_path):
     # f32 matmul blocking noise may flip reads that sit exactly on a
     # filter threshold; require essentially identical decisions
     assert mismatches <= len(outputs["tp"]) // 10000, mismatches
+
+
+def test_tp_hybrid_decisions_match_strict(tmp_path):
+    """PHENIQS_TP + --fidelity hybrid must still deliver strict-identical
+    decisions (the derived-bound re-resolution covers the panel-sharded
+    posterior's collective rounding too)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    from pheniqs_tpu.benchmark import synthesize_fastq_input
+    from pheniqs_tpu.device.flagship import flagship_ontology
+
+    paths = synthesize_fastq_input(str(tmp_path / "input"), 20000)
+    base = flagship_ontology(sample_barcodes=24, cellular_barcodes=300)
+    config = {
+        "input": list(paths),
+        "template": {"transform": {"token": ["1::"]}},
+        "sample": base["sample"],
+        "cellular": base["cellular"],
+        "molecular": base["molecular"],
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outputs = {}
+    for label, fidelity, extra in (
+        ("strict", "strict", {}),
+        ("tp_hybrid", "hybrid",
+         {"PHENIQS_TP": "2:4", "PHENIQS_TP_THRESHOLD": "64"}),
+    ):
+        job = dict(config)
+        out = tmp_path / f"out_{label}.sam"
+        job["output"] = [str(out)]
+        config_path = tmp_path / f"job_{label}.json"
+        config_path.write_text(json.dumps(job))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env.update(extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", str(config_path), "--fidelity", fidelity,
+             "--threads", "2", "--batch-size", "8192"],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, (label, result.stderr[-2000:])
+        outputs[label] = [
+            tuple(
+                field for field in line.split("\t")
+                if field[:5] not in ("XB:f:", "XM:f:", "XC:f:")
+            )
+            for line in out.read_text().splitlines()
+            if not line.startswith("@")
+        ]
+    assert outputs["strict"] == outputs["tp_hybrid"]
