@@ -43,10 +43,14 @@ def _segment_sum(index: jnp.ndarray, weights: jnp.ndarray, b1: int) -> jnp.ndarr
     )
 
 
-def _counters(dec: DeviceDecoder, result: dict) -> dict:
+def _counters(dec: DeviceDecoder, result: dict, valid=None) -> dict:
     """Per-batch accumulator deltas (reference selector.h:32-92), fused into
     one stacked one-hot contraction over the (B+1) barcode axis (row 0 =
-    unclassified), plus one for the argmax-keyed filter counters."""
+    unclassified), plus one for the argmax-keyed filter counters.
+
+    ``valid`` (optional (N,) f32 0/1) excludes rows from every counter —
+    the engine masks padding rows and hybrid-uncertain rows, recording the
+    latter host-side from the float64 oracle instead."""
     b1 = dec.barcode_count + 1
     decoded = result["decoded"]
     branch = result["branch"]
@@ -66,21 +70,23 @@ def _counters(dec: DeviceDecoder, result: dict) -> dict:
         columns += [confidence * passed, confidence * passed * pf]
         names += ["accumulated_confidence", "accumulated_pf_confidence"]
 
-    stacked = _segment_sum(decoded, jnp.stack(columns, axis=1), b1)
+    weights = jnp.stack(columns, axis=1)
+    if valid is not None:
+        weights = weights * valid[:, None]
+    stacked = _segment_sum(decoded, weights, b1)
     counters = {name: stacked[:, k] for k, name in enumerate(names)}
 
     if dec.algorithm == "pamld":
-        filters = _segment_sum(
-            result["argmax"],
-            jnp.stack(
-                [
-                    (branch == BRANCH_LOW_CONFIDENCE).astype(jnp.float32),
-                    (branch == BRANCH_NOISE).astype(jnp.float32),
-                ],
-                axis=1,
-            ),
-            b1,
+        filter_weights = jnp.stack(
+            [
+                (branch == BRANCH_LOW_CONFIDENCE).astype(jnp.float32),
+                (branch == BRANCH_NOISE).astype(jnp.float32),
+            ],
+            axis=1,
         )
+        if valid is not None:
+            filter_weights = filter_weights * valid[:, None]
+        filters = _segment_sum(result["argmax"], filter_weights, b1)
         counters["low_confidence_count"] = filters[:, 0]
         counters["low_conditional_confidence_count"] = filters[:, 1]
     return counters
@@ -118,71 +124,202 @@ def _classify_one(
     if dec.algorithm == "pamld":
         obs_code = jnp.concatenate([c for c, _, _ in observation], axis=1)
         obs_qual = jnp.concatenate([q for _, q, _ in observation], axis=1)
-        return pamld_classify_device(
+        result = pamld_classify_device(
             instrument, dec, obs_code, obs_qual, qcfail,
             want_uncertain=want_uncertain,
             panel_shard=panel_shard,
             panel_axis=panel_axis,
         )
+        if want_uncertain:
+            # observations shorter than the decoder token depend on the
+            # reference's serial scratch-carry semantics (reference
+            # sequence.h:61-67): always oracle-resolved by the hybrid host
+            short = jnp.zeros(n, dtype=bool)
+            for width, (_, _, length) in zip(dec.segment_widths, observation):
+                short = short | (length < width)
+            result["uncertain"] = result["uncertain"] | short
+        return result
     if dec.algorithm == "mdd":
         return mdd_classify_device(dec, observation, qcfail)
     raise ValueError(f"unknown algorithm {dec.algorithm}")
 
 
+# --- host<->device wire format v2 ------------------------------------------
+#
+# The tunneled transport (and any DCN-fed ingest host) pays for every wire
+# byte, and the decode itself runs at a fraction of a percent of the chip
+# roofline — so the wire format is THE throughput lever of the whole
+# system (the role the reference's feed ring buffers play for its CPU
+# pipeline, reference transcode.cpp:1776-1795). Host->device packs each
+# base to 10 bits: the BAM nucleotide code is 4 bits by construction
+# (reference iupac.h:27-50) and Illumina qualities are <= 41 < 64, so a
+# 6-bit quality is lossless in practice; rows carrying any quality >= 64
+# are flagged (H2D_FORCED) and the hybrid engine re-resolves them with the
+# exact float64 oracle, keeping strict-identity guarantees intact.
+# Layout per read:  per segment [w/2 B nibble-packed codes][3w/4 B 6-bit
+# packed qualities][1-2 B length], then one flags byte.
+
+H2D_QCFAIL = 1  #: flags bit 0: read arrived qc-failed
+H2D_PAD = 2     #: flags bit 1: padding row — excluded from counters
+H2D_FORCED = 4  #: flags bit 2: quality clamped at 63; force oracle re-resolve
+
+
+def _length_bytes(w: int) -> int:
+    return 1 if w < 256 else 2
+
+
 def h2d_blob_bytes(widths: list[int]) -> int:
-    """Bytes per read of the packed host->device layout for `widths`."""
-    return sum(2 * w + 4 for w in widths) + 1
+    """Bytes per read of the packed host->device layout for `widths`
+    (each a multiple of 4, as the engine's width buckets guarantee)."""
+    return sum(w // 2 + (3 * w) // 4 + _length_bytes(w) for w in widths) + 1
 
 
 def pack_h2d_blob(
     widths: list[int], segments, qcfail, out=None
 ):
-    """Host-side packing of per-segment (code, qual, length) + qcfail into
-    one (N, bytes_per_read) uint8 matrix — a single transfer instead of
-    3*segments + 1 (the tunneled transport pays per-array latency)."""
+    """Host-side packing of per-segment (code, qual, length) + flags into
+    one (N, bytes_per_read) uint8 matrix — a single transfer per batch.
+
+    Codes nibble-pack two per byte; qualities clamp to 63 and pack four per
+    three bytes; rows that carried a quality >= 64 get the H2D_FORCED flag
+    so the hybrid engine resolves them exactly.
+    """
     import numpy as np
 
     n = qcfail.shape[0]
     blob = out if out is not None else np.empty(
         (n, h2d_blob_bytes(widths)), dtype=np.uint8
     )
+    flags = np.asarray(qcfail, dtype=np.uint8) * H2D_QCFAIL
     offset = 0
     for w, (code, qual, length) in zip(widths, segments):
+        if w % 4:
+            raise ValueError(f"h2d segment width {w} not a multiple of 4")
         sw = code.shape[1]
-        blob[:, offset : offset + sw] = code
+        cw, qw = w // 2, (3 * w) // 4
+        code = np.asarray(code, dtype=np.uint8)
+        qual = np.asarray(qual, dtype=np.uint8)
         if sw < w:
-            blob[:, offset + sw : offset + w] = 0
-        offset += w
-        blob[:, offset : offset + sw] = qual
-        if sw < w:
-            blob[:, offset + sw : offset + w] = 0
-        offset += w
-        blob[:, offset : offset + 4] = (
-            np.ascontiguousarray(length, dtype=np.int32)
-            .view(np.uint8)
-            .reshape(n, 4)
-        )
-        offset += 4
-    blob[:, offset] = qcfail
+            code = np.concatenate(
+                [code, np.zeros((n, w - sw), dtype=np.uint8)], axis=1
+            )
+            qual = np.concatenate(
+                [qual, np.zeros((n, w - sw), dtype=np.uint8)], axis=1
+            )
+        blob[:, offset : offset + cw] = code[:, 0::2] | (code[:, 1::2] << 4)
+        offset += cw
+        overflow = qual > 63
+        if overflow.any():
+            flags |= overflow.any(axis=1).astype(np.uint8) * H2D_FORCED
+            qual = np.minimum(qual, 63)
+        q4 = qual.reshape(n, w // 4, 4).astype(np.uint16)
+        # strided column assignment (a reshape of the blob slice may copy)
+        blob[:, offset : offset + qw : 3] = (
+            q4[:, :, 0] | (q4[:, :, 1] << 6)
+        ).astype(np.uint8)
+        blob[:, offset + 1 : offset + qw : 3] = (
+            (q4[:, :, 1] >> 2) | (q4[:, :, 2] << 4)
+        ).astype(np.uint8)
+        blob[:, offset + 2 : offset + qw : 3] = (
+            (q4[:, :, 2] >> 4) | (q4[:, :, 3] << 2)
+        ).astype(np.uint8)
+        offset += qw
+        clipped = np.clip(length, 0, w)
+        if _length_bytes(w) == 1:
+            blob[:, offset] = clipped.astype(np.uint8)
+            offset += 1
+        else:
+            blob[:, offset] = (clipped & 0xFF).astype(np.uint8)
+            blob[:, offset + 1] = (clipped >> 8).astype(np.uint8)
+            offset += 2
+    blob[:, offset] = flags
     return blob
 
 
 def _unpack_h2d_blob(widths: list[int], blob):
-    """Device-side unpack (inside jit: pure slicing + one bitcast each)."""
+    """Device-side unpack (inside jit: slices + a few VPU bit ops; the
+    10-bit wire format costs a handful of elementwise ops against a ~40%
+    transfer-byte reduction). Returns (segments, qcfail, pad, forced)."""
     segments = []
     offset = 0
+    n = blob.shape[0]
     for w in widths:
-        code = blob[:, offset : offset + w].astype(jnp.int32)
-        offset += w
-        qual = blob[:, offset : offset + w].astype(jnp.int32)
-        offset += w
-        length = jax.lax.bitcast_convert_type(
-            blob[:, offset : offset + 4], jnp.int32
+        cw, qw = w // 2, (3 * w) // 4
+        packed_c = blob[:, offset : offset + cw].astype(jnp.int32)
+        code = jnp.stack([packed_c & 15, packed_c >> 4], axis=2).reshape(n, w)
+        offset += cw
+        q3 = blob[:, offset : offset + qw].astype(jnp.int32).reshape(
+            n, w // 4, 3
         )
-        offset += 4
+        qual = jnp.stack(
+            [
+                q3[:, :, 0] & 63,
+                (q3[:, :, 0] >> 6) | ((q3[:, :, 1] & 15) << 2),
+                (q3[:, :, 1] >> 4) | ((q3[:, :, 2] & 3) << 4),
+                q3[:, :, 2] >> 2,
+            ],
+            axis=2,
+        ).reshape(n, w)
+        offset += qw
+        if _length_bytes(w) == 1:
+            length = blob[:, offset].astype(jnp.int32)
+            offset += 1
+        else:
+            length = (
+                blob[:, offset].astype(jnp.int32)
+                | (blob[:, offset + 1].astype(jnp.int32) << 8)
+            )
+            offset += 2
         segments.append((code, qual, length))
-    qcfail = blob[:, offset] > 0
-    return segments, qcfail
+    flags = blob[:, offset].astype(jnp.int32)
+    qcfail = (flags & H2D_QCFAIL) > 0
+    pad = (flags & H2D_PAD) > 0
+    forced = (flags & H2D_FORCED) > 0
+    return segments, qcfail, pad, forced
+
+
+def d2h_layout(instrument: DeviceInstrument, want_uncertain: bool) -> dict:
+    """Byte layout of the packed device->host decision blob, shared by the
+    device pack (make_decode_step) and the engine unpack.
+
+    Per read: one int16 (int32 for >=32000-barcode panels) decoded index
+    per pamld/mdd decoder, one f32 confidence per pamld decoder, ceil(d/8)
+    bytes of per-decoder chained-qcfail bits, and (hybrid only) one
+    uncertain byte. Distance/argmax/branch stay on device: they feed only
+    the statistics counters, which are computed there (reference
+    selector.h:32-92 via `_counters`)."""
+    wide = any(dec.barcode_count >= 32000 for dec in instrument.decoders)
+    index_size = 4 if wide else 2
+    decoded_positions = [
+        k
+        for k, dec in enumerate(instrument.decoders)
+        if dec.algorithm in ("pamld", "mdd")
+    ]
+    confidence_positions = [
+        k
+        for k, dec in enumerate(instrument.decoders)
+        if dec.algorithm == "pamld"
+    ]
+    d = len(instrument.decoders)
+    qcfail_bytes = -(-d // 8)
+    int_bytes = index_size * len(decoded_positions)
+    float_bytes = 4 * len(confidence_positions)
+    return {
+        "wide": wide,
+        "index_size": index_size,
+        "decoded_positions": decoded_positions,
+        "confidence_positions": confidence_positions,
+        "int_bytes": int_bytes,
+        "float_offset": int_bytes,
+        "float_bytes": float_bytes,
+        "qcfail_offset": int_bytes + float_bytes,
+        "qcfail_bytes": qcfail_bytes,
+        "uncertain_offset": int_bytes + float_bytes + qcfail_bytes,
+        "total": int_bytes
+        + float_bytes
+        + qcfail_bytes
+        + (1 if want_uncertain else 0),
+    }
 
 
 def make_decode_step(
@@ -204,8 +341,12 @@ def make_decode_step(
     """
 
     def step(batch):
+        pad = None
+        forced = None
         if h2d_widths is not None:
-            segments, qcfail = _unpack_h2d_blob(h2d_widths, batch["blob"])
+            segments, qcfail, pad, forced = _unpack_h2d_blob(
+                h2d_widths, batch["blob"]
+            )
         else:
             segments = [
                 (c.astype(jnp.int32), q.astype(jnp.int32), l.astype(jnp.int32))
@@ -215,7 +356,7 @@ def make_decode_step(
 
         panel_shards = batch.get("panel_shards", {}) if panel_axis else {}
         per_read = []
-        counters = []
+        results = []
         for position, dec in enumerate(instrument.decoders):
             result = _classify_one(
                 instrument, dec, segments, qcfail,
@@ -237,56 +378,84 @@ def make_decode_step(
                     "uncertain", jnp.zeros(qcfail.shape[0], dtype=bool)
                 )
             per_read.append(entry)
-            if want_counters:
-                counters.append(_counters(dec, result))
+            results.append(result)
+
+        n = qcfail.shape[0]
+        # rows the host re-resolves with the exact oracle (hybrid): any
+        # decoder's derived f32 bound fired, or the H2D flags forced it
+        uncertain_any = jnp.zeros(n, dtype=bool)
+        if want_uncertain:
+            for entry in per_read:
+                uncertain_any = uncertain_any | entry["uncertain"]
+            if forced is not None:
+                uncertain_any = uncertain_any | forced
+
+        counters = []
+        if want_counters:
+            valid = None
+            if pad is not None or want_uncertain:
+                keep = jnp.ones(n, dtype=bool)
+                if pad is not None:
+                    keep = keep & ~pad
+                if want_uncertain:
+                    keep = keep & ~uncertain_any
+                valid = keep.astype(jnp.float32)
+            for dec, result in zip(instrument.decoders, results):
+                counters.append(_counters(dec, result, valid=valid))
 
         if instrument.multiplexing_index >= 0:
             channel_index = per_read[instrument.multiplexing_index]["decoded"]
         else:
-            channel_index = jnp.zeros(qcfail.shape[0], dtype=jnp.int32)
+            channel_index = jnp.zeros(n, dtype=jnp.int32)
 
         if pack_outputs:
-            # ONE dense uint8 matrix for the whole device->host pull: the
-            # tunneled transport pays per-array latency as well as
-            # bandwidth, so indices/distances (int16 unless a panel
-            # overflows it), packed flag bytes and f32 confidences bitcast
-            # into a single (N, bytes_per_read) blob.
-            wide = any(
-                dec.barcode_count >= 32000 for dec in instrument.decoders
-            )
-            index_dtype = jnp.int32 if wide else jnp.int16
-            n = qcfail.shape[0]
-            int_columns = []
-            flag_columns = []
-            float_columns = []
-            for entry in per_read:
-                int_columns += [
-                    entry["decoded"].astype(index_dtype),
-                    entry["distance"].astype(index_dtype),
-                    entry["argmax"].astype(index_dtype),
-                ]
-                flags = entry["branch"].astype(jnp.int8) | (
-                    entry["qcfail"].astype(jnp.int8) << 2
+            # ONE dense uint8 matrix for the whole device->host pull,
+            # carrying only what the host consumes (layout: d2h_layout):
+            # decoded indices, pamld confidences, chained qcfail bits and
+            # the uncertain mask. Distance/argmax/branch feed only the
+            # counters, which just got computed device-side.
+            layout = d2h_layout(instrument, want_uncertain)
+            index_dtype = jnp.int32 if layout["wide"] else jnp.int16
+            parts = []
+            if layout["decoded_positions"]:
+                ints = jnp.stack(
+                    [
+                        per_read[k]["decoded"].astype(index_dtype)
+                        for k in layout["decoded_positions"]
+                    ],
+                    axis=1,
                 )
-                if want_uncertain:
-                    flags = flags | (entry["uncertain"].astype(jnp.int8) << 3)
-                flag_columns.append(flags)
-                float_columns.append(entry["confidence"])
-            ints = jnp.stack(int_columns, axis=1)
-            flags8 = jnp.stack(flag_columns, axis=1)
-            floats = jnp.stack(float_columns, axis=1)
-            blob = jnp.concatenate(
-                [
+                parts.append(
                     jax.lax.bitcast_convert_type(ints, jnp.uint8).reshape(
                         n, -1
-                    ),
-                    flags8.astype(jnp.uint8),
+                    )
+                )
+            if layout["confidence_positions"]:
+                floats = jnp.stack(
+                    [
+                        per_read[k]["confidence"]
+                        for k in layout["confidence_positions"]
+                    ],
+                    axis=1,
+                )
+                parts.append(
                     jax.lax.bitcast_convert_type(floats, jnp.uint8).reshape(
                         n, -1
-                    ),
-                ],
-                axis=1,
-            )
+                    )
+                )
+            qc_bytes = []
+            for byte in range(layout["qcfail_bytes"]):
+                bits = jnp.zeros(n, dtype=jnp.uint8)
+                for bit in range(min(8, len(per_read) - byte * 8)):
+                    bits = bits | (
+                        per_read[byte * 8 + bit]["qcfail"].astype(jnp.uint8)
+                        << bit
+                    )
+                qc_bytes.append(bits)
+            parts.append(jnp.stack(qc_bytes, axis=1))
+            if want_uncertain:
+                parts.append(uncertain_any.astype(jnp.uint8)[:, None])
+            blob = jnp.concatenate(parts, axis=1)
             packed = {"blob": blob}
             if axis_name is not None and want_counters:
                 counters = jax.lax.psum(counters, axis_name)

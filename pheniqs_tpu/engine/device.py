@@ -150,7 +150,7 @@ class DeviceEngine(StrictEngine):
                     self.instrument,
                     mesh,
                     want_uncertain=self.hybrid,
-                    want_counters=False,
+                    want_counters=True,
                     pack_outputs=True,
                     h2d_widths=widths,
                     shard_threshold=threshold,
@@ -166,7 +166,7 @@ class DeviceEngine(StrictEngine):
                     self.instrument,
                     mesh,
                     want_uncertain=self.hybrid,
-                    want_counters=False,
+                    want_counters=True,
                     pack_outputs=True,
                     h2d_widths=widths,
                 )
@@ -175,7 +175,7 @@ class DeviceEngine(StrictEngine):
                     make_decode_step(
                         self.instrument,
                         want_uncertain=self.hybrid,
-                        want_counters=False,
+                        want_counters=True,
                         pack_outputs=True,
                         h2d_widths=widths,
                     )
@@ -203,7 +203,7 @@ class DeviceEngine(StrictEngine):
             self._width_buckets = [0] * len(self.instrument.used_segments)
         for position, segment_index in enumerate(self.instrument.used_segments):
             segment = batch.segments[segment_index]
-            w = _round_up(max(segment.width, 1), 8)
+            w = _round_up(max(segment.width, 1), 4)
             # sticky width buckets: only grow, so signatures stay stable
             w = max(w, self._width_buckets[position])
             self._width_buckets[position] = w
@@ -211,14 +211,21 @@ class DeviceEngine(StrictEngine):
         signature = (padded_n, tuple(widths))
         staging_key = (self._staging_flip, signature)
         self._staging_flip = (self._staging_flip + 1) % self._staging_sets
-        from ..device.step import h2d_blob_bytes, pack_h2d_blob
+        from ..device.step import (
+            H2D_PAD,
+            H2D_QCFAIL,
+            h2d_blob_bytes,
+            pack_h2d_blob,
+        )
 
+        pad_flags = H2D_QCFAIL | H2D_PAD
         blob = self._staging.get(staging_key)
         if blob is None:
             blob = np.zeros(
                 (padded_n, h2d_blob_bytes(widths)), dtype=np.uint8
             )
-            blob[:, -1] = 1  # padding rows arrive qcfail=True
+            # padding rows arrive qcfail=True and counter-masked
+            blob[:, -1] = pad_flags
             self._staging[staging_key] = blob
         # one packed uint8 matrix = ONE host->device transfer per batch
         # (the tunneled transport pays per-array latency; this replaces
@@ -234,7 +241,7 @@ class DeviceEngine(StrictEngine):
         )
         if n < padded_n:
             blob[n:] = 0
-            blob[n:, -1] = 1
+            blob[n:, -1] = pad_flags
         return signature, {"blob": jnp.asarray(blob)}
 
     # --- pipelined execution ---------------------------------------------
@@ -362,49 +369,98 @@ class DeviceEngine(StrictEngine):
 
     def _classify_batch_on_device(self, batch: ReadBatch):
         if self._predispatched is not None:
-            packed, _counters = self._predispatched
+            packed, counters = self._predispatched
         else:
             signature, device_batch = self._device_batch(batch)
             step = self._get_step(signature)
-            packed, _counters = step(device_batch)
+            packed, counters = step(device_batch)
         n = batch.size
-        # one pull: the packed uint8 blob (see step.py pack_outputs)
+        # one pull: the packed uint8 blob (see step.py d2h_layout)
+        from ..device.step import d2h_layout
+
+        layout = d2h_layout(self.instrument, self.hybrid)
         blob = np.asarray(packed["blob"])[:n]
-        d = len(self.instrument.decoders)
-        wide = any(
-            dec.barcode_count >= 32000 for dec in self.instrument.decoders
-        )
-        int_bytes = (4 if wide else 2) * 3 * d
         ints = (
-            np.ascontiguousarray(blob[:, :int_bytes])
-            .view(np.int32 if wide else np.int16)
+            np.ascontiguousarray(blob[:, : layout["int_bytes"]])
+            .view(np.int32 if layout["wide"] else np.int16)
             .astype(np.int32)
         )
-        flag_bytes = blob[:, int_bytes : int_bytes + d]
         floats = (
-            np.ascontiguousarray(blob[:, int_bytes + d :])
+            np.ascontiguousarray(
+                blob[
+                    :,
+                    layout["float_offset"] : layout["float_offset"]
+                    + layout["float_bytes"],
+                ]
+            )
             .view(np.float32)
             .astype(np.float64)
         )
+        qc_bytes = blob[
+            :,
+            layout["qcfail_offset"] : layout["qcfail_offset"]
+            + layout["qcfail_bytes"],
+        ]
+        decoded_column = {
+            position: k
+            for k, position in enumerate(layout["decoded_positions"])
+        }
+        confidence_column = {
+            position: k
+            for k, position in enumerate(layout["confidence_positions"])
+        }
         results = []
         for k in range(len(self.instrument.decoders)):
-            base = 3 * k
-            flags = flag_bytes[:, k]
+            zeros = np.zeros(n, dtype=np.int32)
             result = {
-                "decoded": ints[:, base + 0],
-                "confidence": floats[:, k],
-                "distance": ints[:, base + 1],
-                "argmax": ints[:, base + 2],
-                "branch": (flags & 3).astype(np.int8),
-                "qcfail": ((flags >> 2) & 1).astype(bool),
+                "decoded": (
+                    ints[:, decoded_column[k]]
+                    if k in decoded_column
+                    else zeros
+                ),
+                "confidence": (
+                    floats[:, confidence_column[k]]
+                    if k in confidence_column
+                    else np.zeros(n, dtype=np.float64)
+                ),
+                "qcfail": ((qc_bytes[:, k >> 3] >> (k & 7)) & 1).astype(bool),
             }
-            if self.hybrid:
-                result["uncertain"] = ((flags >> 3) & 1).astype(bool)
             results.append(result)
+
+        # device-side statistics: merge the masked counter deltas straight
+        # into the runtime accumulators (the psum'd analog of the
+        # reference's thread-local collect, transcode.cpp:317-320);
+        # hybrid-uncertain rows were excluded on device and are recorded
+        # host-side from the oracle in _run_classifier
+        self._merge_device_counters(counters)
+
+        if self.hybrid:
+            uncertain = blob[:, layout["uncertain_offset"]].astype(bool)
+            self._batch_rows = np.flatnonzero(uncertain)
+            self._rows_qcfail = batch.qcfail[self._batch_rows].copy()
+            self._resolved_reads = (
+                getattr(self, "_resolved_reads", 0) + self._batch_rows.size
+            )
+        else:
+            self._batch_rows = np.empty(0, dtype=np.int64)
+            self._rows_qcfail = np.empty(0, dtype=bool)
         return results
+
+    def _merge_device_counters(self, counters):
+        for runtime, delta in zip(self._runtimes, counters):
+            acc = runtime.accumulator
+            for name, value in delta.items():
+                value = np.asarray(value)
+                target = getattr(acc, name)
+                if target.dtype == np.float64:
+                    target += value.astype(np.float64)
+                else:
+                    target += np.rint(value).astype(np.int64)
 
     # --- StrictEngine hook ----------------------------------------------
     def _run_classifier(self, runtime, batch, qcfail):
+        from ..decode.oracle import BRANCH_PASS
+
         if self._current_batch is not batch:
             self._batch_results = self._classify_batch_on_device(batch)
             self._current_batch = batch
@@ -418,26 +474,26 @@ class DeviceEngine(StrictEngine):
 
         # this decoder's own qcfail contribution: device chain delta
         previous = (
-            self._batch_results[position - 1]["qcfail"].astype(bool)
+            self._batch_results[position - 1]["qcfail"]
             if position > 0
             else batch.qcfail
         )
-        delta = device["qcfail"].astype(bool) & ~previous
+        delta = device["qcfail"] & ~previous
 
+        n = batch.size
         decoded = device["decoded"].astype(np.int32)
         confidence = device["confidence"].copy()
-        distance = device["distance"].astype(np.int32)
-        branch = device["branch"].astype(np.int8)
-        argmax = device["argmax"].astype(np.int32)
+        # distance/argmax/branch live on device only (they feed the
+        # counters, computed there); host arrays are filled for the
+        # oracle-resolved rows alone
+        distance = np.zeros(n, dtype=np.int32)
+        branch = np.full(n, BRANCH_PASS, dtype=np.int8)
+        argmax = np.zeros(n, dtype=np.int32)
         out_qcfail = qcfail | delta
 
-        if (
-            self.hybrid
-            and spec.algorithm == "pamld"
-            and runtime.scratch is not None
-        ):
-            out_qcfail = self._resolve_uncertain(
-                runtime, device, observation, qcfail,
+        if self.hybrid:
+            self._resolve_rows(
+                runtime, observation,
                 decoded, confidence, distance, branch, argmax, out_qcfail,
             )
 
@@ -450,43 +506,73 @@ class DeviceEngine(StrictEngine):
             argmax=argmax,
             observation=observation,
         )
-        runtime.record(result)
+        # statistics for device-resolved rows were merged from the device
+        # counters at pull time; only oracle-resolved rows record here
         return result
 
-    def _resolve_uncertain(
-        self, runtime, device, observation, qcfail_in,
+    def _resolve_rows(
+        self, runtime, observation,
         decoded, confidence, distance, branch, argmax, out_qcfail,
     ):
-        """Re-resolve flagged rows with the float64 oracle over the exact
-        (scratch-carrying) effective observation."""
-        from ..decode.oracle import pamld_classify
+        """Re-resolve the flagged rows of this batch with the exact float64
+        oracle and record their statistics host-side (the device counters
+        excluded them). The chained qcfail for the flagged rows threads
+        through ``self._rows_qcfail`` decoder by decoder."""
+        from ..decode.oracle import (
+            BRANCH_PASS,
+            mdd_classify,
+            pamld_classify,
+        )
+        from ..transform import SegmentBatch
 
         spec = runtime.spec
-        eff_codes = []
-        eff_quals = []
-        short = np.zeros(decoded.shape[0], dtype=bool)
-        for segment_index, segment in enumerate(observation):
-            code, qual = runtime.scratch.effective(segment_index, segment)
-            eff_codes.append(code)
-            eff_quals.append(qual)
-            short |= segment.length < segment.width
-        uncertain = device.get(
-            "uncertain", np.zeros(decoded.shape[0], dtype=bool)
-        ) | short
-        rows = np.flatnonzero(uncertain)
-        self._resolved_reads = getattr(self, "_resolved_reads", 0) + rows.size
-        if rows.size == 0:
-            return out_qcfail
-        obs_code = np.concatenate([c[rows] for c in eff_codes], axis=1)
-        obs_qual = np.concatenate([q[rows] for q in eff_quals], axis=1)
-        oracle = pamld_classify(spec, obs_code, obs_qual, qcfail_in[rows])
+        rows = self._batch_rows
+
+        if spec.algorithm == "pamld" and runtime.scratch is not None:
+            # scratch carry is serial state: advance it on EVERY batch,
+            # even when no rows are flagged
+            eff_codes = []
+            eff_quals = []
+            for segment_index, segment in enumerate(observation):
+                code, qual = runtime.scratch.effective(segment_index, segment)
+                eff_codes.append(code)
+                eff_quals.append(qual)
+            if rows.size == 0:
+                return
+            obs_code = np.concatenate([c[rows] for c in eff_codes], axis=1)
+            obs_qual = np.concatenate([q[rows] for q in eff_quals], axis=1)
+            oracle = pamld_classify(spec, obs_code, obs_qual, self._rows_qcfail)
+        elif rows.size == 0:
+            return
+        elif spec.algorithm == "mdd":
+            sub_observation = [
+                SegmentBatch(
+                    code=segment.code[rows],
+                    quality=segment.quality[rows],
+                    length=segment.length[rows],
+                )
+                for segment in observation
+            ]
+            oracle = mdd_classify(spec, sub_observation, self._rows_qcfail)
+        else:
+            # naive / passthrough: decoded stays 0, qcfail passes through
+            oracle = ClassifyResult(
+                decoded=np.zeros(rows.size, dtype=np.int32),
+                confidence=np.zeros(rows.size, dtype=np.float64),
+                edit_distance=np.zeros(rows.size, dtype=np.int32),
+                qcfail=self._rows_qcfail.copy(),
+                branch=np.full(rows.size, BRANCH_PASS, dtype=np.int8),
+                argmax=np.zeros(rows.size, dtype=np.int32),
+            )
+
         decoded[rows] = oracle.decoded
         confidence[rows] = oracle.confidence
         distance[rows] = oracle.edit_distance
         branch[rows] = oracle.branch
         argmax[rows] = oracle.argmax
         out_qcfail[rows] = oracle.qcfail
-        return out_qcfail
+        self._rows_qcfail = oracle.qcfail.copy()
+        runtime.record(oracle)
 
 
 class StreamedDeviceEngine(DeviceEngine):

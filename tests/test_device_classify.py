@@ -400,7 +400,7 @@ def test_h2d_blob_round_trip():
     blob = pack_h2d_blob(widths, segments, qcfail)
     assert blob.shape == (n, h2d_blob_bytes(widths))
 
-    unpacked, fail = jax.jit(
+    unpacked, fail, pad, forced = jax.jit(
         lambda b: _unpack_h2d_blob(widths, b)
     )(jnp.asarray(blob))
     for (code, qual, length), (u_code, u_qual, u_length) in zip(
@@ -410,3 +410,38 @@ def test_h2d_blob_round_trip():
         np.testing.assert_array_equal(np.asarray(u_qual), qual)
         np.testing.assert_array_equal(np.asarray(u_length), length)
     np.testing.assert_array_equal(np.asarray(fail), qcfail.astype(bool))
+    assert not np.asarray(pad).any()
+    assert not np.asarray(forced).any()
+
+
+def test_h2d_blob_quality_clamp_flags_forced():
+    """Qualities >= 64 clamp to 63 on the wire and flag the row H2D_FORCED
+    so the hybrid engine re-resolves it with the exact float64 oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pheniqs_tpu.device.step import _unpack_h2d_blob, pack_h2d_blob
+
+    n, w = 16, 8
+    code = np.full((n, w), 1, dtype=np.uint8)
+    qual = np.full((n, w), 40, dtype=np.uint8)
+    qual[3, 2] = 70  # beyond the 6-bit wire range
+    qual[9, 0] = 93
+    length = np.full(n, w, dtype=np.int32)
+    qcfail = np.zeros(n, dtype=np.uint8)
+
+    blob = pack_h2d_blob([w], [(code, qual, length)], qcfail)
+    unpacked, fail, pad, forced = jax.jit(
+        lambda b: _unpack_h2d_blob([w], b)
+    )(jnp.asarray(blob))
+    u_code, u_qual, _ = unpacked[0]
+    np.testing.assert_array_equal(np.asarray(u_code), code)
+    np.testing.assert_array_equal(
+        np.asarray(u_qual), np.minimum(qual, 63)
+    )
+    expected_forced = np.zeros(n, dtype=bool)
+    expected_forced[[3, 9]] = True
+    np.testing.assert_array_equal(np.asarray(forced), expected_forced)
+    assert not np.asarray(fail).any()
+    assert not np.asarray(pad).any()
