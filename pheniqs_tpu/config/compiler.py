@@ -426,6 +426,10 @@ class InstructionCompiler:
         ontology["feed"]["input feed by segment"] = [
             _deep_copy(proxy_by_url[url.encoded]) for url in segment_urls
         ]
+        # engine-internal marker: the layout above came from head-probe
+        # sensing, so sync errors can blame the sensing (stripped from the
+        # --compile document for reference byte-parity)
+        ontology["feed"]["sensed"] = True
 
     # --- transformations ------------------------------------------------------
     def compile_transformation(self, value: dict):
@@ -1033,5 +1037,9 @@ def write_compiled_instruction(ontology: dict, precision: int = 15) -> str:
     compiled = _deep_copy(ontology)
     for key in ("application version", "program", "working directory"):
         compiled.pop(key, None)
+    if isinstance(compiled.get("feed"), dict):
+        # engine-internal sensing marker, not part of the reference's
+        # compiled document (byte-parity with test/BDGGG/valid/compile_*)
+        compiled["feed"].pop("sensed", None)
     compiled = sort_json(compiled)
     return write_json(compiled, precision)

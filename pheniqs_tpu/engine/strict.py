@@ -420,6 +420,7 @@ class StrictEngine:
                         batch_size,
                         leading_segment_index=self.leading_segment_index,
                         formats=formats,
+                        sensed=bool(self.ontology["feed"].get("sensed")),
                     )
                     return
                 except FileNotFoundError:
@@ -477,9 +478,22 @@ class StrictEngine:
                 if record[0] != baseline:
                     from ..errors import SequenceError
 
+                    layout = ", ".join(
+                        f"{p['url']}: {p.get('resolution', 1)}"
+                        for p in feed_proxies
+                    )
+                    hint = f" (feed resolution: {layout})"
+                    if self.ontology["feed"].get("sensed"):
+                        hint += (
+                            "; the layout was sensed from the head of each"
+                            " feed and may be wrong for this input — declare"
+                            " the input layout explicitly (repeat the url in"
+                            " `input` once per interleaved segment) to"
+                            " override sensing"
+                        )
                     raise SequenceError(
                         f"read out of sync {record[0].decode()} and "
-                        f"{baseline.decode()}"
+                        f"{baseline.decode()}" + hint
                     )
             records.append(list(read))
             if len(records) >= batch_size:

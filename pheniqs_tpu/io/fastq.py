@@ -107,9 +107,29 @@ class FastqReadAssembler:
     transcode.cpp:559-682).
     """
 
-    def __init__(self, feeds: list[tuple[str, int]], phred_offset: int = 33):
+    def __init__(
+        self,
+        feeds: list[tuple[str, int]],
+        phred_offset: int = 33,
+        sensed: bool = False,
+    ):
         self.feeds = feeds
         self.phred_offset = phred_offset
+        self.sensed = sensed
+
+    def _layout_hint(self) -> str:
+        layout = ", ".join(
+            f"{path}: {resolution}" for path, resolution in self.feeds
+        )
+        hint = f" (feed resolution: {layout})"
+        if self.sensed:
+            hint += (
+                "; the layout was sensed from the head of each feed and may"
+                " be wrong for this input — declare the input layout"
+                " explicitly (repeat the url in `input` once per interleaved"
+                " segment) to override sensing"
+            )
+        return hint
 
     def __iter__(self):
         iterators = [read_fastq(path, self.phred_offset) for path, _ in self.feeds]
@@ -126,13 +146,17 @@ class FastqReadAssembler:
                     read.append(record)
             if exhausted:
                 if read:
-                    raise IOError_("truncated input: feeds ended out of sync")
+                    raise IOError_(
+                        "truncated input: feeds ended out of sync"
+                        + self._layout_hint()
+                    )
                 return
             baseline = read[0].name
             for record in read[1:]:
                 if record.name != baseline:
                     raise SequenceError(
-                        f"read out of sync {record.name.decode()} and {baseline.decode()}"
+                        f"read out of sync {record.name.decode()} and "
+                        f"{baseline.decode()}" + self._layout_hint()
                     )
             yield read
 

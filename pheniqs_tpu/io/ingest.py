@@ -25,13 +25,16 @@ def native_read_batches(
     max_length: int = 256,
     leading_segment_index: int = 0,
     formats: list[str] | None = None,
+    sensed: bool = False,
 ):
     """Yield ReadBatch objects via the native parser.
 
     ``segment_urls`` maps input segment index -> feed URL path (repeated
     entries = interleaved feed with that resolution); ``formats`` gives
     each segment's feed format ("fastq" default, "bam" uses the native
-    BAM batch reader over the parallel BGZF pool).
+    BAM batch reader over the parallel BGZF pool). ``sensed`` marks a
+    layout inferred by head-probing, so sync errors can point at the
+    sensing as the likely culprit (reference transcode.cpp:559-682).
     """
     from ..io.cram import NativeCramReader
     from ..native import NativeBamReader, NativeFastqReader
@@ -62,6 +65,18 @@ def native_read_batches(
         )
         for url in unique
     }
+    def layout_hint() -> str:
+        layout = ", ".join(f"{url}: {resolution[url]}" for url in unique)
+        hint = f" (feed resolution: {layout})"
+        if sensed:
+            hint += (
+                "; the layout was sensed from the head of each feed and may"
+                " be wrong for this input — declare the input layout"
+                " explicitly (repeat the url in `input` once per interleaved"
+                " segment) to override sensing"
+            )
+        return hint
+
     pool = None
     if len(unique) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -96,13 +111,16 @@ def native_read_batches(
                     count = batch[0].shape[0]
                     if count % resolution[url] != 0:
                         raise IOError_(
-                            f"truncated interleaved feed {url}: {count} records"
+                            f"truncated interleaved feed {url}: {count} "
+                            "records" + layout_hint()
                         )
                     counts.add(count // resolution[url])
             if counts == {0}:
                 return
             if len(counts) != 1:
-                raise IOError_("truncated input: feeds ended out of sync")
+                raise IOError_(
+                    "truncated input: feeds ended out of sync" + layout_hint()
+                )
             reads = counts.pop()
 
             segments = []
@@ -151,8 +169,9 @@ def native_read_batches(
                         for got, expected in zip(names, baseline):
                             if got != expected:
                                 raise SequenceError(
-                                    f"read out of sync {got.decode()} and "
-                                    f"{expected.decode()}"
+                                    f"read out of sync: {url} yields "
+                                    f"{got.decode()} where the leading feed "
+                                    f"has {expected.decode()}" + layout_hint()
                                 )
                 else:
                     # one record per feed: names agree iff the arenas agree
@@ -172,10 +191,13 @@ def native_read_batches(
                         for got, expected in zip(mine, theirs):
                             if got != expected:
                                 raise SequenceError(
-                                    f"read out of sync {got.decode()} and "
-                                    f"{expected.decode()}"
+                                    f"read out of sync: {url} yields "
+                                    f"{got.decode()} where the leading feed "
+                                    f"has {expected.decode()}" + layout_hint()
                                 )
-                        raise SequenceError("read feeds out of sync")
+                        raise SequenceError(
+                            "read feeds out of sync" + layout_hint()
+                        )
             if interleaved:
                 yield ReadBatch(
                     segments=segments, names=baseline, qcfail=qcfail

@@ -147,9 +147,13 @@ class TranscodeJob:
 
             with open(partial_path, "w") as stream:
                 json.dump(self.engine.dump_partial_state(), stream)
-        include_job = (
-            self.ontology if self.ontology.get("include compiled job") else None
-        )
+        include_job = None
+        if self.ontology.get("include compiled job"):
+            import copy
+
+            include_job = copy.deepcopy(self.ontology)
+            if isinstance(include_job.get("feed"), dict):
+                include_job["feed"].pop("sensed", None)
         self.report = self.engine.finalize_report(include_job)
 
     def write_result(self, stdout, stderr):

@@ -256,6 +256,10 @@ def test_sensed_interleave_divergence_fails_typed(tmp_path, native_path, monkeyp
     )
     assert result.returncode == 7, (result.returncode, result.stderr[-500:])
     assert "out of sync" in result.stderr
+    # the error must implicate the head-probe sensing and name the
+    # per-feed resolution so the user knows what to override (VERDICT r2)
+    assert "sensed" in result.stderr, result.stderr[-500:]
+    assert "feed resolution" in result.stderr, result.stderr[-500:]
 
 
 def test_worker_error_relays_typed(tmp_path):
