@@ -447,9 +447,10 @@ struct BamBatchReader {
     BgzfReader* bgzf = nullptr;
     std::string error;
     bool eof = false;
-    // pending record that exceeded the caller's matrices (grow protocol)
-    bool has_pending = false;
-    std::vector<uint8_t> pending_record;  // raw record body (after size)
+    // record at `position` exceeded the caller's matrices (grow
+    // protocol): position is NOT advanced, the next read_batch call
+    // re-parses it in place against the regrown matrices
+    int32_t pending_l_seq = 0;
     // local decompressed buffer: per-record reads would otherwise take
     // the BGZF ring mutex twice per record
     std::vector<uint8_t> buffer;
@@ -533,33 +534,46 @@ const char* pq_bam_error(void* handle) {
 }
 
 int64_t pq_bam_pending_length(void* handle) {
-    BamBatchReader* reader = static_cast<BamBatchReader*>(handle);
-    if (!reader->has_pending) return 0;
-    int32_t l_seq;
-    std::memcpy(&l_seq, reader->pending_record.data() + 16, 4);
-    return l_seq;
+    return static_cast<BamBatchReader*>(handle)->pending_l_seq;
 }
 
 void pq_bam_close(void* handle) {
     delete static_cast<BamBatchReader*>(handle);
 }
 
-// Emit one raw record body into the batch row; returns false if it does
-// not fit max_length (caller stashes it).
+// 256-entry LUT: one packed seq byte -> its two 4-bit codes, written as
+// one 16-bit store (hi nibble first, matching BAM base order)
+static const uint16_t* bam_nibble_lut() {
+    static uint16_t lut[256];
+    static bool ready = false;
+    if (!ready) {
+        for (int b = 0; b < 256; ++b) {
+            uint8_t pair[2] = { static_cast<uint8_t>(b >> 4),
+                                static_cast<uint8_t>(b & 0xF) };
+            std::memcpy(&lut[b], pair, 2);
+        }
+        ready = true;
+    }
+    return lut;
+}
+
+// Emit one raw record body (parsed IN PLACE from the decompressed
+// buffer) into the batch row; returns false if it does not fit
+// max_length (caller leaves it unconsumed and regrows).
 static bool bam_emit_record(
-    const std::vector<uint8_t>& body, int32_t row, int32_t max_length,
+    const uint8_t* body, size_t body_size, int32_t row, int32_t max_length,
     uint8_t* code, uint8_t* qual, int32_t* length, uint8_t* qcfail,
     char* names, int64_t* names_used, int64_t* name_offset,
     std::string* error
 ) {
-    if (body.size() < 32) { *error = "truncated BAM record"; return true; }
+    if (body_size < 32) { *error = "truncated BAM record"; return true; }
     uint8_t l_read_name = body[8];
     uint16_t n_cigar;
-    std::memcpy(&n_cigar, body.data() + 12, 2);
+    std::memcpy(&n_cigar, body + 12, 2);
     uint16_t flag;
-    std::memcpy(&flag, body.data() + 14, 2);
+    std::memcpy(&flag, body + 14, 2);
     int32_t l_seq;
-    std::memcpy(&l_seq, body.data() + 16, 4);
+    std::memcpy(&l_seq, body + 16, 4);
     if (l_seq < 0 || l_read_name == 0) {
         *error = "malformed BAM record header";
         return true;
@@ -568,7 +582,7 @@ static bool bam_emit_record(
     size_t cigar_at = name_at + l_read_name;
     size_t seq_at = cigar_at + 4ull * n_cigar;
     size_t qual_at = seq_at + (static_cast<size_t>(l_seq) + 1) / 2;
-    if (qual_at + static_cast<size_t>(l_seq) > body.size()) {
+    if (qual_at + static_cast<size_t>(l_seq) > body_size) {
         *error = "truncated BAM record body";
         return true;
     }
@@ -576,18 +590,20 @@ static bool bam_emit_record(
 
     uint8_t* code_row = code + static_cast<int64_t>(row) * max_length;
     uint8_t* qual_row = qual + static_cast<int64_t>(row) * max_length;
-    const uint8_t* nibbles = body.data() + seq_at;
-    for (int32_t i = 0; i < l_seq; ++i) {
-        uint8_t pair = nibbles[i >> 1];
-        code_row[i] = (i & 1) ? (pair & 0xF) : (pair >> 4);
+    const uint8_t* nibbles = body + seq_at;
+    const uint16_t* lut = bam_nibble_lut();
+    int32_t pairs = l_seq >> 1;
+    for (int32_t i = 0; i < pairs; ++i) {
+        std::memcpy(code_row + 2 * i, &lut[nibbles[i]], 2);
     }
-    const uint8_t* quals = body.data() + qual_at;
+    if (l_seq & 1) code_row[l_seq - 1] = nibbles[pairs] >> 4;
+    const uint8_t* quals = body + qual_at;
     for (int32_t i = 0; i < l_seq; ++i) {
         qual_row[i] = quals[i] == 0xFF ? 0 : quals[i];
     }
     size_t name_length = l_read_name > 0 ? l_read_name - 1 : 0;  // drop NUL
     if (name_length > 4000) name_length = 4000;
-    std::memcpy(names + *names_used, body.data() + name_at, name_length);
+    std::memcpy(names + *names_used, body + name_at, name_length);
     *names_used += static_cast<int64_t>(name_length);
     length[row] = l_seq;
     qcfail[row] = (flag & 0x200) ? 1 : 0;
@@ -613,40 +629,44 @@ int32_t pq_bam_read_batch(
     int32_t count = 0;
     int64_t names_used = 0;
     name_offset[0] = 0;
-    std::vector<uint8_t> body;  // reused across records (no per-record heap)
+    reader->pending_l_seq = 0;
     while (count < max_records) {
         if (names_capacity - names_used < 4096) {
             return count > 0 ? count : -2;
         }
-        if (reader->has_pending) {
-            body = std::move(reader->pending_record);
-            reader->has_pending = false;
-        } else {
-            uint8_t quad[4];
-            if (!reader->read_exact(quad, 4)) {
-                if (!reader->error.empty()) return -1;
-                break;  // clean EOF
-            }
-            int32_t block_size;
-            std::memcpy(&block_size, quad, 4);
-            if (block_size < 32 || block_size > (1 << 28)) {
-                reader->error = "implausible BAM record size";
+        // peek the record size, then parse the body IN PLACE from the
+        // decompressed buffer (no per-record copy)
+        if (reader->buffer.size() - reader->position < 4 &&
+            !reader->refill(4)) {
+            if (!reader->error.empty()) return -1;
+            if (reader->buffer.size() > reader->position) {
+                reader->error = "truncated BAM stream";
                 return -1;
             }
-            body.resize(block_size);
-            if (!reader->read_exact(body.data(), body.size())) {
-                if (reader->error.empty()) reader->error = "truncated BAM record";
-                return -1;
-            }
+            break;  // clean EOF
         }
-        if (!bam_emit_record(body, count, max_length, code, qual, length,
-                             qcfail, names, &names_used, name_offset,
-                             &reader->error)) {
-            reader->pending_record = std::move(body);
-            reader->has_pending = true;
+        int32_t block_size;
+        std::memcpy(&block_size, reader->buffer.data() + reader->position, 4);
+        if (block_size < 32 || block_size > (1 << 28)) {
+            reader->error = "implausible BAM record size";
+            return -1;
+        }
+        size_t need = 4ull + static_cast<size_t>(block_size);
+        if (reader->buffer.size() - reader->position < need &&
+            !reader->refill(need)) {
+            if (reader->error.empty()) reader->error = "truncated BAM record";
+            return -1;
+        }
+        const uint8_t* body = reader->buffer.data() + reader->position + 4;
+        if (!bam_emit_record(body, block_size, count, max_length, code,
+                             qual, length, qcfail, names, &names_used,
+                             name_offset, &reader->error)) {
+            // record does not fit: leave it unconsumed for the regrown call
+            std::memcpy(&reader->pending_l_seq, body + 16, 4);
             return count > 0 ? count : -3;
         }
         if (!reader->error.empty()) return -1;
+        reader->position += need;
         ++count;
     }
     return count;
