@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from .device.flagship import flagship_instrument, flagship_ontology, synthetic_batch
+from .device.flagship import flagship_ontology, synthetic_batch
 
 SEGMENT_WIDTHS = (150, 8, 8, 26)
 
@@ -36,6 +36,9 @@ def synthesize_fastq_input(
     already present with the right size)."""
     from .native import fastq_format_batch
 
+    # one directory per (size, seed): a different requested size must not
+    # truncate another run's cached input files
+    directory = f"{directory}_{n_reads}_{seed}"
     os.makedirs(directory, exist_ok=True)
     paths = [
         os.path.join(directory, f"flagship_s{s + 1:02d}.fastq")
@@ -45,7 +48,6 @@ def synthesize_fastq_input(
     if os.path.exists(marker) and all(os.path.exists(p) for p in paths):
         return paths
 
-    instrument = flagship_instrument()
     ontology = flagship_ontology()
     streams = [open(p, "wb") for p in paths]
     written = 0
@@ -53,7 +55,7 @@ def synthesize_fastq_input(
     while written < n_reads:
         n = min(chunk, n_reads - written)
         batch = synthetic_batch(
-            instrument, ontology, n, seed=seed + part, segment_widths=SEGMENT_WIDTHS
+            None, ontology, n, seed=seed + part, segment_widths=SEGMENT_WIDTHS
         )
         name_list = [b"r%d" % (written + i) for i in range(n)]
         names = b"".join(name_list)

@@ -105,23 +105,31 @@ def flagship_instrument(**kwargs) -> DeviceInstrument:
 
 
 def synthetic_batch(
-    instrument: DeviceInstrument,
+    instrument: DeviceInstrument | None,
     ontology: dict,
     n: int,
     seed: int = 7,
     error_rate: float = 0.02,
     segment_widths: tuple[int, ...] = (150, 8, 8, 26),
 ) -> dict:
-    """Simulate a NumPy read batch drawn from the instrument's panels."""
+    """Simulate a NumPy read batch drawn from the ontology's panels.
+
+    Panels come from the NumPy decoder specs, NOT the device instrument:
+    input synthesis must never touch the accelerator (an `np.asarray` of
+    a device-resident panel blocks on a D2H pull — on the tunneled axon
+    platform that can stall for minutes)."""
+    from ..decode.spec import spec_from_ontology
+
     rng = np.random.default_rng(seed)
     segments = []
-    panels = {1: None, 2: None, 3: None}
-    sample_dec = instrument.decoders[0]
-    cell_dec = next(
-        d for d in instrument.decoders if d.classifier_type == "cellular"
+    sample_codes = np.asarray(
+        spec_from_ontology(ontology["sample"], "sample").panel.codes,
+        dtype=np.uint8,
     )
-    sample_codes = np.asarray(sample_dec.panel_codes, dtype=np.uint8)
-    cell_codes = np.asarray(cell_dec.panel_codes, dtype=np.uint8)
+    cell_codes = np.asarray(
+        spec_from_ontology(ontology["cellular"][0], "cellular").panel.codes,
+        dtype=np.uint8,
+    )
     draw_sample = sample_codes[rng.integers(sample_codes.shape[0], size=n)]
     draw_cell = cell_codes[rng.integers(cell_codes.shape[0], size=n)]
 
