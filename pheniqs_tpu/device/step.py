@@ -278,6 +278,37 @@ def _unpack_h2d_blob(widths: list[int], blob):
     return segments, qcfail, pad, forced
 
 
+def counter_layout(instrument: DeviceInstrument) -> list[tuple[int, str, int]]:
+    """Deterministic (decoder position, counter name, vector length) order
+    of the flattened device counter vector. The flattening exists for the
+    wire: a dict of ~20 small arrays costs ~20 round trips per batch on a
+    high-latency link; one concatenated f32 vector costs one."""
+    layout = []
+    for position, dec in enumerate(instrument.decoders):
+        b1 = dec.barcode_count + 1
+        names = ["count", "pf_count"]
+        if dec.algorithm in ("pamld", "mdd"):
+            names += ["accumulated_distance", "accumulated_pf_distance"]
+        if dec.algorithm == "pamld":
+            names += [
+                "accumulated_confidence",
+                "accumulated_pf_confidence",
+                "low_confidence_count",
+                "low_conditional_confidence_count",
+            ]
+        layout.extend((position, name, b1) for name in names)
+    return layout
+
+
+def flatten_counters(instrument: DeviceInstrument, counters: list) -> jnp.ndarray:
+    parts = []
+    for position, name, _size in counter_layout(instrument):
+        parts.append(counters[position][name])
+    if not parts:
+        return jnp.zeros(0, dtype=jnp.float32)
+    return jnp.concatenate(parts)
+
+
 def d2h_layout(instrument: DeviceInstrument, want_uncertain: bool) -> dict:
     """Byte layout of the packed device->host decision blob, shared by the
     device pack (make_decode_step) and the engine unpack.
@@ -457,8 +488,11 @@ def make_decode_step(
                 parts.append(uncertain_any.astype(jnp.uint8)[:, None])
             blob = jnp.concatenate(parts, axis=1)
             packed = {"blob": blob}
-            if axis_name is not None and want_counters:
-                counters = jax.lax.psum(counters, axis_name)
+            if want_counters:
+                flat = flatten_counters(instrument, counters)
+                if axis_name is not None:
+                    flat = jax.lax.psum(flat, axis_name)
+                return packed, flat
             return packed, counters
 
         per_read_out = {

@@ -353,9 +353,11 @@ class DeviceEngine(StrictEngine):
         # (the tunneled relay's pull latency otherwise serializes finishes)
         packed = handles[0]
         blob = packed.get("blob") if isinstance(packed, dict) else None
-        if blob is not None:
+        for device_array in (blob, handles[1]):
+            if device_array is None or isinstance(device_array, list):
+                continue
             try:
-                blob.copy_to_host_async()
+                device_array.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass  # sharded global arrays / older jax: pull at finish
         return handles
@@ -447,15 +449,21 @@ class DeviceEngine(StrictEngine):
         return results
 
     def _merge_device_counters(self, counters):
-        for runtime, delta in zip(self._runtimes, counters):
-            acc = runtime.accumulator
-            for name, value in delta.items():
-                value = np.asarray(value)
-                target = getattr(acc, name)
-                if target.dtype == np.float64:
-                    target += value.astype(np.float64)
-                else:
-                    target += np.rint(value).astype(np.int64)
+        """Split the flattened device counter vector (one D2H array per
+        batch — see step.counter_layout) into the accumulators."""
+        from ..device.step import counter_layout
+
+        flat = np.asarray(counters)
+        offset = 0
+        for position, name, size in counter_layout(self.instrument):
+            value = flat[offset : offset + size]
+            offset += size
+            acc = self._runtimes[position].accumulator
+            target = getattr(acc, name)
+            if target.dtype == np.float64:
+                target += value.astype(np.float64)
+            else:
+                target += np.rint(value).astype(np.int64)
 
     # --- StrictEngine hook ----------------------------------------------
     def _run_classifier(self, runtime, batch, qcfail):

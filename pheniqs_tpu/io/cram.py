@@ -434,6 +434,9 @@ def _sized_map(entries: list[bytes], count: int) -> bytes:
 CID = {
     "BF": 1, "CF": 2, "RL": 3, "AP": 4, "RG": 5, "MF": 6, "RN": 7,
     "NS": 8, "NP": 9, "TS": 10, "TL": 11, "BA": 12, "QS": 13,
+    # mapped-record series (write side; the reader accepts any layout)
+    "RI": 14, "MQ": 15, "FN": 16, "FC": 17, "FP": 18, "BS": 19,
+    "IN": 20, "SC": 21, "DL": 22, "RS": 23, "PD": 24, "HC": 25,
 }
 TAG_CID_BASE = 32
 
@@ -443,13 +446,83 @@ INT_SERIES = (
 )
 
 
+#: the identity substitution matrix: for each reference base (A,C,G,T,N)
+#: the other four bases in A,C,G,T,N order get codes 0..3, packed MSB
+#: first -> every byte is 0b00011011
+_SM_IDENTITY = bytes([0x1B] * 5)
+_ACGTN_W = b"ACGTN"
+
+
+def _mapped_features(bases: bytes, quals: bytes, ref_id: int, pos0: int,
+                     cigar: list, ref_source: "_ReferenceSource"):
+    """Read features for one mapped record (CRAM 3.0 §8.5.10.2): walk the
+    CIGAR, compare aligned runs to the reference, and emit the minimal
+    feature list — X (2-bit substitution code) for ACGT mismatches,
+    B (base+quality) for ambiguity codes, I/S/D/N/H/P passthrough."""
+    features = []  # (code_char_ord, read_pos_1based, payload)
+    read_pos = 1
+    ref_pos = pos0 + 1  # 1-based on the reference
+    for op, length in cigar:
+        if op in "M=X":
+            ref = ref_source.bases(
+                ref_id, ref_pos, ref_pos + length - 1
+            ).upper()
+            seg = bases[read_pos - 1 : read_pos - 1 + length]
+            if ref != seg:
+                for k in range(length):
+                    read_base = seg[k]
+                    ref_base = ref[k] if k < len(ref) else 0
+                    if read_base == ref_base:
+                        continue
+                    r_rank = _ACGTN_W.find(ref_base)
+                    s_rank = _ACGTN_W.find(read_base)
+                    if 0 <= r_rank and 0 <= s_rank and s_rank != r_rank:
+                        others = [b for b in range(5) if b != r_rank]
+                        features.append(
+                            (ord("X"), read_pos + k, others.index(s_rank))
+                        )
+                    else:
+                        features.append(
+                            (
+                                ord("B"),
+                                read_pos + k,
+                                (read_base, quals[read_pos - 1 + k]),
+                            )
+                        )
+            read_pos += length
+            ref_pos += length
+        elif op == "I":
+            features.append(
+                (ord("I"), read_pos, bases[read_pos - 1 : read_pos - 1 + length])
+            )
+            read_pos += length
+        elif op == "S":
+            features.append(
+                (ord("S"), read_pos, bases[read_pos - 1 : read_pos - 1 + length])
+            )
+            read_pos += length
+        elif op == "D":
+            features.append((ord("D"), read_pos, length))
+            ref_pos += length
+        elif op == "N":
+            features.append((ord("N"), read_pos, length))
+            ref_pos += length
+        elif op == "H":
+            features.append((ord("H"), read_pos, length))
+        elif op == "P":
+            features.append((ord("P"), read_pos, length))
+        else:
+            raise UnsupportedError(f"CRAM writer: CIGAR op {op!r}")
+    return features
+
+
 class CramWriter:
     """BamWriter-compatible CRAM emitter (write_record / close)."""
 
     RECORDS_PER_SLICE = 4096
 
     def __init__(self, stream, header_text: str, level: int = 5,
-                 threads: int = 1):
+                 threads: int = 1, reference: str | None = None):
         # `threads` accepted for interface parity; block compression is
         # cheap enough inline (one gzip call per series per slice)
         self.stream = stream
@@ -457,13 +530,34 @@ class CramWriter:
         self.record_counter = 0
         self.pending: list[tuple] = []
         self.rg_index: dict[str, int] = {}
+        self.sq_names: list[str] = []
         for line in header_text.splitlines():
             if line.startswith("@RG"):
                 for field in line.split("\t")[1:]:
                     if field.startswith("ID:"):
                         self.rg_index.setdefault(field[3:], len(self.rg_index))
+            elif line.startswith("@SQ"):
+                for field in line.split("\t")[1:]:
+                    if field.startswith("SN:"):
+                        self.sq_names.append(field[3:])
+        if reference is None:
+            reference = os.environ.get("PHENIQS_CRAM_REFERENCE")
+        self._reference_path = reference
+        self._ref_source: _ReferenceSource | None = None
         self._write_file_definition()
         self._write_header_container(header_text)
+
+    def _reference(self) -> "_ReferenceSource":
+        if self._ref_source is None:
+            if self._reference_path is None:
+                raise UnsupportedError(
+                    "writing mapped CRAM records requires a reference FASTA"
+                    " (reference= or $PHENIQS_CRAM_REFERENCE)"
+                )
+            self._ref_source = _ReferenceSource(
+                self._reference_path, self.sq_names
+            )
+        return self._ref_source
 
     def _write_file_definition(self):
         file_id = b"pheniqs-tpu-cram".ljust(20, b"\x00")[:20]
@@ -504,7 +598,44 @@ class CramWriter:
         aux = encode_bam_aux(tags)
         rg = self.rg_index.get(tags.RG, -1) if tags.RG else -1
         self.pending.append((name.encode(), int(flag) | FLAG_UNMAPPED,
-                             l_seq, bases, quals, aux, rg))
+                             l_seq, bases, quals, aux, rg,
+                             -1, -1, 0, None, -1, -1, 0))
+        if len(self.pending) >= self.RECORDS_PER_SLICE:
+            self.flush()
+
+    def write_hts_record(self, record: "HtsRecord"):
+        """Full-record intake for BAM->CRAM transcoding: mapped records
+        store read features against the reference instead of their bases
+        (CRAM 3.0 §8.5; the reference delegates this whole path to htslib,
+        reference hts.cpp:160-240)."""
+        from .hts import encode_aux_dict
+
+        l_seq = int(record.code.shape[0])
+        bases = BAM_TO_ASCII[
+            np.asarray(record.code, dtype=np.uint8) & 0xF
+        ].tobytes()
+        quals = np.asarray(record.quality, dtype=np.uint8).tobytes()
+        aux = {k: v for k, v in record.aux.items() if k != "RG"}
+        rg = self.rg_index.get(record.aux.get("RG", ""), -1)
+        mapped = (
+            not record.flag & FLAG_UNMAPPED
+            and record.ref_id >= 0
+            and record.pos >= 0
+        )
+        features = None
+        if mapped:
+            features = _mapped_features(
+                bases, quals, record.ref_id, record.pos, record.cigar or [],
+                self._reference(),
+            )
+        self.pending.append((
+            bytes(record.name), record.flag, l_seq, bases, quals,
+            encode_aux_dict(aux), rg,
+            record.ref_id if mapped else -1,
+            record.pos if mapped else -1,
+            record.mapq, features,
+            record.next_ref, record.next_pos, record.tlen,
+        ))
         if len(self.pending) >= self.RECORDS_PER_SLICE:
             self.flush()
 
@@ -544,6 +675,11 @@ class CramWriter:
         records = self.pending
         self.pending = []
 
+        # mixed/mapped slices use the multi-reference layout (slice ref
+        # -2 + an RI series per record); pure-unmapped slices keep the
+        # demux layout
+        has_mapped = any(entry[10] is not None for entry in records)
+
         streams: dict[int, bytearray] = {cid: bytearray() for cid in CID.values()}
         tag_cids: dict[bytes, int] = {}
         tag_lines: dict[bytes, int] = {}
@@ -551,7 +687,9 @@ class CramWriter:
         base_count = 0
 
         parsed = []
-        for name, flag, l_seq, bases, quals, aux, rg in records:
+        for entry in records:
+            (name, flag, l_seq, bases, quals, aux, rg,
+             ref_id, pos, mapq, features, next_ref, next_pos, tlen) = entry
             tags = self._split_aux(aux)
             line = b"".join(key for key, _ in tags)
             if line not in tag_lines:
@@ -562,36 +700,71 @@ class CramWriter:
                         tag_cids[key] = TAG_CID_BASE + len(tag_cids)
                         streams[tag_cids[key]] = bytearray()
             parsed.append((name, flag, l_seq, bases, quals, tags,
-                           tag_lines[line], rg))
+                           tag_lines[line], rg, ref_id, pos, mapq, features,
+                           next_ref, next_pos, tlen))
             base_count += l_seq
 
-        for name, flag, l_seq, bases, quals, tags, tl, rg in parsed:
+        for (name, flag, l_seq, bases, quals, tags, tl, rg, ref_id, pos,
+             mapq, features, next_ref, next_pos, tlen) in parsed:
+            mapped = features is not None
             streams[CID["BF"]] += itf8_put(flag)
             streams[CID["CF"]] += itf8_put(CF_QUALITY | CF_DETACHED)
+            if has_mapped:
+                streams[CID["RI"]] += itf8_put(ref_id)
             streams[CID["RL"]] += itf8_put(l_seq)
-            streams[CID["AP"]] += itf8_put(0)
+            streams[CID["AP"]] += itf8_put(pos + 1 if mapped else 0)
             streams[CID["RG"]] += itf8_put(rg)
             streams[CID["RN"]] += name + b"\x00"
             mf = (1 if flag & FLAG_MATE_REVERSED else 0) | (
                 2 if flag & FLAG_MATE_UNMAPPED else 0
             )
             streams[CID["MF"]] += itf8_put(mf)
-            streams[CID["NS"]] += itf8_put(-1)
-            streams[CID["NP"]] += itf8_put(0)
-            streams[CID["TS"]] += itf8_put(0)
+            streams[CID["NS"]] += itf8_put(next_ref)
+            streams[CID["NP"]] += itf8_put(next_pos + 1)
+            streams[CID["TS"]] += itf8_put(tlen)
             streams[CID["TL"]] += itf8_put(tl)
             for key, value in tags:
                 streams[tag_cids[key]] += itf8_put(len(value)) + value
-            streams[CID["BA"]] += bases
-            streams[CID["QS"]] += quals
+            if mapped:
+                # feature series; BA/QS carry only feature bytes, the
+                # wholesale qualities follow after MQ (decoder order,
+                # _decode_slice)
+                streams[CID["FN"]] += itf8_put(len(features))
+                last_fpos = 0
+                for code, fpos, payload in features:
+                    streams[CID["FC"]].append(code)
+                    streams[CID["FP"]] += itf8_put(fpos - last_fpos)
+                    last_fpos = fpos
+                    if code == ord("B"):
+                        streams[CID["BA"]].append(payload[0])
+                        streams[CID["QS"]].append(payload[1])
+                    elif code == ord("X"):
+                        streams[CID["BS"]] += itf8_put(payload)
+                    elif code == ord("I"):
+                        streams[CID["IN"]] += payload + b"\x00"
+                    elif code == ord("S"):
+                        streams[CID["SC"]] += payload + b"\x00"
+                    elif code == ord("D"):
+                        streams[CID["DL"]] += itf8_put(payload)
+                    elif code == ord("N"):
+                        streams[CID["RS"]] += itf8_put(payload)
+                    elif code == ord("P"):
+                        streams[CID["PD"]] += itf8_put(payload)
+                    elif code == ord("H"):
+                        streams[CID["HC"]] += itf8_put(payload)
+                streams[CID["MQ"]] += itf8_put(mapq)
+                streams[CID["QS"]] += quals
+            else:
+                streams[CID["BA"]] += bases
+                streams[CID["QS"]] += quals
 
         # compression header
         preservation = _sized_map(
             [
                 b"RN\x01",          # read names preserved
                 b"AP\x00",          # no AP delta
-                b"RR\x00",          # no reference required
-                b"SM" + bytes(5),   # substitution matrix (unused, unmapped)
+                (b"RR\x01" if has_mapped else b"RR\x00"),
+                b"SM" + (_SM_IDENTITY if has_mapped else bytes(5)),
                 b"TD" + itf8_put(len(td)) + bytes(td),
             ],
             5,
@@ -611,6 +784,21 @@ class CramWriter:
             (b"BA", _external(CID["BA"])),
             (b"QS", _external(CID["QS"])),
         ]
+        if has_mapped:
+            series += [
+                (b"RI", _external(CID["RI"])),
+                (b"MQ", _external(CID["MQ"])),
+                (b"FN", _external(CID["FN"])),
+                (b"FC", _external(CID["FC"])),
+                (b"FP", _external(CID["FP"])),
+                (b"BS", _external(CID["BS"])),
+                (b"IN", _byte_array_stop(0, CID["IN"])),
+                (b"SC", _byte_array_stop(0, CID["SC"])),
+                (b"DL", _external(CID["DL"])),
+                (b"RS", _external(CID["RS"])),
+                (b"PD", _external(CID["PD"])),
+                (b"HC", _external(CID["HC"])),
+            ]
         series_map = _sized_map(
             [key + enc for key, enc in series], len(series)
         )
@@ -652,8 +840,9 @@ class CramWriter:
             )
             for cid in external_ids
         ]
+        slice_ref = -2 if has_mapped else -1
         slice_header = (
-            itf8_put(-1)                      # unmapped
+            itf8_put(slice_ref)               # -1 unmapped, -2 multi-ref
             + itf8_put(0)                     # alignment start
             + itf8_put(0)                     # alignment span
             + itf8_put(len(records))
@@ -662,13 +851,14 @@ class CramWriter:
             + itf8_put(len(external_ids))
             + b"".join(itf8_put(cid) for cid in external_ids)
             + itf8_put(-1)                    # no embedded reference
-            + bytes(16)                       # MD5 (no reference)
+            + bytes(16)                       # MD5 (zero: multi-ref/no-ref)
         )
         slice_block = write_block(RAW, SLICE_HEADER, 0, slice_header)
 
         blocks = [compression_block, slice_block] + data_blocks
         self._container(
-            -1, len(records), base_count, blocks, [len(compression_block)]
+            slice_ref, len(records), base_count, blocks,
+            [len(compression_block)],
         )
         self.record_counter += len(records)
 
@@ -1015,6 +1205,52 @@ def _reconstruct_mapped(
     return bytes(seq), bytes(qual)
 
 
+def _cigar_from_features(rl: int, features: list):
+    """Canonical CIGAR from the read features: gaps between features are
+    aligned matches (M); X/B substitutions stay inside M runs — the same
+    canonicalization htslib applies, so '='/'X' ops come back as M."""
+    ops: list[list] = []
+
+    def add(op: str, count: int):
+        if count <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += count
+        else:
+            ops.append([op, count])
+
+    pos = 1
+    for code, fpos, payload in features:
+        add("M", fpos - pos)
+        pos = max(pos, fpos)
+        if code in (ord("B"), ord("X")):
+            add("M", 1)
+            pos += 1
+        elif code == ord("I"):
+            add("I", len(payload))
+            pos += len(payload)
+        elif code == ord("i"):
+            add("I", 1)
+            pos += 1
+        elif code == ord("S"):
+            add("S", len(payload))
+            pos += len(payload)
+        elif code == ord("b"):
+            add("M", len(payload))
+            pos += len(payload)
+        elif code == ord("D"):
+            add("D", payload)
+        elif code == ord("N"):
+            add("N", payload)
+        elif code == ord("H"):
+            add("H", payload)
+        elif code == ord("P"):
+            add("P", payload)
+        # Q/q touch qualities only
+    add("M", rl - (pos - 1))
+    return [(op, count) for op, count in ops]
+
+
 def _decode_slice(compression, streams, core, n_records, slice_ref,
                   slice_start, rg_ids, ref_source, embedded_reference):
     series = compression["series"]
@@ -1053,13 +1289,14 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
             position = ap
         rg = read_int(b"RG")
         name = series[b"RN"].read_array(streams, core) if rn_preserved else b""
+        next_ref, next_pos, tlen = -1, -1, 0
         if cf & CF_DETACHED:
             mf = read_int(b"MF")
             if not rn_preserved:
                 name = series[b"RN"].read_array(streams, core)
-            read_int(b"NS")
-            read_int(b"NP")
-            read_int(b"TS")
+            next_ref = read_int(b"NS")
+            next_pos = read_int(b"NP") - 1
+            tlen = read_int(b"TS")
             if mf & 1:
                 bf |= FLAG_MATE_REVERSED
             if mf & 2:
@@ -1115,7 +1352,7 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
                         f"CRAM read feature code {chr(fc)!r} not supported"
                     )
                 features.append((fc, fpos, payload))
-            read_int(b"MQ")
+            mapq = read_int(b"MQ")
             preserved = None
             if cf & CF_QUALITY:
                 preserved = series[b"QS"].read_bytes(streams, rl, core)
@@ -1124,7 +1361,12 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
             )
             code = ASCII_TO_BAM[np.frombuffer(bases, dtype=np.uint8)].copy()
             quality = np.frombuffer(quality_bytes, dtype=np.uint8).copy()
-            yield HtsRecord(bytes(name), bf, code, quality, aux)
+            yield HtsRecord(
+                bytes(name), bf, code, quality, aux,
+                ref_id=record_ref, pos=position - 1, mapq=mapq,
+                cigar=_cigar_from_features(rl, features),
+                next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+            )
             continue
         if cf & CF_NO_SEQ:
             code = np.zeros(rl, dtype=np.uint8)
@@ -1138,7 +1380,10 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
                 ).copy()
             else:
                 quality = np.zeros(rl, dtype=np.uint8)
-        yield HtsRecord(bytes(name), bf, code, quality, aux)
+        yield HtsRecord(
+            bytes(name), bf, code, quality, aux,
+            next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+        )
 
 
 def _decode_tag_value(kind: str, raw: bytes):
@@ -1161,6 +1406,73 @@ def _decode_tag_value(kind: str, raw: bytes):
     if kind == "f":
         return struct.unpack("<f", raw)[0]
     raise UnsupportedError(f"CRAM tag type {kind}")
+
+
+# --- transcoding ------------------------------------------------------------
+
+
+def read_cram_header(path: str):
+    """(header_text, [(reference_name, reference_length)]) of a CRAM."""
+    with open(path, "rb") as stream:
+        buf = stream.read(1 << 20)
+    if buf[:4] != CRAM_MAGIC:
+        raise IOError_(f"{path} is not a CRAM file")
+    offset = 26
+    _ref, _n, _blocks, _length, offset = _parse_container_header(buf, offset)
+    content_type, _, raw, _ = read_block(buf, offset)
+    if content_type != FILE_HEADER:
+        raise IOError_("CRAM: first block is not the SAM header")
+    (l_text,) = struct.unpack_from("<i", raw, 0)
+    header_text = raw[4 : 4 + l_text].decode()
+    references = []
+    for line in header_text.splitlines():
+        if line.startswith("@SQ"):
+            sn, ln = None, 0
+            for field in line.split("\t")[1:]:
+                if field.startswith("SN:"):
+                    sn = field[3:]
+                elif field.startswith("LN:"):
+                    ln = int(field[3:])
+            if sn is not None:
+                references.append((sn, ln))
+    return header_text, references
+
+
+def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
+                level: int = 5) -> int:
+    """Transcode any BAM (mapped or unmapped) to CRAM 3.0; mapped records
+    store read features against `reference` (the workflow the reference
+    runs through htslib, reference hts.cpp:160-240). Returns the record
+    count."""
+    from .hts import read_bam, read_bam_header
+
+    header_text, _references = read_bam_header(bam_path)
+    count = 0
+    with open(cram_path, "wb") as stream:
+        writer = CramWriter(stream, header_text, level, reference=reference)
+        for record in read_bam(bam_path):
+            writer.write_hts_record(record)
+            count += 1
+        writer.close()
+    return count
+
+
+def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
+                level: int = 5) -> int:
+    """Transcode a CRAM back to BAM, preserving alignment placement."""
+    from .hts import BamWriter
+
+    header_text, references = read_cram_header(cram_path)
+    count = 0
+    with open(bam_path, "wb") as stream:
+        writer = BamWriter(
+            stream, header_text, level, references=references
+        )
+        for record in read_cram(cram_path, reference=reference):
+            writer.write_hts_record(record)
+            count += 1
+        writer.close()
+    return count
 
 
 # --- native batch reader ----------------------------------------------------

@@ -117,16 +117,68 @@ class BgzfWriter:
         self.stream.flush()
 
 
-class BamWriter:
-    """Minimal BAM emitter for unaligned classified reads."""
+#: BAM cigar op characters in numeric order
+CIGAR_OPS = "MIDNSHP=X"
 
-    def __init__(self, stream, header_text: str, level: int = 5, threads: int = 1):
+
+class BamWriter:
+    """BAM emitter: unaligned classified reads (write_record) plus full
+    alignment records for transcoding (write_hts_record); ``references``
+    fills the binary reference dictionary to match the header's @SQ."""
+
+    def __init__(self, stream, header_text: str, level: int = 5, threads: int = 1,
+                 references: list | None = None):
         self.bgzf = BgzfWriter(stream, level, threads)
         text = header_text.encode()
         self.bgzf.write(b"BAM\x01")
         self.bgzf.write(struct.pack("<i", len(text)))
         self.bgzf.write(text)
-        self.bgzf.write(struct.pack("<i", 0))  # n_ref
+        references = references or []
+        self.bgzf.write(struct.pack("<i", len(references)))
+        for ref_name, ref_length in references:
+            raw = ref_name.encode() + b"\x00"
+            self.bgzf.write(struct.pack("<i", len(raw)) + raw)
+            self.bgzf.write(struct.pack("<i", int(ref_length)))
+
+    def write_hts_record(self, record):
+        """Emit a full HtsRecord, preserving alignment placement."""
+        raw_name = bytes(record.name) + b"\x00"
+        l_seq = int(record.code.shape[0])
+        if l_seq:
+            padded = np.zeros(l_seq + (l_seq & 1), dtype=np.uint8)
+            padded[:l_seq] = np.asarray(record.code, dtype=np.uint8) & 0xF
+            packed = ((padded[0::2] << 4) | padded[1::2]).tobytes()
+            qual = np.asarray(record.quality, dtype=np.uint8).tobytes()
+        else:
+            packed = b""
+            qual = b""
+        cigar = record.cigar or []
+        packed_cigar = b"".join(
+            struct.pack("<I", (length << 4) | CIGAR_OPS.index(op))
+            for op, length in cigar
+        )
+        body = (
+            struct.pack(
+                "<iiBBHHHiiii",
+                record.ref_id,
+                record.pos,
+                len(raw_name),
+                record.mapq,
+                UNMAPPED_BIN,
+                len(cigar),
+                record.flag,
+                l_seq,
+                record.next_ref,
+                record.next_pos,
+                record.tlen,
+            )
+            + raw_name
+            + packed_cigar
+            + packed
+            + qual
+            + encode_aux_dict(record.aux)
+        )
+        self.bgzf.write(struct.pack("<i", len(body)) + body)
 
     def write_record(
         self,
@@ -172,6 +224,59 @@ class BamWriter:
 
     def close(self):
         self.bgzf.close()
+
+
+def encode_aux_dict(aux: dict) -> bytes:
+    """dict tag -> value (as _parse_bam_aux produces) back to a BAM aux
+    block: int -> 'i', float -> 'f', str -> 'Z', None (array tags dropped
+    at parse time) skipped. RG rides its own CRAM series so transcoders
+    re-add it from the read group index."""
+    out = bytearray()
+    for tag, value in aux.items():
+        if value is None:
+            continue
+        out.extend(tag.encode())
+        if isinstance(value, bool):
+            raise IOError_(f"aux tag {tag}: bool is not a BAM aux type")
+        if isinstance(value, int):
+            out.append(ord("i"))
+            out.extend(struct.pack("<i", value))
+        elif isinstance(value, float):
+            out.append(ord("f"))
+            out.extend(struct.pack("<f", np.float32(value)))
+        else:
+            out.append(ord("Z"))
+            out.extend(str(value).encode())
+            out.append(0)
+    return bytes(out)
+
+
+def read_bam_header(path: str):
+    """(header_text, [(reference_name, reference_length)]) of a BAM."""
+    from ..native import open_bgzf
+
+    stream = open_bgzf(path)
+    if stream is None:
+        stream = gzip.open(path, "rb")
+    try:
+        if stream.read(4) != b"BAM\x01":
+            raise IOError_(f"{path} is not a BAM file")
+        (l_text,) = struct.unpack("<i", stream.read(4))
+        header_text = stream.read(l_text).decode()
+        (n_ref,) = struct.unpack("<i", stream.read(4))
+        references = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", stream.read(4))
+            raw = stream.read(l_name + 4)
+            references.append(
+                (
+                    raw[: l_name - 1].decode(),
+                    struct.unpack("<i", raw[l_name:])[0],
+                )
+            )
+        return header_text, references
+    finally:
+        stream.close()
 
 
 def encode_bam_aux(tags) -> bytes:
@@ -245,16 +350,34 @@ def encode_bam_aux(tags) -> bytes:
 
 
 class HtsRecord:
-    """One parsed SAM/BAM alignment record."""
+    """One parsed SAM/BAM alignment record.
 
-    __slots__ = ("name", "flag", "code", "quality", "aux")
+    Alignment placement (ref_id/pos/mapq/cigar/mate fields) is carried so
+    mapped records survive BAM<->CRAM transcoding (reference
+    hts.cpp:160-240 delegates this to htslib); the demux engines ignore
+    these fields — demultiplexed reads are unaligned by definition."""
 
-    def __init__(self, name, flag, code, quality, aux):
+    __slots__ = (
+        "name", "flag", "code", "quality", "aux",
+        "ref_id", "pos", "mapq", "cigar",
+        "next_ref", "next_pos", "tlen",
+    )
+
+    def __init__(self, name, flag, code, quality, aux,
+                 ref_id=-1, pos=-1, mapq=0, cigar=None,
+                 next_ref=-1, next_pos=-1, tlen=0):
         self.name = name  # bytes
         self.flag = flag
         self.code = code  # np.uint8 BAM nibble codes
         self.quality = quality  # np.uint8 phred values
         self.aux = aux  # dict tag -> value
+        self.ref_id = ref_id        # BAM reference index, -1 unmapped
+        self.pos = pos              # 0-based leftmost position, -1 unmapped
+        self.mapq = mapq
+        self.cigar = cigar          # list[(op_char, length)] or None
+        self.next_ref = next_ref
+        self.next_pos = next_pos
+        self.tlen = tlen
 
     @property
     def qcfail(self) -> bool:
@@ -346,12 +469,19 @@ def read_bam(path: str):
             if len(body) < block_size:
                 raise IOError_(f"truncated BAM record in {path}")
             (
-                _ref_id, _pos, l_read_name, _mapq, _bin, n_cigar, flag,
-                l_seq, _next_ref, _next_pos, _tlen,
+                ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+                l_seq, next_ref, next_pos, tlen,
             ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
             offset = 32
             name = body[offset : offset + l_read_name - 1]
-            offset += l_read_name + 4 * n_cigar
+            offset += l_read_name
+            cigar = None
+            if n_cigar:
+                packed_cigar = struct.unpack_from(f"<{n_cigar}I", body, offset)
+                cigar = [
+                    ("MIDNSHP=X"[op & 0xF], op >> 4) for op in packed_cigar
+                ]
+            offset += 4 * n_cigar
             packed = np.frombuffer(
                 body, dtype=np.uint8, count=(l_seq + 1) // 2, offset=offset
             )
@@ -366,7 +496,11 @@ def read_bam(path: str):
                 quality = np.zeros(l_seq, dtype=np.uint8)
             offset += l_seq
             aux = _parse_bam_aux(body[offset:])
-            yield HtsRecord(bytes(name), flag, code, quality, aux)
+            yield HtsRecord(
+                bytes(name), flag, code, quality, aux,
+                ref_id=ref_id, pos=pos, mapq=mapq, cigar=cigar,
+                next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+            )
     finally:
         stream.close()
 

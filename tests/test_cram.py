@@ -343,3 +343,114 @@ def test_rans_expected_size_rejects_flipped_header():
         rans_uncompress(forged, expected_size=10)
     # and the unforged stream still round-trips under the same gate
     assert rans_uncompress(stream, expected_size=10) == b"ACGTACGTAC"
+
+
+def test_mapped_bam_cram_bam_round_trip(tmp_path):
+    """Mapped records transcode BAM -> CRAM (reference-based read
+    features) -> BAM with alignment placement, CIGAR, sequence, quality
+    and aux preserved (the htslib workflow at reference hts.cpp:160-240)."""
+    import numpy as np
+
+    from pheniqs_tpu.io.cram import bam_to_cram, cram_to_bam, read_cram
+    from pheniqs_tpu.io.hts import BamWriter, HtsRecord, read_bam
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    rng = np.random.default_rng(77)
+    ref1 = "".join(rng.choice(list("ACGT"), size=500))
+    ref2 = "".join(rng.choice(list("ACGT"), size=300))
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(f">chr1\n{ref1}\n>chr2\n{ref2}\n")
+
+    header = (
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        f"@SQ\tSN:chr1\tLN:{len(ref1)}\n"
+        f"@SQ\tSN:chr2\tLN:{len(ref2)}\n"
+        "@RG\tID:rg0\tSM:s\n"
+    )
+
+    def rec(name, ref_id, pos, cigar, seq, mapq=37, flag=0, aux=None,
+            next_ref=-1, next_pos=-1, tlen=0):
+        code = ASCII_TO_BAM[np.frombuffer(seq.encode(), dtype=np.uint8)]
+        qual = rng.integers(10, 40, size=len(seq)).astype(np.uint8)
+        return HtsRecord(
+            name.encode(), flag, code, qual, aux or {},
+            ref_id=ref_id, pos=pos, mapq=mapq, cigar=cigar,
+            next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+        )
+
+    # perfect match
+    r0 = rec("match", 0, 10, [("M", 40)], ref1[10:50])
+    # substitutions (two mismatches)
+    seq1 = list(ref1[100:140])
+    seq1[5] = "A" if seq1[5] != "A" else "G"
+    seq1[20] = "T" if seq1[20] != "T" else "C"
+    r1 = rec("subst", 0, 100, [("M", 40)], "".join(seq1),
+             aux={"NM": 2, "XB": 0.25, "CO": "hello"})
+    # soft clip + insertion + deletion + skip
+    seq2 = "ACGTA" + ref1[200:220] + "GGGG" + ref1[220:240]
+    r2 = rec("indel", 0, 200,
+             [("S", 5), ("M", 20), ("I", 4), ("M", 20)], seq2)
+    r3 = rec("deleted", 1, 50, [("M", 10), ("D", 7), ("M", 10)],
+             ref2[50:60] + ref2[67:77])
+    r4 = rec("skipped", 1, 100, [("M", 8), ("N", 30), ("M", 8)],
+             ref2[100:108] + ref2[138:146])
+    # ambiguity base inside an aligned run -> B feature
+    seq5 = list(ref2[10:30])
+    seq5[3] = "N"
+    seq5[9] = "R"
+    r5 = rec("ambig", 1, 10, [("M", 20)], "".join(seq5))
+    # hard clip + mate fields + paired flags
+    r6 = rec("mate", 0, 300, [("H", 3), ("M", 25)], ref1[300:325],
+             flag=0x1 | 0x20, next_ref=0, next_pos=400, tlen=125,
+             aux={"RG": "rg0"})
+    # unmapped record in the same stream
+    r7 = rec("unmapped", -1, -1, None, "ACGTACGTNN", mapq=0, flag=0x4)
+
+    records = [r0, r1, r2, r3, r4, r5, r6, r7]
+    bam1 = tmp_path / "in.bam"
+    with open(bam1, "wb") as stream:
+        writer = BamWriter(
+            stream, header, references=[("chr1", len(ref1)), ("chr2", len(ref2))]
+        )
+        for record in records:
+            writer.write_hts_record(record)
+        writer.close()
+
+    cram = tmp_path / "mid.cram"
+    n = bam_to_cram(str(bam1), str(cram), str(fasta))
+    assert n == len(records)
+
+    # sanity: mapped records really are feature-coded (the CRAM must be
+    # smaller than raw sequence storage would make it, and decoding
+    # without a reference must fail typed)
+    import pytest
+
+    from pheniqs_tpu.errors import IOError_
+
+    with pytest.raises(IOError_):
+        list(read_cram(str(cram), reference=None))
+
+    bam2 = tmp_path / "out.bam"
+    n2 = cram_to_bam(str(cram), str(bam2), str(fasta))
+    assert n2 == len(records)
+
+    first = list(read_bam(str(bam1)))
+    second = list(read_bam(str(bam2)))
+    assert len(first) == len(second)
+    for a, b in zip(first, second):
+        assert a.name == b.name
+        assert a.flag == b.flag
+        assert a.ref_id == b.ref_id
+        assert a.pos == b.pos
+        assert a.mapq == b.mapq
+        assert a.cigar == b.cigar
+        np.testing.assert_array_equal(a.code, b.code)
+        np.testing.assert_array_equal(a.quality, b.quality)
+        assert a.next_ref == b.next_ref
+        assert a.next_pos == b.next_pos
+        assert a.tlen == b.tlen
+        for key, value in a.aux.items():
+            if isinstance(value, float):
+                assert abs(b.aux[key] - value) < 1e-6, key
+            else:
+                assert b.aux.get(key) == value, key
