@@ -38,14 +38,26 @@ def run_bench(
     fidelity: str = "hybrid",
     bench_dir: str | None = None,
     output: str | None = None,
+    tp: str | None = None,
+    tp_threshold: int | None = None,
 ) -> dict:
     """Synthesize (or reuse) the flagship input, run the engine over this
-    host's shard, and return the cross-host aggregated stats dict."""
+    host's shard, and return the cross-host aggregated stats dict.
+
+    ``tp="R:P"`` engages barcode-axis tensor parallelism: the engine runs
+    its decode step over a 2-D (reads, panel) mesh, sharding every PAMLD
+    panel above ``tp_threshold`` barcodes across P devices
+    (device/tp.py + make_tp_sharded_decode_step)."""
     import jax
     import numpy as np
 
     from ..benchmark import run_e2e, synthesize_fastq_input
     from ..device.distributed import initialize_multihost
+
+    if tp:
+        os.environ["PHENIQS_TP"] = tp
+        if tp_threshold is not None:
+            os.environ["PHENIQS_TP_THRESHOLD"] = str(tp_threshold)
 
     process_id, num_processes = initialize_multihost()
     if num_processes > 1:
@@ -110,6 +122,8 @@ def run_bench(
         "per_host_steady_reads_per_s": stats.get("steady_reads_per_s"),
         "process_id": process_id,
     }
+    if tp:
+        result["tp"] = tp
     return result
 
 
@@ -124,6 +138,15 @@ def main(argv=None):
     parser.add_argument(
         "--virtual", type=int, default=0,
         help="force an N-device virtual CPU platform (validation mode)",
+    )
+    parser.add_argument(
+        "--tp", default=None, metavar="R:P",
+        help="2-D (reads, panel) mesh: shard large PAMLD panels over P"
+        " devices (barcode-axis tensor parallelism)",
+    )
+    parser.add_argument(
+        "--tp-threshold", type=int, default=None,
+        help="shard PAMLD panels above this many barcodes (default 16384)",
     )
     args = parser.parse_args(argv)
 
@@ -145,6 +168,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         threads=args.threads,
         fidelity=args.fidelity,
+        tp=args.tp,
+        tp_threshold=args.tp_threshold,
     )
     if result["process_id"] == 0:
         print(json.dumps(result))
