@@ -198,13 +198,29 @@ def run_e2e(
         "reads_per_s": round(total_reads / wall, 1) if wall else 0.0,
         "batches": len(timeline),
     }
-    # steady state: drop the first two batches (compile + pipeline fill)
-    if len(timeline) > 3:
-        t0, r0 = timeline[1]
+    # steady state: drop the warmup batches (XLA compile + pipeline fill),
+    # then report BOTH the window aggregate and the per-batch rate
+    # distribution — the median is robust to relay stragglers, and the
+    # p10/p90 spread documents the environment volatility instead of
+    # letting a lucky batch stand in for "steady"
+    warmup = 3 if len(timeline) > 8 else 1
+    if len(timeline) > warmup + 2:
+        t0, r0 = timeline[warmup]
         t1, r1 = timeline[-1]
         if t1 > t0:
             stats["steady_reads_per_s"] = round((r1 - r0) / (t1 - t0), 1)
             stats["cold_start_s"] = round(timeline[1][0] - start, 3)
+            stats["steady_window_s"] = round(t1 - t0, 3)
+            stats["steady_batches"] = len(timeline) - warmup - 1
+        rates = []
+        for (ta, ra), (tb, rb) in zip(timeline[warmup:-1], timeline[warmup + 1:]):
+            if tb > ta:
+                rates.append((rb - ra) / (tb - ta))
+        if rates:
+            q = np.percentile(rates, [10, 50, 90])
+            stats["batch_rate_p10"] = round(float(q[0]), 1)
+            stats["batch_rate_median"] = round(float(q[1]), 1)
+            stats["batch_rate_p90"] = round(float(q[2]), 1)
     # classification sanity: the synthetic panel reads should mostly decode
     incoming = report.get("incoming", {}).get("count", 0)
     sample = report.get("sample", {})

@@ -14,6 +14,8 @@ gather, not as an (N, B) matrix.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +27,18 @@ from .instrument import (
     DeviceInstrument,
     UNIFORM_BASE_QUALITY,
 )
+
+# TPU MXU contractions truncate f32 operands to bfloat16 at DEFAULT
+# precision, which moves PAMLD sigmas by ~0.1 phred — enough to flip
+# posterior decisions. HIGHEST runs the multi-pass f32-exact algorithm and
+# is what the hybrid-mode error bound below assumes; the env knob exists
+# for the fast engine and for MXU-share profiling (tools/profile_step.py).
+# Hybrid mode refuses anything below HIGHEST (pamld_classify_device).
+MATMUL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("PHENIQS_MATMUL_PRECISION", "highest").lower()]
 
 # branch codes shared with the oracle (decode.oracle)
 BRANCH_PASS = 0
@@ -218,7 +232,7 @@ def _posterior_chunked(
             jnp.dot(
                 features,
                 g,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MATMUL_PRECISION,
                 preferred_element_type=jnp.float32,
             )
             + qpos_uniform[:, None]
@@ -293,7 +307,7 @@ def _posterior_panel_sharded(
         jnp.dot(
             features,
             matrix_shard,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MATMUL_PRECISION,
             preferred_element_type=jnp.float32,
         )
         + qpos_uniform[:, None]
@@ -348,6 +362,12 @@ def pamld_classify_device(
     f32 posterior sits within rounding distance of an argmax tie or a filter
     threshold — the hybrid engine re-resolves exactly those in float64."""
     n, w = obs_code.shape
+    if want_uncertain and MATMUL_PRECISION != jax.lax.Precision.HIGHEST:
+        # the derived re-resolution bound models the exact-f32 HIGHEST
+        # contraction; bf16 operand truncation is far outside it
+        raise ValueError(
+            "hybrid fidelity requires PHENIQS_MATMUL_PRECISION=highest"
+        )
     q_positive = (obs_qual > 0).astype(jnp.float32).sum(axis=1)  # (N,)
 
     features = observation_features(instrument, obs_code, obs_qual)
@@ -393,7 +413,7 @@ def pamld_classify_device(
             jnp.dot(
                 features,
                 dec.likelihood_matrix,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MATMUL_PRECISION,
                 preferred_element_type=jnp.float32,
             )
             + q_positive[:, None] * UNIFORM_BASE_QUALITY
@@ -548,7 +568,7 @@ def mdd_classify_device(
             "nwc,bwc->nb",
             masked_o,
             onehot_e,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MATMUL_PRECISION,
             preferred_element_type=jnp.float32,
         )
         obs_len = length.astype(jnp.float32)[:, None]
@@ -561,7 +581,7 @@ def mdd_classify_device(
                 "nwc,bwc->nb",
                 unmasked_o,
                 onehot_e,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MATMUL_PRECISION,
                 preferred_element_type=jnp.float32,
             )
             errors = (obs_len - ok).astype(jnp.int32)

@@ -96,6 +96,51 @@ def itf8_put(value: int) -> bytes:
     )
 
 
+def itf8_vec(values: np.ndarray) -> bytes:
+    """Vectorized ITF-8 of an int array (canonical shortest forms), the
+    batch-write analog of ``itf8_put``."""
+    v = np.asarray(values).astype(np.int64) & 0xFFFFFFFF
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    nb = np.full(n, 5, np.int64)
+    nb[v < 0x10000000] = 4
+    nb[v < 0x200000] = 3
+    nb[v < 0x4000] = 2
+    nb[v < 0x80] = 1
+    if nb[0] == 1 and (nb == 1).all():
+        return v.astype(np.uint8).tobytes()
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    out = np.zeros(offsets[-1], np.uint8)
+    starts = offsets[:-1]
+    m = nb == 1
+    out[starts[m]] = v[m]
+    m = nb == 2
+    s, w = starts[m], v[m]
+    out[s] = 0x80 | (w >> 8)
+    out[s + 1] = w & 0xFF
+    m = nb == 3
+    s, w = starts[m], v[m]
+    out[s] = 0xC0 | (w >> 16)
+    out[s + 1] = (w >> 8) & 0xFF
+    out[s + 2] = w & 0xFF
+    m = nb == 4
+    s, w = starts[m], v[m]
+    out[s] = 0xE0 | (w >> 24)
+    out[s + 1] = (w >> 16) & 0xFF
+    out[s + 2] = (w >> 8) & 0xFF
+    out[s + 3] = w & 0xFF
+    m = nb == 5
+    s, w = starts[m], v[m]
+    out[s] = 0xF0 | ((w >> 28) & 0x0F)
+    out[s + 1] = (w >> 20) & 0xFF
+    out[s + 2] = (w >> 12) & 0xFF
+    out[s + 3] = (w >> 4) & 0xFF
+    out[s + 4] = w & 0x0F
+    return out.tobytes()
+
+
 def itf8_get(buf, offset: int) -> tuple[int, int]:
     b0 = buf[offset]
     if b0 < 0x80:
@@ -603,6 +648,108 @@ class CramWriter:
         if len(self.pending) >= self.RECORDS_PER_SLICE:
             self.flush()
 
+    def write_batch(self, names, flags, codes, quals, lengths, rg,
+                    tag_columns):
+        """Vectorized unmapped-record intake: whole slices built with bulk
+        NumPy series encoding instead of per-record Python (the CRAM-write
+        analog of the native SAM/FASTQ batch renderers; the reference
+        delegates all of this to htslib, reference hts.cpp:160-240).
+
+        ``names``: list[bytes] (no NULs); ``flags``/``lengths``/``rg``:
+        (N,) int arrays (rg -1 = none); ``codes``/``quals``: (N, W) uint8
+        BAM nucleotide codes / Phred scores. ``tag_columns``: list of
+        (key2: bytes, typechar: str, values) applied to every record in
+        order — 'Z' values are a list[bytes] or an (N, L) uint8 matrix,
+        'f' an (N,) float32 array, 'i' an (N,) int32 array.
+        """
+        if self.pending:
+            self.flush()
+        n_total = len(names)
+        flags = np.asarray(flags, dtype=np.int64) | FLAG_UNMAPPED
+        lengths = np.clip(np.asarray(lengths, dtype=np.int64), 0, None)
+        rg = np.asarray(rg, dtype=np.int64)
+        codes = np.asarray(codes, dtype=np.uint8)
+        quals = np.asarray(quals, dtype=np.uint8)
+
+        td = bytearray()
+        tag_cids: dict[bytes, int] = {}
+        for key2, typechar, _values in tag_columns:
+            key = bytes(key2) + typechar.encode()
+            tag_cids[key] = TAG_CID_BASE + len(tag_cids)
+            td += key
+        td += b"\x00"
+
+        cf = itf8_put(CF_QUALITY | CF_DETACHED)
+        ns = itf8_put(-1)
+        ap = itf8_put(0)
+        for start in range(0, n_total, self.RECORDS_PER_SLICE):
+            stop = min(start + self.RECORDS_PER_SLICE, n_total)
+            n = stop - start
+            f_slice = flags[start:stop]
+            l_slice = lengths[start:stop]
+            w = codes.shape[1]
+            mask = np.arange(w, dtype=np.int64)[None, :] < l_slice[:, None]
+
+            streams: dict[int, bytes | bytearray] = {
+                cid: b"" for cid in CID.values()
+            }
+            streams[CID["BF"]] = itf8_vec(f_slice)
+            streams[CID["CF"]] = cf * n
+            streams[CID["RL"]] = itf8_vec(l_slice)
+            streams[CID["AP"]] = ap * n
+            streams[CID["RG"]] = itf8_vec(rg[start:stop])
+            streams[CID["RN"]] = (
+                b"\x00".join(names[start:stop]) + b"\x00" if n else b""
+            )
+            mf = ((f_slice & FLAG_MATE_REVERSED) != 0) * 1 + (
+                (f_slice & FLAG_MATE_UNMAPPED) != 0
+            ) * 2
+            streams[CID["MF"]] = mf.astype(np.uint8).tobytes()
+            streams[CID["NS"]] = ns * n
+            streams[CID["NP"]] = ap * n
+            streams[CID["TS"]] = ap * n
+            streams[CID["TL"]] = b"\x00" * n
+            streams[CID["BA"]] = BAM_TO_ASCII[
+                codes[start:stop] & 0xF
+            ][mask].tobytes()
+            streams[CID["QS"]] = quals[start:stop][mask].tobytes()
+
+            for key2, typechar, values in tag_columns:
+                key = bytes(key2) + typechar.encode()
+                cid = tag_cids[key]
+                if typechar == "Z":
+                    vals = values[start:stop]
+                    if isinstance(vals, np.ndarray):
+                        length = vals.shape[1] + 1  # + NUL
+                        block = np.zeros((n, 1 + length), np.uint8)
+                        block[:, 0] = length  # itf8, length < 128
+                        block[:, 1:-1] = vals
+                        streams[cid] = block.tobytes()
+                    else:
+                        parts = bytearray()
+                        for value in vals:
+                            parts += itf8_put(len(value) + 1)
+                            parts += value
+                            parts += b"\x00"
+                        streams[cid] = bytes(parts)
+                elif typechar in "if":
+                    dtype = np.int32 if typechar == "i" else np.float32
+                    block = np.zeros((n, 5), np.uint8)
+                    block[:, 0] = 4
+                    block[:, 1:] = np.ascontiguousarray(
+                        np.asarray(values[start:stop], dtype=dtype)
+                    ).view(np.uint8).reshape(n, 4)
+                    streams[cid] = block.tobytes()
+                else:
+                    raise UnsupportedError(
+                        f"CRAM batch writer: tag type {typechar}"
+                    )
+            self._emit_slice(
+                streams, tag_cids, td, n,
+                int(l_slice.sum()), False,
+            )
+            self.record_counter += n
+
     def write_hts_record(self, record: "HtsRecord"):
         """Full-record intake for BAM->CRAM transcoding: mapped records
         store read features against the reference instead of their bases
@@ -758,6 +905,15 @@ class CramWriter:
                 streams[CID["BA"]] += bases
                 streams[CID["QS"]] += quals
 
+        self._emit_slice(
+            streams, tag_cids, td, len(records), base_count, has_mapped
+        )
+        self.record_counter += len(records)
+
+    def _emit_slice(self, streams, tag_cids, td, n_records, base_count,
+                    has_mapped):
+        """Compress the per-series byte streams and emit one
+        container(compression header + slice) (CRAMv3 §8-9)."""
         # compression header
         preservation = _sized_map(
             [
@@ -845,7 +1001,7 @@ class CramWriter:
             itf8_put(slice_ref)               # -1 unmapped, -2 multi-ref
             + itf8_put(0)                     # alignment start
             + itf8_put(0)                     # alignment span
-            + itf8_put(len(records))
+            + itf8_put(n_records)
             + ltf8_put(self.record_counter)
             + itf8_put(len(data_blocks))
             + itf8_put(len(external_ids))
@@ -857,10 +1013,9 @@ class CramWriter:
 
         blocks = [compression_block, slice_block] + data_blocks
         self._container(
-            slice_ref, len(records), base_count, blocks,
+            slice_ref, n_records, base_count, blocks,
             [len(compression_block)],
         )
-        self.record_counter += len(records)
 
     def close(self):
         self.flush()

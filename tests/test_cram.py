@@ -454,3 +454,69 @@ def test_mapped_bam_cram_bam_round_trip(tmp_path):
                 assert abs(b.aux[key] - value) < 1e-6, key
             else:
                 assert b.aux.get(key) == value, key
+
+
+def test_write_batch_byte_identical_to_write_record(tmp_path):
+    """The vectorized columnar intake must produce the exact bytes of the
+    per-record path when every record carries the same tag layout (one TD
+    line), across a slice boundary."""
+    import io
+
+    n = 5000  # > RECORDS_PER_SLICE, exercises the second container
+    rng = np.random.default_rng(11)
+    w = 36
+    lengths = rng.integers(20, w + 1, size=n).astype(np.int64)
+    alphabet = np.array([1, 2, 4, 8, 15], dtype=np.uint8)
+    codes = alphabet[rng.integers(len(alphabet), size=(n, w))]
+    quals = rng.integers(2, 42, size=(n, w)).astype(np.uint8)
+    names = [b"M02455:162:1:%d" % i for i in range(n)]
+    flags = np.where(np.arange(n) % 2 == 0, 0x4D, 0x8E).astype(np.int64)
+    rg_names = ["BDGGG:1:AGGCATG", "undetermined"]
+    rg = (np.arange(n) % 2).astype(np.int64)
+    bc = np.frombuffer(b"AGGCATG" * n, dtype=np.uint8).reshape(n, 7).copy()
+    qt = [b"IIIIIII"] * n
+    xb = (rng.random(n) * 0.5).astype(np.float32)
+
+    ref = io.BytesIO()
+    writer = CramWriter(ref, HEADER, 5)
+    for i in range(n):
+        tags = AuxTags()
+        tags.RG = rg_names[i % 2]
+        tags.BC = "AGGCATG"
+        tags.QT = "IIIIIII"
+        tags.XB = float(xb[i])
+        writer.write_record(
+            names[i].decode(), int(flags[i]), codes[i], quals[i],
+            int(lengths[i]), tags,
+        )
+    writer.close()
+
+    got = io.BytesIO()
+    writer = CramWriter(got, HEADER, 5)
+    writer.write_batch(
+        names, flags, codes, quals, lengths, rg,
+        [(b"BC", "Z", bc), (b"QT", "Z", qt), (b"XB", "f", xb)],
+    )
+    writer.close()
+    assert got.getvalue() == ref.getvalue()
+
+    path = tmp_path / "batch.cram"
+    path.write_bytes(got.getvalue())
+    back = list(read_cram(str(path)))
+    assert len(back) == n
+    for i in (0, 1, 4095, 4096, n - 1):
+        record = back[i]
+        name = record.name
+        if isinstance(name, bytes):
+            name = name.decode()
+        assert name == names[i].decode()
+        assert record.flag == int(flags[i]) | 0x4
+        np.testing.assert_array_equal(
+            record.code[: lengths[i]], codes[i, : lengths[i]]
+        )
+        np.testing.assert_array_equal(
+            record.quality[: lengths[i]], quals[i, : lengths[i]]
+        )
+        assert record.aux["BC"] == "AGGCATG"
+        assert abs(record.aux["XB"] - float(xb[i])) < 1e-7
+        assert record.aux["RG"] == rg_names[i % 2]
