@@ -22,10 +22,13 @@ import numpy as np
 
 from ..iupac import BAM_REVERSE_COMPLEMENT
 from .instrument import (
+    LARGE_PANEL_B,
     LN_PHRED_BASE,
+    TPQ_MODE,
     DeviceDecoder,
     DeviceInstrument,
     UNIFORM_BASE_QUALITY,
+    analytic_tpq,
 )
 
 # TPU MXU contractions truncate f32 operands to bfloat16 at DEFAULT
@@ -82,6 +85,16 @@ def _gamma(k: float) -> float:
     ku = k * _U32
     return ku / (1.0 - ku)
 
+def _second_max(p: jnp.ndarray, best0: jnp.ndarray) -> jnp.ndarray:
+    """Runner-up value per row given its argmax column: mask the winning
+    column and re-max. Two VPU passes instead of ``lax.top_k``'s sort path
+    (profiled ~15 ms on the 384-column cellular posterior per 131k batch).
+    Equals top_k(p, 2)[:, 1] exactly for p >= 0: duplicate maxima at other
+    columns survive the index mask."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    return jnp.where(iota == best0[:, None], 0.0, p).max(axis=1)
+
+
 _REVCOMP = None
 
 
@@ -124,15 +137,44 @@ def apply_plans(
         size = jnp.maximum(end - start, 0)
 
         offsets = jnp.arange(plan.width, dtype=jnp.int32)[None, :]
-        if plan.reverse_complement:
-            gather = jnp.clip(end[:, None] - 1 - offsets, 0, max(w_in - 1, 0))
-        else:
-            gather = jnp.clip(start[:, None] + offsets, 0, max(w_in - 1, 0))
         valid = offsets < size[:, None]
         if w_in == 0:
             piece_code = jnp.zeros((n, plan.width), dtype=jnp.int32)
             piece_qual = jnp.zeros((n, plan.width), dtype=jnp.int32)
+        elif not plan.reverse_complement and plan.start >= 0:
+            # static-window fast path (the common forward fixed token):
+            # the resolved start collapses to {plan.start, 0} — plan.start
+            # normally, 0 for reads shorter than the token start — so the
+            # gather is TWO static slices + a row select. Dynamic gathers
+            # lower poorly on TPU: this path removed a ~75 ms/131k-batch
+            # cost measured by tools/profile_step.py. Positions the
+            # original clipped gather read out of range are invalid
+            # (j >= size) and zeroed either way, so zero-padding the
+            # window is equivalent.
+            hi_end = plan.start + plan.width
+            if w_in < hi_end:
+                pad_cols = ((0, 0), (0, hi_end - w_in))
+                code_p = jnp.pad(code, pad_cols)
+                qual_p = jnp.pad(quality, pad_cols)
+            else:
+                code_p, qual_p = code, quality
+            piece_code = code_p[:, plan.start : hi_end]
+            piece_qual = qual_p[:, plan.start : hi_end]
+            if plan.start > 0:
+                shorter = (plan.start > length)[:, None]
+                piece_code = jnp.where(
+                    shorter, code_p[:, : plan.width], piece_code
+                )
+                piece_qual = jnp.where(
+                    shorter, qual_p[:, : plan.width], piece_qual
+                )
+            piece_code = jnp.where(valid, piece_code, 0)
+            piece_qual = jnp.where(valid, piece_qual, 0)
         else:
+            if plan.reverse_complement:
+                gather = jnp.clip(end[:, None] - 1 - offsets, 0, max(w_in - 1, 0))
+            else:
+                gather = jnp.clip(start[:, None] + offsets, 0, max(w_in - 1, 0))
             piece_code = jnp.take_along_axis(code, gather, axis=1)
             piece_qual = jnp.take_along_axis(quality, gather, axis=1)
             if plan.reverse_complement:
@@ -165,7 +207,14 @@ def observation_features(
     """Read-side feature tensor F (N, 5W) for the likelihood contraction."""
     n, w = obs_code.shape
     q = obs_qual.astype(jnp.float32)
-    tpq = instrument.tpq[obs_qual]  # (N, W) true-positive quality gather
+    if TPQ_MODE == "lut":
+        tpq = instrument.tpq[obs_qual]  # (N, W) table gather
+    else:
+        # two VPU transcendentals instead of a dynamic gather (profiled
+        # ~16 ms/decoder/131k batch on v5e); the exhaustively measured
+        # deviation from the f64 table is folded into the hybrid bound
+        # (instrument.tpq_analytic_eps)
+        tpq = analytic_tpq(obs_qual)
     # a strict observed base with q == 0 is the NUL-terminator convention:
     # the LUT contributes nothing there (reference phred.cpp:39-72 only
     # fills q in [1, 0x80)), so gate strictness on q > 0
@@ -183,9 +232,6 @@ def observation_features(
     return features.reshape(n, w * 5)
 
 
-#: panels larger than this stream through the chunked online posterior
-#: instead of materializing the (N, B) matrix
-LARGE_PANEL_B = 1024
 
 
 def _posterior_chunked(
@@ -245,10 +291,9 @@ def _posterior_chunked(
         total = total * rescale + p.sum(axis=1)
         best_p = best_p * rescale
         second_p = second_p * rescale
-        top2, _ = jax.lax.top_k(p, 2)
-        chunk_best_p = top2[:, 0]
-        chunk_second_p = top2[:, 1]
         chunk_best = jnp.argmax(p, axis=1).astype(jnp.int32)
+        chunk_best_p = jnp.take_along_axis(p, chunk_best[:, None], axis=1)[:, 0]
+        chunk_second_p = _second_max(p, chunk_best)
         better = chunk_best_p > best_p
         second_p = jnp.where(
             better,
@@ -320,10 +365,15 @@ def _posterior_panel_sharded(
     )
     total = jax.lax.psum(prior_adjusted.sum(axis=1), panel_axis)
 
-    top2, _ = jax.lax.top_k(prior_adjusted, min(2, local_b))
-    best_p_local = top2[:, 0]
-    second_p_local = top2[:, 1] if local_b > 1 else jnp.zeros_like(best_p_local)
     best_local = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
+    best_p_local = jnp.take_along_axis(
+        prior_adjusted, best_local[:, None], axis=1
+    )[:, 0]
+    second_p_local = (
+        _second_max(prior_adjusted, best_local)
+        if local_b > 1
+        else jnp.zeros_like(best_p_local)
+    )
     sigma_best_local = jnp.take_along_axis(sigma, best_local[:, None], axis=1)[:, 0]
     global_index = shard_base + best_local
 
@@ -440,8 +490,7 @@ def pamld_classify_device(
         best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
         sigma_decoded = jnp.take_along_axis(sigma_q, best0[:, None], axis=1)[:, 0]
         if want_uncertain:
-            top2, _indices = jax.lax.top_k(prior_adjusted, 2)
-            second_p = top2[:, 1]
+            second_p = _second_max(prior_adjusted, best0)
 
     # p > 0 in the float64 oracle fails only when 10^(-0.1*sigma) underflows
     # a double (sigma beyond the subnormal limit)
@@ -449,18 +498,47 @@ def pamld_classify_device(
     best_index = jnp.where(decoded_any, best0 + 1, 0).astype(jnp.int32)
     confidence = best_p / sigma_p
 
-    # distances only for the decoded barcode: gather its codes and compare
-    expected = dec.panel_codes[best0]  # (N, W)
-    mismatch = expected != obs_code
-    distance = jnp.where(
-        decoded_any, mismatch.sum(axis=1, dtype=jnp.int32), 0
-    )
-    hq_distance = jnp.where(
-        decoded_any,
-        (mismatch & (obs_qual >= dec.high_quality_threshold)).sum(
-            axis=1, dtype=jnp.int32
-        ),
-        0,
+    # distances only for the decoded barcode. Monolithic path: express the
+    # per-position match counts as one (N, 16W) x (16W, B) contraction and
+    # pick the decoded column — exact at DEFAULT precision (0/1 operands
+    # are bf16-exact, MXU accumulation is f32; counts < 2^24) and far
+    # cheaper than a per-read row gather from the panel (dynamic gathers
+    # lower poorly on TPU, tools/profile_step.py). Chunked/sharded panels
+    # keep the row gather: (N, B) never materializes there.
+    need_hq = dec.high_quality_distance_threshold > 0
+    if panel_shard is None and dec.barcode_count <= LARGE_PANEL_B:
+        onehot_o = jax.nn.one_hot(obs_code, 16, dtype=jnp.float32)
+        match = jnp.dot(
+            onehot_o.reshape(n, w * 16),
+            dec.panel_match16,
+            preferred_element_type=jnp.float32,
+        )  # (N, B) per-position match counts
+        match_best = jnp.take_along_axis(match, best0[:, None], axis=1)[:, 0]
+        raw_distance = (jnp.float32(w) - match_best).astype(jnp.int32)
+        if need_hq:
+            hq_mask = (obs_qual >= dec.high_quality_threshold).astype(
+                jnp.float32
+            )
+            hq_match = jnp.dot(
+                (onehot_o * hq_mask[..., None]).reshape(n, w * 16),
+                dec.panel_match16,
+                preferred_element_type=jnp.float32,
+            )
+            hq_best = jnp.take_along_axis(
+                hq_match, best0[:, None], axis=1
+            )[:, 0]
+            raw_hq = (hq_mask.sum(axis=1) - hq_best).astype(jnp.int32)
+    else:
+        expected = dec.panel_codes[best0]  # (N, W)
+        mismatch = expected != obs_code
+        raw_distance = mismatch.sum(axis=1, dtype=jnp.int32)
+        if need_hq:
+            raw_hq = (
+                mismatch & (obs_qual >= dec.high_quality_threshold)
+            ).sum(axis=1, dtype=jnp.int32)
+    distance = jnp.where(decoded_any, raw_distance, 0)
+    hq_distance = (
+        jnp.where(decoded_any, raw_hq, 0) if need_hq else None
     )
 
     # noise filter in log space: 10^(-0.1*sigma) > rbp  <=>  sigma < ln(rbp)/ln(10^-0.1)
@@ -505,7 +583,12 @@ def pamld_classify_device(
         # an f32 decision can only differ from the f64 oracle when the
         # compared quantities sit within these bounds of each other
         q_sum = obs_qual.sum(axis=1).astype(jnp.float32)
-        d_sigma = _gamma(2 * w + 2) * (2.0 * q_sum + _TERM_BOUND * w)
+        # + W * eps: the exhaustively measured analytic-TPQ deviation per
+        # position (0.0 in lut mode) — see instrument.analytic_tpq_epsilon
+        d_sigma = (
+            _gamma(2 * w + 2) * (2.0 * q_sum + _TERM_BOUND * w)
+            + instrument.tpq_analytic_eps * w
+        )
         lam = float(abs(LN_PHRED_BASE))
         chunks = -(-dec.barcode_count // 1024) if (
             dec.barcode_count > LARGE_PANEL_B

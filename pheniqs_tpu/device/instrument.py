@@ -30,8 +30,10 @@ Per-read Hamming/high-quality distances are then computed only against the
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +46,54 @@ STRICT_CODES = (1, 2, 4, 8)
 
 #: natural-log factor: 10^(-0.1 * sigma) == exp(LN_PHRED_BASE * sigma)
 LN_PHRED_BASE = float(-0.1 * np.log(10.0))
+
+#: panels larger than this stream through the chunked online posterior
+#: instead of materializing the (N, B) matrix (classify._posterior_chunked)
+LARGE_PANEL_B = 1024
+
+#: analytic (default) computes the true-positive quality on the VPU as two
+#: transcendentals; `lut` restores the (N, W) table gather, which profiled
+#: ~16 ms/decoder per 131k-read batch on v5e (tools/profile_step.py) —
+#: dynamic gathers lower poorly on TPU
+TPQ_MODE = os.environ.get("PHENIQS_TPQ", "analytic")
+
+
+def analytic_tpq(q: jnp.ndarray) -> jnp.ndarray:
+    """f32 true-positive quality -10*log10(1 - 10^(-q/10)) computed
+    elementwise (no gather). q == 0 inputs are clamped to 1 to keep the
+    value finite; callers gate those positions to zero contribution, the
+    NUL-terminator convention (reference phred.cpp:39-72)."""
+    qf = jnp.maximum(q, 1).astype(jnp.float32)
+    x = jnp.exp(jnp.float32(LN_PHRED_BASE) * qf)
+    return jnp.float32(-10.0 / np.log(10.0)) * jnp.log1p(-x)
+
+
+_ANALYTIC_TPQ_EPS: float | None = None
+
+
+def analytic_tpq_epsilon() -> float:
+    """Exhaustively measured |analytic_f32(q) - tpq_f64(q)| over the ENTIRE
+    quality domain (q in 1..127 — q=0 positions contribute nothing), doubled
+    for safety, evaluated once per process on the default backend. This is
+    verification, not sampling: every input the kernel can ever see is
+    covered, so folding `W * eps` into the hybrid re-resolution bound keeps
+    the strict-identity guarantee intact with analytic TPQ."""
+    global _ANALYTIC_TPQ_EPS
+    if _ANALYTIC_TPQ_EPS is None:
+        from ..phred import TRUE_POSITIVE_QUALITY
+
+        q = jnp.arange(1, _TPQ_DOMAIN, dtype=jnp.int32)
+        measured = np.asarray(
+            jax.jit(analytic_tpq)(q), dtype=np.float64
+        )
+        exact = TRUE_POSITIVE_QUALITY[1:_TPQ_DOMAIN]
+        _ANALYTIC_TPQ_EPS = 2.0 * float(
+            np.max(np.abs(measured - exact))
+        ) + 1e-7
+    return _ANALYTIC_TPQ_EPS
+
+
+_TPQ_DOMAIN = 0x80  # 7-bit phred (reference phred.cpp:39-72)
 
 
 @dataclass(frozen=True)
@@ -80,6 +130,11 @@ class DeviceDecoder:
     panel_codes: jnp.ndarray | None = None  # (B, W) int32
     panel_strict: jnp.ndarray | None = None  # (B, W) f32 strict(e)
     likelihood_matrix: jnp.ndarray | None = None  # (5W, B) f32 — G above
+    #: (16W, B) one-hot of panel codes: match counts (and hence Hamming
+    #: distances to the decoded barcode) become one MXU contraction
+    #: instead of a per-read row gather — exact at DEFAULT matmul
+    #: precision (0/1 operands are bf16-exact, accumulation is f32)
+    panel_match16: jnp.ndarray | None = None
     concentration: jnp.ndarray | None = None  # (B,) f32
     # scalars
     noise: float = 0.0
@@ -110,6 +165,9 @@ class DeviceInstrument:
     substitution_lut: jnp.ndarray  # (128, 16, 16) f32, shared
     tpq: jnp.ndarray  # (128,) f32 true-positive quality table
     used_segments: tuple[int, ...] = ()
+    #: measured per-position bound on the analytic-TPQ deviation from the
+    #: f64 table (0.0 in `lut` mode); the hybrid bound adds `W * eps`
+    tpq_analytic_eps: float = 0.0
 
     @property
     def sample(self) -> DeviceDecoder | None:
@@ -155,11 +213,22 @@ def _panel_matrices(spec: DecoderSpec):
         onehot4[:, :, c] = (codes == code).astype(np.float32)
     g = np.concatenate([onehot4, strict[:, :, None]], axis=2)  # (B, W, 5)
     g = g.reshape(b, w * 5).T  # (5W, B) — contraction layout
+    match16 = None
+    if b <= LARGE_PANEL_B:
+        # only the monolithic posterior consumes the match contraction;
+        # chunked/sharded panels keep the row gather (a (16W, B) matrix
+        # for a 1M-barcode whitelist would cost ~1 GB of HBM for nothing)
+        onehot16 = np.zeros((b, w, 16), dtype=np.float32)
+        np.put_along_axis(onehot16, codes[:, :, None], 1.0, axis=2)
+        match16 = jnp.asarray(
+            np.ascontiguousarray(onehot16.reshape(b, w * 16).T)
+        )
     return (
         jnp.asarray(codes.astype(np.int32)),
         jnp.asarray(strict),
         jnp.asarray(np.ascontiguousarray(g)),
         jnp.asarray(spec.panel.concentration.astype(np.float32)),
+        match16,
     )
 
 
@@ -192,6 +261,7 @@ def compile_decoder(spec: DecoderSpec) -> DeviceDecoder:
             dec.panel_strict,
             dec.likelihood_matrix,
             dec.concentration,
+            dec.panel_match16,
         ) = _panel_matrices(spec)
     return dec
 
@@ -247,6 +317,9 @@ def compile_instrument(ontology: dict) -> DeviceInstrument:
         substitution_lut=jnp.asarray(SUBSTITUTION_LUT.astype(np.float32)),
         tpq=jnp.asarray(TRUE_POSITIVE_QUALITY.astype(np.float32)),
         used_segments=tuple(used),
+        tpq_analytic_eps=(
+            analytic_tpq_epsilon() if TPQ_MODE == "analytic" else 0.0
+        ),
     )
 
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from .classify import _second_max
 from .instrument import LN_PHRED_BASE
 
 _BIG = jnp.float32(3.0e38)
@@ -59,10 +60,11 @@ def _local_posterior(features, qpos_uniform, matrix, concentration):
     conditional = jnp.exp(LN_PHRED_BASE * (sigma - shift[:, None]))
     prior_adjusted = conditional * concentration[None, :]
     total = prior_adjusted.sum(axis=1)
-    top2, _ = jax.lax.top_k(prior_adjusted, 2)
-    best_p = top2[:, 0]
-    second_p = top2[:, 1]
     best_local = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
+    best_p = jnp.take_along_axis(
+        prior_adjusted, best_local[:, None], axis=1
+    )[:, 0]
+    second_p = _second_max(prior_adjusted, best_local)
     sigma_best = jnp.take_along_axis(sigma, best_local[:, None], axis=1)[:, 0]
     return shift, total, best_p, second_p, best_local, sigma_best
 
@@ -122,10 +124,11 @@ def tp_posterior(
         )
         total = jax.lax.psum(prior_adjusted.sum(axis=1), "panel")
 
-        top2, _ = jax.lax.top_k(prior_adjusted, 2)
-        best_p_local = top2[:, 0]
-        second_p_local = top2[:, 1]
         best_local = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
+        best_p_local = jnp.take_along_axis(
+            prior_adjusted, best_local[:, None], axis=1
+        )[:, 0]
+        second_p_local = _second_max(prior_adjusted, best_local)
         sigma_best_local = jnp.take_along_axis(
             sigma, best_local[:, None], axis=1
         )[:, 0]

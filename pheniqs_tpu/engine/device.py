@@ -135,6 +135,7 @@ class DeviceEngine(StrictEngine):
         step = self._step_cache.get(signature)
         if step is None:
             import jax
+            import jax.numpy as jnp
 
             from ..device.step import make_decode_step, make_sharded_decode_step
 
@@ -171,14 +172,26 @@ class DeviceEngine(StrictEngine):
                     h2d_widths=widths,
                 )
             else:
-                step = jax.jit(
+                from ..device.aot import aot_jit
+                from ..device.step import h2d_blob_bytes
+
+                specs = {
+                    "blob": jax.ShapeDtypeStruct(
+                        (signature[0], h2d_blob_bytes(widths)), jnp.uint8
+                    )
+                }
+                # stable-key AOT store: a source edit that shifts line
+                # numbers no longer re-keys the program (device/aot.py)
+                step = aot_jit(
                     make_decode_step(
                         self.instrument,
                         want_uncertain=self.hybrid,
                         want_counters=True,
                         pack_outputs=True,
                         h2d_widths=widths,
-                    )
+                    ),
+                    specs,
+                    label="decode",
                 )
             self._step_cache[signature] = step
         return step
