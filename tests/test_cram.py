@@ -520,3 +520,36 @@ def test_write_batch_byte_identical_to_write_record(tmp_path):
         assert record.aux["BC"] == "AGGCATG"
         assert abs(record.aux["XB"] - float(xb[i])) < 1e-7
         assert record.aux["RG"] == rg_names[i % 2]
+
+
+def test_flush_simple_byte_identical_to_general(tmp_path):
+    """The columnar demux-slice assembly (_flush_simple) must produce the
+    exact bytes of the general per-record loop, including mixed tag
+    layouts (two TD lines) and a slice boundary."""
+    import io
+
+    def build(force_general: bool) -> bytes:
+        out = io.BytesIO()
+        writer = CramWriter(out, HEADER, 5)
+        if force_general:
+            writer._flush_simple = writer._flush_general
+        rng = np.random.default_rng(23)
+        for i in range(5000):
+            code = np.array([1, 2, 4, 8] * 9, dtype=np.uint8)
+            qual = rng.integers(2, 42, size=36).astype(np.uint8)
+            tags = AuxTags()
+            tags.RG = "BDGGG:1:AGGCATG" if i % 3 else "undetermined"
+            tags.BC = "AGGCATG"
+            tags.QT = "IIIIIII"
+            if i % 5 == 0:
+                tags.XB = 0.25  # different tag layout -> second TD line
+            writer.write_record(
+                f"M02455:162:1:{i}", 0x4D if i % 2 else 0x8E,
+                code, qual, 30 + (i % 7), tags,
+            )
+        writer.close()
+        return out.getvalue()
+
+    fast = build(False)
+    general = build(True)
+    assert fast == general
