@@ -445,3 +445,52 @@ def test_h2d_blob_quality_clamp_flags_forced():
     np.testing.assert_array_equal(np.asarray(forced), expected_forced)
     assert not np.asarray(fail).any()
     assert not np.asarray(pad).any()
+
+
+def test_static_window_token_path_matches_general_gather():
+    """The forward fixed-token fast path (two static slices + row select)
+    must equal the general clipped gather for every length regime: longer
+    than the token, inside it, shorter than the token start, and zero."""
+    from pheniqs_tpu.device.instrument import TokenPlan, DeviceDecoder
+    from pheniqs_tpu.device.classify import apply_plans
+
+    rng = np.random.default_rng(17)
+    n, w_in = 64, 24
+    code = rng.integers(1, 16, size=(n, w_in)).astype(np.int32)
+    qual = rng.integers(1, 42, size=(n, w_in)).astype(np.int32)
+    # lengths exercising every branch: 0, < start, == start, inside
+    # the token, beyond it, and the full segment width
+    length = np.array(
+        [0, 1, 3, 5, 6, 7, 9, 11, 12, 13, 17, 24] * 6, dtype=np.int32
+    )[:n]
+
+    def run(plan):
+        dec = DeviceDecoder(
+            algorithm="pamld", classifier_type="sample", index=0,
+            multiplexing=True, plans=[plan],
+            segment_widths=[plan.width],
+        )
+        return apply_plans(
+            dec,
+            [(jnp.asarray(code), jnp.asarray(qual), jnp.asarray(length))],
+        )
+
+    for start, end in [(5, 12), (0, 8), (3, 24), (20, 30)]:
+        width = end - start
+        fast = run(TokenPlan(0, start, end, True, False, 0, width))
+        # the general path, forced by a negative-start twin resolving to
+        # the same coordinates for every row with length == w_in is NOT
+        # equivalent in general — so compare against a NumPy oracle of
+        # the clipped-gather semantics instead
+        s = np.where(start > length, 0, start)
+        e = np.minimum(end, length)
+        size = np.maximum(e - s, 0)
+        offsets = np.arange(width)[None, :]
+        gather = np.clip(s[:, None] + offsets, 0, w_in - 1)
+        valid = offsets < size[:, None]
+        want_code = np.where(valid, np.take_along_axis(code, gather, 1), 0)
+        want_qual = np.where(valid, np.take_along_axis(qual, gather, 1), 0)
+        got_code, got_qual, got_len = fast[0]
+        np.testing.assert_array_equal(np.asarray(got_code), want_code)
+        np.testing.assert_array_equal(np.asarray(got_qual), want_qual)
+        np.testing.assert_array_equal(np.asarray(got_len), size)
