@@ -33,10 +33,17 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
+import time
 
 import numpy as np
 
 __all__ = ["aot_jit", "aot_cache_dir", "semantic_key"]
+
+
+def _trace(message: str):
+    if os.environ.get("PHENIQS_TRACE"):
+        print(f"pheniqs aot: {message}", file=sys.stderr, flush=True)
 
 
 def aot_cache_dir() -> str | None:
@@ -89,11 +96,16 @@ def aot_jit(fn, specs_tree, label: str = "step"):
     if directory is None:
         return jax.jit(fn)
     try:
+        started = time.perf_counter()
         key = semantic_key(fn, specs_tree)
         path = os.path.join(directory, f"{label}-{key[:32]}.jaxexport")
         if os.path.exists(path):
             with open(path, "rb") as handle:
                 exported = export.deserialize(bytearray(handle.read()))
+            _trace(
+                f"loaded {os.path.basename(path)}"
+                f" in {time.perf_counter() - started:.1f}s"
+            )
             return jax.jit(exported.call)
         exported = export.export(jax.jit(fn))(specs_tree)
         os.makedirs(directory, exist_ok=True)
@@ -102,8 +114,13 @@ def aot_jit(fn, specs_tree, label: str = "step"):
         with open(temp, "wb") as handle:
             handle.write(blob)
         os.replace(temp, path)
+        _trace(
+            f"exported {os.path.basename(path)} ({len(blob)} B)"
+            f" in {time.perf_counter() - started:.1f}s"
+        )
         # run the freshly exported artifact (not the source-keyed jit) so
         # its byte-stable StableHLO populates the XLA persistent cache
         return jax.jit(exported.call)
-    except Exception:
+    except Exception as error:
+        _trace(f"store unavailable ({error!r}); plain jit")
         return jax.jit(fn)
