@@ -60,12 +60,38 @@ TPQ_MODE = os.environ.get("PHENIQS_TPQ", "analytic")
 
 def analytic_tpq(q: jnp.ndarray) -> jnp.ndarray:
     """f32 true-positive quality -10*log10(1 - 10^(-q/10)) computed
-    elementwise (no gather). q == 0 inputs are clamped to 1 to keep the
-    value finite; callers gate those positions to zero contribution, the
-    NUL-terminator convention (reference phred.cpp:39-72)."""
-    qf = jnp.maximum(q, 1).astype(jnp.float32)
-    x = jnp.exp(jnp.float32(LN_PHRED_BASE) * qf)
-    return jnp.float32(-10.0 / np.log(10.0)) * jnp.log1p(-x)
+    elementwise WITHOUT transcendentals. TPU's log1p is only ~3.3e-4
+    relative-accurate (measured; exp is ~4e-6), which inflated the hybrid
+    re-resolution bound enough to flag essentially every read — so:
+
+      * 10^(-q/10) for integer q as a product over q's bits of exact f32
+        constants 10^(-2^k/10) (<= 3 ulp, measured 2.1e-7)
+      * -log1p(-x) for q >= 8 (x <= 0.159) as an 8-term Horner series
+        (truncation < 4e-8 relative)
+      * q in 1..7, where the series converges slowly: exact per-q f32
+        constants selected by a compare chain
+
+    q == 0 inputs are clamped to 1; callers gate those positions to zero
+    contribution, the NUL-terminator convention (reference
+    phred.cpp:39-72). The residual deviation from the f64 table is still
+    measured exhaustively per process (analytic_tpq_epsilon) and folded
+    into the hybrid bound."""
+    q = jnp.maximum(q, 1)
+    x = jnp.ones(q.shape, jnp.float32)
+    for k in range(7):  # q < 0x80
+        factor = jnp.float32(10.0 ** (-(1 << k) / 10.0))
+        x = x * jnp.where(((q >> k) & 1) == 1, factor, jnp.float32(1.0))
+    series = jnp.float32(1.0 / 8.0)
+    for n in range(7, 0, -1):
+        series = jnp.float32(1.0 / n) + x * series
+    tpq = jnp.float32(10.0 / np.log(10.0)) * (x * series)
+    from ..phred import TRUE_POSITIVE_QUALITY as _TPQ64
+
+    for qq in range(1, 8):
+        tpq = jnp.where(
+            q == qq, jnp.float32(np.float32(_TPQ64[qq])), tpq
+        )
+    return tpq
 
 
 _ANALYTIC_TPQ_EPS: float | None = None

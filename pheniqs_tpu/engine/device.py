@@ -456,6 +456,28 @@ class DeviceEngine(StrictEngine):
             self._resolved_reads = (
                 getattr(self, "_resolved_reads", 0) + self._batch_rows.size
             )
+            # a runaway re-resolution rate silently degrades hybrid to
+            # strict-engine throughput (observed when the analytic-TPQ
+            # epsilon measured 400x larger on TPU than CPU and the bound
+            # window swallowed the whole confidence distribution) — warn
+            # loudly instead of quietly crawling
+            self._hybrid_seen = getattr(self, "_hybrid_seen", 0) + batch.size
+            if (
+                not getattr(self, "_hybrid_rate_warned", False)
+                and self._hybrid_seen >= 1 << 19
+                and self._resolved_reads > 0.2 * self._hybrid_seen
+            ):
+                self._hybrid_rate_warned = True
+                import sys as sys_mod
+
+                sys_mod.stderr.write(
+                    "[pheniqs-tpu] WARNING: hybrid f64 re-resolution rate "
+                    f"is {self._resolved_reads / self._hybrid_seen:.1%}; "
+                    "the f32 error bound is flagging most reads and "
+                    "throughput degrades toward the strict engine — check "
+                    "device numerics (PHENIQS_TPQ / "
+                    "PHENIQS_MATMUL_PRECISION)\n"
+                )
         else:
             self._batch_rows = np.empty(0, dtype=np.int64)
             self._rows_qcfail = np.empty(0, dtype=bool)

@@ -494,3 +494,14 @@ def test_static_window_token_path_matches_general_gather():
         np.testing.assert_array_equal(np.asarray(got_code), want_code)
         np.testing.assert_array_equal(np.asarray(got_qual), want_qual)
         np.testing.assert_array_equal(np.asarray(got_len), size)
+
+
+def test_analytic_tpq_epsilon_is_tiny():
+    """The transcendental-free TPQ must sit within ~1 ulp-scale of the f64
+    table on EVERY backend — a regression here silently degrades hybrid
+    mode to strict-engine throughput by flagging every read (the TPU
+    log1p incident, BASELINE.md). The formulation is pure mul/add/select,
+    so the bound should hold bit-identically everywhere."""
+    from pheniqs_tpu.device.instrument import analytic_tpq_epsilon
+
+    assert analytic_tpq_epsilon() < 2e-6
