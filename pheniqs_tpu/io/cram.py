@@ -211,7 +211,11 @@ def ltf8_get(buf, offset: int) -> tuple[int, int]:
 def write_block(method: int, content_type: int, content_id: int, raw: bytes,
                 level: int = 5) -> bytes:
     if method == GZIP:
-        data = gzip.compress(raw, compresslevel=level)
+        # mtime=0: gzip's header otherwise embeds the CURRENT TIME, making
+        # CRAM output time-dependent (two writers built a second apart
+        # differ at the MTIME byte — surfaced as a flaky byte-identity
+        # test); htslib also writes deterministic members
+        data = gzip.compress(raw, compresslevel=level, mtime=0)
         if len(data) >= len(raw):
             method, data = RAW, raw
     elif method == RANS:

@@ -148,9 +148,19 @@ def main(argv=None):
         )
         obs_qual_np = rng.integers(20, 40, size=(n, w))
 
-        def run(obs_code, obs_qual):
+        # the panel travels as a runtime ARGUMENT, not a closed-over
+        # constant: the axon remote-compile transport rejects programs
+        # whose embedded constants exceed its request limit (HTTP 413 at
+        # the 1M-barcode/320MB point — measured), and argument-passing is
+        # how a production whitelist should reach the program anyway
+        import dataclasses
+
+        def run(obs_code, obs_qual, matrix, concentration):
+            bound = dataclasses.replace(
+                dec, likelihood_matrix=matrix, concentration=concentration
+            )
             result = pamld_classify_device(
-                instrument, dec,
+                instrument, bound,
                 obs_code.astype(jnp.int32), obs_qual.astype(jnp.int32),
                 jnp.zeros(n, dtype=bool),
             )
@@ -160,7 +170,12 @@ def main(argv=None):
                 result["qcfail"],
             )
 
-        jitted = jax.jit(run)
+        matrix_dev = jax.device_put(dec.likelihood_matrix, device)
+        conc_dev = jax.device_put(dec.concentration, device)
+        compiled = jax.jit(run)
+
+        def jitted(code, qual):
+            return compiled(code, qual, matrix_dev, conc_dev)
         buffers = [
             (
                 jax.device_put(np.roll(obs_code_np, k, axis=0), device),
