@@ -60,7 +60,18 @@ class ObservationScratch:
         n = batch.length.shape[0]
         carry_code = self.code[segment_index]
         carry_qual = self.quality[segment_index]
-        if w == 0:
+        if w == 0 or n == 0:
+            return batch.code, batch.quality
+        if int(batch.length.min()) >= w:
+            # full-width fast path (the overwhelmingly common stream: no
+            # read shorter than the token): every position holds fresh
+            # data, so the effective view IS the raw batch and the
+            # carry-out is simply the final row. The per-position scan
+            # below costs O(N*W) per decoder per batch (~160 ms/131k
+            # measured via PHENIQS_TRACE `scratch`); this path is two row
+            # copies.
+            carry_code[:] = batch.code[-1, :w]
+            carry_qual[:] = batch.quality[-1, :w]
             return batch.code, batch.quality
 
         # extended rows: row 0 = carry-in (writes every position), rows 1..N

@@ -375,6 +375,13 @@ class DeviceEngine(StrictEngine):
                 pass  # sharded global arrays / older jax: pull at finish
         return handles
 
+    def _stage_add(self, key: str, seconds: float):
+        """Accumulate a sub-stage duration into the PHENIQS_TRACE pipeline
+        breakdown (no-op outside the pipelined execute)."""
+        stages = getattr(self, "_stage_seconds", None)
+        if stages is not None:
+            stages[key] = stages.get(key, 0.0) + seconds
+
     def _finish(self, batch: ReadBatch, handles):
         self._predispatched = handles
         try:
@@ -394,7 +401,10 @@ class DeviceEngine(StrictEngine):
         from ..device.step import d2h_layout
 
         layout = d2h_layout(self.instrument, self.hybrid)
+        clock = __import__("time").perf_counter
+        mark = clock()
         blob = np.asarray(packed["blob"])[:n]
+        self._stage_add("pull_wait", clock() - mark)
         ints = (
             np.ascontiguousarray(blob[:, : layout["int_bytes"]])
             .view(np.int32 if layout["wide"] else np.int16)
@@ -488,7 +498,10 @@ class DeviceEngine(StrictEngine):
         batch — see step.counter_layout) into the accumulators."""
         from ..device.step import counter_layout
 
+        clock = __import__("time").perf_counter
+        mark = clock()
         flat = np.asarray(counters)
+        self._stage_add("counter_pull", clock() - mark)
         offset = 0
         for position, name, size in counter_layout(self.instrument):
             value = flat[offset : offset + size]
@@ -513,7 +526,10 @@ class DeviceEngine(StrictEngine):
 
         observation = []
         if spec.rule is not None and spec.algorithm != "passthrough":
+            clock = __import__("time").perf_counter
+            mark = clock()
             observation = spec.rule.apply(batch.segments)
+            self._stage_add("host_rules", clock() - mark)
 
         # this decoder's own qcfail contribution: device chain delta
         previous = (
@@ -574,12 +590,15 @@ class DeviceEngine(StrictEngine):
         if spec.algorithm == "pamld" and runtime.scratch is not None:
             # scratch carry is serial state: advance it on EVERY batch,
             # even when no rows are flagged
+            clock = __import__("time").perf_counter
+            mark = clock()
             eff_codes = []
             eff_quals = []
             for segment_index, segment in enumerate(observation):
                 code, qual = runtime.scratch.effective(segment_index, segment)
                 eff_codes.append(code)
                 eff_quals.append(qual)
+            self._stage_add("scratch", clock() - mark)
             if rows.size == 0:
                 return
             obs_code = np.concatenate([c[rows] for c in eff_codes], axis=1)
@@ -652,7 +671,10 @@ class StreamedDeviceEngine(DeviceEngine):
         self._runner.submit_skip(raw_index)
 
     def _consume_classified(self, batch, results):
+        clock = __import__("time").perf_counter
+        mark = clock()
         self._runner.submit(batch, results)
+        self._stage_add("submit", clock() - mark)
 
     def _close_feeds(self):
         if self._runner is not None:

@@ -169,3 +169,63 @@ def test_native_classify_matches_numpy_oracle():
     ulp = np.abs(np.diff(both, axis=0))
     scale = np.maximum(np.abs(pure.confidence), 1e-300)
     assert (ulp[0] / scale <= 4e-16).all()
+
+
+def test_scratch_fast_path_matches_serial_simulation():
+    """ObservationScratch's full-width fast path must leave carry state
+    byte-identical to the per-read serial semantics, including a
+    full-width batch followed by a batch with short reads that CONSUME
+    the carried bytes (reference sequence.h:61-67)."""
+    from pheniqs_tpu.decode.oracle import ObservationScratch
+    from pheniqs_tpu.transform import SegmentBatch
+
+    rng = np.random.default_rng(41)
+    w = 8
+
+    def serial(batches):
+        buffer_code = np.zeros(w, dtype=np.uint8)
+        buffer_qual = np.zeros(w, dtype=np.uint8)
+        out = []
+        for batch in batches:
+            eff_c = np.zeros_like(batch.code)
+            eff_q = np.zeros_like(batch.quality)
+            for i in range(batch.code.shape[0]):
+                l = int(batch.length[i])
+                buffer_code[:l] = batch.code[i, :l]
+                buffer_qual[:l] = batch.quality[i, :l]
+                if l < w:
+                    buffer_code[l] = 0
+                    buffer_qual[l] = 0
+                eff_c[i] = buffer_code
+                eff_q[i] = buffer_qual
+            out.append((eff_c.copy(), eff_q.copy()))
+        return out, buffer_code.copy(), buffer_qual.copy()
+
+    def make(lengths):
+        n = len(lengths)
+        code = rng.integers(1, 16, size=(n, w)).astype(np.uint8)
+        qual = rng.integers(2, 42, size=(n, w)).astype(np.uint8)
+        arange = np.arange(w)[None, :]
+        lengths = np.asarray(lengths, dtype=np.int64)
+        mask = arange < lengths[:, None]
+        return SegmentBatch(
+            code=np.where(mask, code, 0).astype(np.uint8),
+            quality=np.where(mask, qual, 0).astype(np.uint8),
+            length=lengths.astype(np.int32),
+        )
+
+    batches = [
+        make([w] * 16),               # pure full-width -> fast path
+        make([w, 3, w, 0, 5, w]),     # short reads read the carry
+        make([w] * 4),                # fast path again, carry refreshed
+        make([2]),                    # single short read
+    ]
+    want, want_carry_c, want_carry_q = serial(batches)
+
+    scratch = ObservationScratch([w])
+    for batch, (want_c, want_q) in zip(batches, want):
+        got_c, got_q = scratch.effective(0, batch)
+        np.testing.assert_array_equal(got_c, want_c)
+        np.testing.assert_array_equal(got_q, want_q)
+    np.testing.assert_array_equal(scratch.code[0], want_carry_c)
+    np.testing.assert_array_equal(scratch.quality[0], want_carry_q)
