@@ -37,7 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MODE = os.environ.get("PHENIQS_BENCH_MODE", "e2e")
 E2E_READS = int(os.environ.get("PHENIQS_BENCH_E2E_READS", 20_000_000))
 BASELINE_READS = int(os.environ.get("PHENIQS_BENCH_BASELINE_READS", 200_000))
-THREADS = int(os.environ.get("PHENIQS_BENCH_THREADS", 4))
+# cores + 1: the parent thread spends its life in I/O waits (device pull,
+# worker submit), so one render worker per core plus the thin parent beats
+# reserving a core for it (measured 473k vs 428k steady on the 4-core box)
+THREADS = int(
+    os.environ.get("PHENIQS_BENCH_THREADS", (os.cpu_count() or 4) + 1)
+)
 BATCH = int(os.environ.get("PHENIQS_BENCH_BATCH", 1 << 17))
 BENCH_DIR = os.environ.get("PHENIQS_BENCH_DIR", "/tmp/pheniqs_bench")
 
