@@ -19,6 +19,8 @@ time (reference transcode.cpp:317-320).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -190,6 +192,13 @@ def pack_h2d_blob(
     blob = out if out is not None else np.empty(
         (n, h2d_blob_bytes(widths)), dtype=np.uint8
     )
+    if os.environ.get("PHENIQS_NATIVE_PACK", "1") != "0":
+        from ..native import pack_h2d_native
+
+        # byte-identical native path (GIL released): parity pinned by
+        # tests/test_device_wire.py; falls back on layout mismatch
+        if pack_h2d_native(widths, segments, qcfail, blob):
+            return blob
     flags = np.asarray(qcfail, dtype=np.uint8) * H2D_QCFAIL
     offset = 0
     for w, (code, qual, length) in zip(widths, segments):

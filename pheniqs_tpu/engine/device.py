@@ -246,6 +246,8 @@ class DeviceEngine(StrictEngine):
         used = [
             batch.segments[index] for index in self.instrument.used_segments
         ]
+        clock = __import__("time").perf_counter
+        mark = clock()
         pack_h2d_blob(
             widths,
             [(s.code, s.quality, s.length) for s in used],
@@ -255,7 +257,11 @@ class DeviceEngine(StrictEngine):
         if n < padded_n:
             blob[n:] = 0
             blob[n:, -1] = pad_flags
-        return signature, {"blob": jnp.asarray(blob)}
+        now = clock()
+        self._stage_add("pack", now - mark)
+        device_blob = jnp.asarray(blob)
+        self._stage_add("h2d", clock() - now)
+        return signature, {"blob": device_blob}
 
     # --- pipelined execution ---------------------------------------------
     def execute(self, batch_size: int = 16384):
@@ -528,7 +534,34 @@ class DeviceEngine(StrictEngine):
         if spec.rule is not None and spec.algorithm != "passthrough":
             clock = __import__("time").perf_counter
             mark = clock()
-            observation = spec.rule.apply(batch.segments)
+            # the full observation gather is only consumed by local render
+            # (the render workers recompute it from shared memory) and by
+            # the f64 oracle for flagged rows; when neither applies, the
+            # only surviving need is the PAMLD scratch carry — and a batch
+            # with zero flagged rows has no short observation (short rows
+            # are always flagged uncertain, step.py), so the carry-out is
+            # the LAST read's observation alone
+            if getattr(self, "_render_local", True) or (
+                self.hybrid and self._batch_rows.size > 0
+            ):
+                observation = spec.rule.apply(batch.segments)
+            elif (
+                self.hybrid
+                and spec.algorithm == "pamld"
+                and runtime.scratch is not None
+            ):
+                from ..transform import SegmentBatch
+
+                tail = [
+                    SegmentBatch(
+                        code=s.code[-1:],
+                        quality=s.quality[-1:],
+                        length=s.length[-1:],
+                    )
+                    for s in batch.segments
+                ]
+                for j, segment in enumerate(spec.rule.apply(tail)):
+                    runtime.scratch.effective(j, segment)
             self._stage_add("host_rules", clock() - mark)
 
         # this decoder's own qcfail contribution: device chain delta
@@ -653,6 +686,9 @@ class StreamedDeviceEngine(DeviceEngine):
         super().__init__(ontology, hybrid=hybrid)
         self.workers = workers
         self._runner = None
+        # render workers recompute observation gathers from shared memory;
+        # the parent skips them (and the _classify_batch back-fill)
+        self._render_local = False
 
     def execute(self, batch_size: int = 16384):
         from .stream import StreamRunner

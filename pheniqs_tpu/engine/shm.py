@@ -1,12 +1,20 @@
 """Shared-memory batch transport for the streamed pipeline.
 
 Moves ReadBatches (and per-decoder decision arrays) between the parent
-and render workers through plain files on /dev/shm (tmpfs) mapped with
-numpy: one file per task, one memcpy in (parent), zero-copy memmap views
-out (worker), unlinked by the consumer. This keeps the parse
+and render workers through a FIXED POOL of reusable files on /dev/shm
+(tmpfs) mapped with numpy: one slot per in-flight task, one memcpy in
+(parent), zero-copy memmap views out (worker). This keeps the parse
 single-owner — replay transport made every worker re-parse the input,
 multiplying parse CPU — while the control pipe carries only a tiny
 descriptor.
+
+Slots are REUSED rather than created per task: a fresh tmpfs file pays a
+page zero-fill plus a fault per 4 KB on both sides of the fork (~measured
+640 MB/s effective, ~100 ms per 131k-read batch); a hot slot's pages stay
+faulted and a task costs one RAM-speed memcpy (~10 ms). The pool's free
+queue doubles as the pipeline's backpressure (bounded tmpfs footprint),
+the role the reference's fixed-capacity feed ring buffers play
+(reference feed.h:155-278).
 
 Plain tmpfs files are used instead of multiprocessing.shared_memory
 deliberately: the stdlib resource tracker double-counts segments touched
@@ -17,6 +25,7 @@ by two processes and prints spurious tracebacks at exit (fixed only in
 from __future__ import annotations
 
 import os
+import queue
 import uuid
 
 import numpy as np
@@ -28,10 +37,67 @@ def shm_supported() -> bool:
     return os.path.isdir(SHM_DIR) and os.access(SHM_DIR, os.W_OK)
 
 
-def batch_to_shm(batch, decisions: list[dict] | None):
+class SlotPool:
+    """Parent-side pool of reusable tmpfs segments.
+
+    `acquire` blocks until a slot is free (backpressure), growing the
+    slot's file when the task needs more room; `release` happens when the
+    ordered writer has consumed the worker's result for that task, after
+    which the worker is guaranteed not to touch the slot again."""
+
+    GRANULE = 1 << 20  # grow in 1 MB steps so widths settling early reuse
+
+    def __init__(self, count: int):
+        pid = os.getpid()
+        self._paths = [
+            os.path.join(SHM_DIR, f"pheniqs-{pid}-{uuid.uuid4().hex}")
+            for _ in range(count)
+        ]
+        self._maps: list[np.memmap | None] = [None] * count
+        self._sizes = [0] * count
+        self._free: "queue.Queue[int]" = queue.Queue()
+        for index in range(count):
+            self._free.put(index)
+        self.wait_seconds = 0.0  # cumulative backpressure blocking
+
+    def acquire(self, nbytes: int) -> tuple[int, np.memmap]:
+        import time
+
+        mark = time.perf_counter()
+        slot = self._free.get()
+        self.wait_seconds += time.perf_counter() - mark
+        if self._sizes[slot] < nbytes:
+            capacity = -(-nbytes // self.GRANULE) * self.GRANULE
+            self._maps[slot] = None  # unmap before resizing
+            with open(self._paths[slot], "wb") as handle:
+                handle.truncate(capacity)
+            self._maps[slot] = np.memmap(
+                self._paths[slot], dtype=np.uint8, mode="r+",
+                shape=(capacity,),
+            )
+            self._sizes[slot] = capacity
+        return slot, self._maps[slot]
+
+    def release(self, slot: int):
+        self._free.put(slot)
+
+    def path(self, slot: int) -> str:
+        return self._paths[slot]
+
+    def capacity(self, slot: int) -> int:
+        return self._sizes[slot]
+
+    def close(self):
+        for index, path in enumerate(self._paths):
+            self._maps[index] = None
+            unlink_leftover(path)
+
+
+def batch_to_shm(batch, decisions: list[dict] | None, pool: SlotPool):
     """Serialize a ReadBatch (+ optional per-decoder decision arrays)
-    into one fresh tmpfs file. Returns (descriptor, path); the worker
-    maps it read-only and unlinks it when done."""
+    into a pool slot. Returns (descriptor, slot); the worker maps the
+    slot's file read-only (cached across tasks) and the parent releases
+    the slot when the writer consumes the worker's result."""
     arrays: list[tuple[str, np.ndarray]] = []
     for s, segment in enumerate(batch.segments):
         arrays.append((f"code{s}", segment.code))
@@ -57,32 +123,44 @@ def batch_to_shm(batch, decisions: list[dict] | None):
         offset += -(-value.nbytes // 64) * 64  # 64B-align each array
     total = max(offset, 1)
 
-    path = os.path.join(SHM_DIR, f"pheniqs-{os.getpid()}-{uuid.uuid4().hex}")
-    target = np.memmap(path, dtype=np.uint8, mode="w+", shape=(total,))
+    slot, target = pool.acquire(total)
     for (key, shape, dtype, start), value in zip(layout, contiguous):
         view = np.ndarray(shape, dtype=value.dtype, buffer=target,
                           offset=start)
         view[...] = value
-    target.flush()
-    del target  # drop the parent's mapping; the file carries the data
     descriptor = {
-        "path": path,
+        "path": pool.path(slot),
+        "capacity": pool.capacity(slot),
         "layout": layout,
         "segments": len(batch.segments),
         "decoders": len(decisions) if decisions is not None else -1,
         "raw_index": batch.raw_index,
     }
-    return descriptor, path
+    return descriptor, slot
+
+
+# worker-side mapping cache: slot files are stable for the process
+# lifetime, so each worker maps a file once and remaps only when the
+# parent grew it (descriptor carries the current capacity)
+_worker_maps: dict[str, tuple[np.memmap, int]] = {}
 
 
 def shm_to_batch(descriptor):
-    """Rebuild (ReadBatch, decisions | None, mapping) from a descriptor.
-    Arrays are zero-copy views into the mapping — consume the batch
-    before release_shm()."""
+    """Rebuild (ReadBatch, decisions | None) from a descriptor. Arrays
+    are zero-copy views into the cached slot mapping — fully consume the
+    batch before the task's result is reported (the parent may then reuse
+    the slot)."""
     from ..model.batch import ReadBatch
     from ..transform import SegmentBatch
 
-    mapping = np.memmap(descriptor["path"], dtype=np.uint8, mode="r")
+    path = descriptor["path"]
+    capacity = descriptor["capacity"]
+    cached = _worker_maps.get(path)
+    if cached is None or cached[1] < capacity:
+        mapping = np.memmap(path, dtype=np.uint8, mode="r")
+        _worker_maps[path] = (mapping, mapping.shape[0])
+    else:
+        mapping = cached[0]
     views = {}
     for key, shape, dtype, start in descriptor["layout"]:
         views[key] = np.ndarray(
@@ -115,17 +193,7 @@ def shm_to_batch(descriptor):
                     if key.startswith(prefix)
                 }
             )
-    return batch, decisions, (mapping, descriptor["path"])
-
-
-def release_shm(handle, unlink: bool):
-    mapping, path = handle
-    del mapping
-    if unlink:
-        try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
+    return batch, decisions
 
 
 def unlink_leftover(path: str):

@@ -334,28 +334,41 @@ def _render_worker_ship(
 def _render_worker_shm(
     ontology_blob: bytes,
     worker_id: int,
-    task_pipe,
+    task_source,
     result_queue,
 ):
     """Shared-memory worker: tasks arrive as tiny descriptors; batch
     arrays are zero-copy views into one segment per task (engine/shm.py).
     A task with decision arrays renders only (device modes); one without
     classifies too (strict mode) and ships its accumulator state at the
-    end — the parse stays single-owner either way."""
+    end — the parse stays single-owner either way.
+
+    `task_source` is either this worker's pipe (strict mode: round-robin
+    assignment keeps the per-worker f64 accumulator merge deterministic)
+    or a queue shared by all workers (device modes: any worker takes the
+    next task, so a slow batch never blocks idle peers — the statistics
+    are parent-owned and the writer resequences by raw index, so dynamic
+    assignment changes no output byte)."""
     import os as _os
     import sys as _sys
     import time as _time
 
-    from .shm import release_shm, shm_to_batch
+    from .shm import shm_to_batch
 
     _debug = _os.environ.get("PHENIQS_STREAM_DEBUG") == "1"
     _t_wait = _t_work = 0.0
     _t0 = _time.perf_counter()
     engine = _build_worker_engine(ontology_blob)
     classified_any = False
+    if hasattr(task_source, "recv_bytes"):
+        def _next_task():
+            return pickle.loads(task_source.recv_bytes())
+    else:
+        def _next_task():
+            return task_source.get()
     while True:
         _t = _time.perf_counter()
-        message = pickle.loads(task_pipe.recv_bytes())
+        message = _next_task()
         _t_wait += _time.perf_counter() - _t
         if message is None:
             break
@@ -363,16 +376,16 @@ def _render_worker_shm(
             result_queue.put((message[1], {}))
             continue
         _t = _time.perf_counter()
-        batch, decisions, shm = shm_to_batch(message)
-        try:
-            if decisions is not None:
-                _apply_decisions(engine, batch, decisions)
-            else:
-                classified_any = True
-                engine.process_batch(batch)
-            index = batch.raw_index
-        finally:
-            release_shm(shm, unlink=True)
+        # zero-copy views into the pooled slot: the batch must be fully
+        # consumed before the result is reported (the parent then reuses
+        # the slot), which _render_batch/_collect_chunk guarantee
+        batch, decisions = shm_to_batch(message)
+        if decisions is not None:
+            _apply_decisions(engine, batch, decisions)
+        else:
+            classified_any = True
+            engine.process_batch(batch)
+        index = batch.raw_index
         result_queue.put((index, _collect_chunk(engine)))
         _t_work += _time.perf_counter() - _t
     if _debug:
@@ -438,12 +451,18 @@ class StreamRunner:
         self.transport = transport
         self._processes: list = []
         self._task_pipes: list = []
+        # device modes: one shared task queue, any worker takes the next
+        # task (round-robin pipes stay for strict mode, where per-worker
+        # accumulator merge order must be deterministic)
+        self._task_queue = None
         self._result_queue = None
         self._writer: threading.Thread | None = None
+        self._collector: threading.Thread | None = None
+        self._chunk_queue = None
         self._writer_error: list = []
         self._states: list = []
-        self._shm_names: list[str] = []
-        self._slots: threading.Semaphore | None = None
+        self._pool = None  # shm.SlotPool: reusable segments + backpressure
+        self._slot_by_index: dict[int, int] = {}
         self._worker_failure: tuple | None = None
 
     def _input_replayable(self) -> bool:
@@ -468,11 +487,16 @@ class StreamRunner:
         self._result_queue = context.Queue()
         ontology_blob = pickle.dumps(self.engine.ontology)
         if self.transport == "shm":
-            from .shm import sweep_stale
+            from .shm import SlotPool, sweep_stale
 
             sweep_stale()  # reclaim segments from hard-killed runs
-            # bound the number of unconsumed segments living in /dev/shm
-            self._slots = threading.Semaphore(self.workers * 2 + 1)
+            # the pool's free queue bounds the unconsumed segments living
+            # in /dev/shm AND provides the pipeline's backpressure; sized
+            # so the device lookahead window never starves for a slot
+            import os
+
+            lookahead = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
+            self._pool = SlotPool(self.workers * 2 + 1 + 2 * lookahead)
         for worker_id in range(self.workers):
             if self.transport == "autonomous":
                 process = context.Process(
@@ -485,6 +509,27 @@ class StreamRunner:
                             worker_id,
                             self.workers,
                             self.batch_size,
+                            self._result_queue,
+                        ),
+                    ),
+                    daemon=True,
+                )
+                with _quiet_fork():
+                    process.start()
+                self._processes.append(process)
+                continue
+            if self.transport == "shm" and not self.classify_in_worker:
+                if self._task_queue is None:
+                    self._task_queue = context.Queue()
+                process = context.Process(
+                    target=_guarded,
+                    args=(
+                        _render_worker_shm,
+                        self._result_queue,
+                        (
+                            ontology_blob,
+                            worker_id,
+                            self._task_queue,
                             self._result_queue,
                         ),
                     ),
@@ -540,6 +585,16 @@ class StreamRunner:
             child_end.close()
             self._processes.append(process)
             self._task_pipes.append(parent_end)
+        import queue as queue_mod
+
+        # bounded: rendered chunks are tens of MB each; the collector
+        # blocks (delaying further slot releases) only when the disk
+        # writer falls far behind
+        self._chunk_queue = queue_mod.Queue(maxsize=self.workers * 2)
+        self._collector = threading.Thread(
+            target=self._collector_loop, daemon=True
+        )
+        self._collector.start()
         self._writer = threading.Thread(target=self._writer_loop, daemon=True)
         self._writer.start()
 
@@ -549,11 +604,12 @@ class StreamRunner:
             {field: getattr(result, field) for field in _RESULT_FIELDS}
             for result in results
         ]
-        pipe = self._task_pipes[index % self.workers]
         try:
             if self.transport == "shm":
-                self._send_shm(pipe, batch, payloads)
-            elif self.transport == "replay":
+                self._send_shm(batch, payloads)
+                return
+            pipe = self._task_pipes[index % self.workers]
+            if self.transport == "replay":
                 pipe.send_bytes(pickle.dumps((index, payloads)))
             else:
                 pipe.send_bytes(pickle.dumps((index, batch, payloads)))
@@ -564,24 +620,39 @@ class StreamRunner:
     def submit_raw(self, batch):
         """Strict shm mode: ship the unclassified batch; the worker runs
         the whole per-read pipeline on it."""
-        pipe = self._task_pipes[batch.raw_index % self.workers]
         try:
-            self._send_shm(pipe, batch, None)
+            self._send_shm(batch, None)
         except (BrokenPipeError, OSError):
             self._raise_worker_failure()
             raise
 
-    def _send_shm(self, pipe, batch, payloads):
+    def _send_shm(self, batch, payloads):
+        import time
+
         from .shm import batch_to_shm
 
-        self._slots.acquire()
-        descriptor, path = batch_to_shm(batch, payloads)
-        self._shm_names.append(path)
-        pipe.send_bytes(pickle.dumps(descriptor))
+        stage_add = getattr(self.engine, "_stage_add", None)
+        mark = time.perf_counter()
+        wait_before = self._pool.wait_seconds
+        descriptor, slot = batch_to_shm(batch, payloads, self._pool)
+        # released by the writer thread when this task's result lands
+        self._slot_by_index[batch.raw_index] = slot
+        if stage_add is not None:
+            waited = self._pool.wait_seconds - wait_before
+            stage_add("submit_slot", waited)
+            stage_add("submit_copy", time.perf_counter() - mark - waited)
+        if self._task_queue is not None:
+            self._task_queue.put(descriptor)
+        else:
+            pipe = self._task_pipes[batch.raw_index % self.workers]
+            pipe.send_bytes(pickle.dumps(descriptor))
 
     def submit_skip(self, index: int):
         """Nothing survived this raw batch's input filters: keep the index
         sequence gapless for the writer and the replay streams."""
+        if self._task_queue is not None:
+            self._task_queue.put(("skip", index))
+            return
         pipe = self._task_pipes[index % self.workers]
         if self.transport == "shm":
             pipe.send_bytes(pickle.dumps(("skip", index)))
@@ -590,11 +661,10 @@ class StreamRunner:
         else:
             pipe.send_bytes(pickle.dumps((index, None, "skip")))
 
-    def _writer_loop(self):
-        """Sequence worker chunks in raw batch order and stream them out."""
-        feeds_by_url = self.engine.feeds_by_url
-        pending: dict[int, dict] = {}
-        next_write = 0
+    def _collector_loop(self):
+        """Drain worker results: release slots IMMEDIATELY (so a long
+        ordered disk write never withholds pipeline backpressure) and hand
+        chunks to the writer thread."""
         states_seen = 0
         try:
             while states_seen < self.workers:
@@ -618,8 +688,27 @@ class StreamRunner:
                             mine.merge(theirs)
                     continue
                 index, chunk = item
-                if self._slots is not None:
-                    self._slots.release()
+                if self._pool is not None:
+                    slot = self._slot_by_index.pop(index, None)
+                    if slot is not None:
+                        self._pool.release(slot)
+                self._chunk_queue.put((index, chunk))
+        except Exception as error:  # surfaced by finish()
+            self._writer_error.append(error)
+        finally:
+            self._chunk_queue.put(None)
+
+    def _writer_loop(self):
+        """Sequence worker chunks in raw batch order and stream them out."""
+        feeds_by_url = self.engine.feeds_by_url
+        pending: dict[int, dict] = {}
+        next_write = 0
+        try:
+            while True:
+                item = self._chunk_queue.get()
+                if item is None:
+                    break
+                index, chunk = item
                 pending[index] = chunk
                 while next_write in pending:
                     for url, data in pending.pop(next_write).items():
@@ -643,12 +732,16 @@ class StreamRunner:
         """Tear the pool down after a parent-side failure: kill workers,
         unblock the writer, and reclaim the tmpfs segments. Never raises."""
         try:
+            if self._task_queue is not None:
+                self._task_queue.cancel_join_thread()
             for process in self._processes:
                 if process.is_alive():
                     process.terminate()
             if self._result_queue is not None:
                 for _ in range(self.workers):
                     self._result_queue.put(("state", None))
+            if self._collector is not None:
+                self._collector.join(timeout=10)
             if self._writer is not None:
                 self._writer.join(timeout=10)
             for pipe in self._task_pipes:
@@ -661,18 +754,20 @@ class StreamRunner:
         except Exception:
             pass
         finally:
-            from .shm import unlink_leftover
-
-            for name in self._shm_names:
-                unlink_leftover(name)
+            if self._pool is not None:
+                self._pool.close()
 
     def finish(self):
+        if self._task_queue is not None:
+            for _ in self._processes:
+                self._task_queue.put(None)
         sentinel = pickle.dumps(None)
         for pipe in self._task_pipes:
             try:
                 pipe.send_bytes(sentinel)
             except (BrokenPipeError, OSError):
                 pass
+        self._collector.join()
         self._writer.join()
         for pipe in self._task_pipes:
             pipe.close()
@@ -685,16 +780,12 @@ class StreamRunner:
                 raise InternalError(
                     f"render worker exited with code {process.exitcode}"
                 )
+        if self._pool is not None:
+            # all workers have exited: nothing maps the slots any more
+            self._pool.close()
         if self._writer_error:
             raise self._writer_error[0]
         self._raise_worker_failure()
-        if self._shm_names:
-            # consumed segments are already unlinked by their workers;
-            # this only catches segments a crashed worker never touched
-            from .shm import unlink_leftover
-
-            for name in self._shm_names:
-                unlink_leftover(name)
         # merge worker statistics in worker order — the deterministic
         # analog of Transcode::collect iterating its thread array
         # (reference transcode.cpp:317-320)
@@ -728,6 +819,9 @@ class StreamedStrictEngine(StrictEngine):
         self.workers = workers
         self._runner: StreamRunner | None = None
         self._raw_counter = -1
+        # in every transport the workers render (recomputing observation
+        # gathers themselves); the parent never does
+        self._render_local = False
 
     def execute(self, batch_size: int = 4096):
         import time

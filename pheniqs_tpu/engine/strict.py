@@ -606,9 +606,12 @@ class StrictEngine:
             qcfail = result.qcfail
             if (
                 not result.observation
+                and getattr(self, "_render_local", True)
                 and runtime.spec.rule is not None
                 and runtime.spec.algorithm != "passthrough"
             ):
+                # render consumes the observation; engines whose render
+                # workers recompute it remotely skip this back-fill
                 result.observation = runtime.spec.rule.apply(batch.segments)
             results.append(result)
 

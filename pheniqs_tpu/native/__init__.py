@@ -253,6 +253,20 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_pack_h2d_segment.restype = None
+        lib.pq_pack_h2d_segment.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.pq_bgzf_open.restype = ctypes.c_void_p
         lib.pq_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.pq_bgzf_read.restype = ctypes.c_int64
@@ -716,6 +730,54 @@ def fastq_format_batch(
         if used >= 0:
             return arena[:used].tobytes(), offsets
         capacity = -used
+
+
+def pack_h2d_native(widths, segments, qcfail, out) -> bool:
+    """Native path of device/step.py pack_h2d_blob: pack per-segment
+    (code, qual, length) into the 10-bit wire blob `out` (byte-identical
+    to the numpy path; releases the GIL so packing overlaps the render
+    workers). Returns False when the native lib is unavailable or the
+    array layout disqualifies (caller falls back to numpy)."""
+    lib = load()
+    if lib is None:
+        return False
+    n = out.shape[0]
+    if (
+        out.dtype != np.uint8
+        or out.strides[1] != 1
+        or n != np.asarray(qcfail).shape[0]
+    ):
+        return False
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    flags = np.asarray(qcfail).astype(np.uint8)  # H2D_QCFAIL = bit 0
+    offset = 0
+    for w, (code, qual, length) in zip(widths, segments):
+        if w % 4:
+            raise ValueError(f"h2d segment width {w} not a multiple of 4")
+        sw = code.shape[1]
+        if sw > w:
+            return False
+        code = np.ascontiguousarray(code, dtype=np.uint8)
+        qual = np.ascontiguousarray(qual, dtype=np.uint8)
+        length = np.ascontiguousarray(length, dtype=np.int32)
+        length_bytes = 1 if w < 256 else 2
+        lib.pq_pack_h2d_segment(
+            code.ctypes.data_as(u8),
+            qual.ctypes.data_as(u8),
+            length.ctypes.data_as(i32),
+            n,
+            sw,
+            w,
+            out.ctypes.data_as(u8),
+            out.strides[0],
+            offset,
+            length_bytes,
+            flags.ctypes.data_as(u8),
+        )
+        offset += w // 2 + (3 * w) // 4 + length_bytes
+    out[:, offset] = flags
+    return True
 
 
 def rans_compress(data: bytes, order: int = 0) -> bytes | None:

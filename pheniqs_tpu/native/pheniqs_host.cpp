@@ -1885,4 +1885,57 @@ int64_t pq_rans_uncompress(const uint8_t* in, int64_t in_size,
     return rsz;
 }
 
+// --- host->device wire packer -----------------------------------------------
+// Byte-for-byte mirror of device/step.py pack_h2d_blob's numpy path (parity
+// pinned by tests): 4-bit codes nibble-packed two per byte, 6-bit qualities
+// packed four into three bytes (clamped at 63; any quality over 63 ORs
+// H2D_FORCED=4 into `flags`), then the clipped length.  One call per
+// segment; `flags` (n bytes) accumulates across segments and the caller
+// writes it into the final blob column.  Runs with the GIL released
+// (ctypes), so the parent's packing overlaps worker rendering.
+void pq_pack_h2d_segment(
+    const uint8_t* code, const uint8_t* qual, const int32_t* length,
+    int64_t n, int64_t sw, int64_t w,
+    uint8_t* blob, int64_t blob_stride, int64_t offset,
+    int64_t length_bytes, uint8_t* flags) {
+    const int64_t cw = w / 2;
+    const int64_t qw = (3 * w) / 4;
+    const int64_t full = sw < w ? sw / 2 : cw;   // byte pairs fully inside sw
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* c = code + i * sw;
+        const uint8_t* q = qual + i * sw;
+        uint8_t* row = blob + i * blob_stride + offset;
+        for (int64_t j = 0; j < full; ++j) {
+            row[j] = static_cast<uint8_t>(c[2 * j] | (c[2 * j + 1] << 4));
+        }
+        for (int64_t j = full; j < cw; ++j) {
+            const int64_t a = 2 * j, b = 2 * j + 1;
+            const uint8_t lo = a < sw ? c[a] : 0;
+            const uint8_t hi = b < sw ? c[b] : 0;
+            row[j] = static_cast<uint8_t>(lo | (hi << 4));
+        }
+        uint8_t* qrow = row + cw;
+        bool forced = false;
+        for (int64_t g = 0; g < w / 4; ++g) {
+            uint8_t v[4];
+            for (int k = 0; k < 4; ++k) {
+                const int64_t s = 4 * g + k;
+                uint8_t x = s < sw ? q[s] : 0;
+                if (x > 63) { forced = true; x = 63; }
+                v[k] = x;
+            }
+            qrow[3 * g] = static_cast<uint8_t>(v[0] | (v[1] << 6));
+            qrow[3 * g + 1] = static_cast<uint8_t>((v[1] >> 2) | (v[2] << 4));
+            qrow[3 * g + 2] = static_cast<uint8_t>((v[2] >> 4) | (v[3] << 2));
+        }
+        if (forced) flags[i] |= 4;  // H2D_FORCED (device/step.py)
+        int32_t len = length[i];
+        if (len < 0) len = 0;
+        if (len > w) len = static_cast<int32_t>(w);
+        uint8_t* lrow = qrow + qw;
+        lrow[0] = static_cast<uint8_t>(len & 0xFF);
+        if (length_bytes == 2) lrow[1] = static_cast<uint8_t>(len >> 8);
+    }
+}
+
 }  // extern "C"

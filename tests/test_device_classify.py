@@ -414,6 +414,43 @@ def test_h2d_blob_round_trip():
     assert not np.asarray(forced).any()
 
 
+def test_h2d_native_pack_matches_numpy():
+    """The native (C++, GIL-released) packer must be byte-identical to the
+    numpy reference path across ragged widths, clamped qualities and
+    out-of-range lengths."""
+    import numpy as np
+    import pytest
+
+    from pheniqs_tpu.native import available, pack_h2d_native
+    from pheniqs_tpu.device.step import h2d_blob_bytes, pack_h2d_blob
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(77)
+    n = 1023
+    widths = [8, 12, 28]       # bucket widths (multiples of 4)
+    source_widths = [8, 10, 26]  # actual segment widths (sw <= w)
+    segments = []
+    for w, sw in zip(widths, source_widths):
+        code = rng.integers(0, 16, size=(n, sw)).astype(np.uint8)
+        qual = rng.integers(0, 80, size=(n, sw)).astype(np.uint8)  # some >63
+        length = rng.integers(-2, sw + 3, size=n).astype(np.int32)
+        segments.append((code, qual, length))
+    qcfail = (rng.random(n) < 0.25).astype(np.uint8)
+
+    import os
+
+    os.environ["PHENIQS_NATIVE_PACK"] = "0"
+    try:
+        reference = pack_h2d_blob(widths, segments, qcfail)
+    finally:
+        os.environ.pop("PHENIQS_NATIVE_PACK")
+    native = np.zeros((n, h2d_blob_bytes(widths)), dtype=np.uint8)
+    assert pack_h2d_native(widths, segments, qcfail, native)
+    np.testing.assert_array_equal(native, reference)
+
+
 def test_h2d_blob_quality_clamp_flags_forced():
     """Qualities >= 64 clamp to 63 on the wire and flag the row H2D_FORCED
     so the hybrid engine re-resolves it with the exact float64 oracle."""

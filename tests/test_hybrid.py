@@ -131,6 +131,79 @@ def test_hybrid_decisions_identical_to_strict(adversarial_job):
         assert strict_doc["sample"][key] == hybrid_doc["sample"][key], key
 
 
+def test_streamed_hybrid_scratch_carry_across_lazy_batches(tmp_path):
+    """The streamed hybrid parent skips the full observation gather on
+    batches with zero flagged rows, advancing the PAMLD scratch carry from
+    the last read alone (engine/device.py lazy path). A short read in a
+    LATER batch reads that carry (reference sequence.h:61-67), so the
+    decisions must stay byte-identical to the strict serial engine even
+    when the carry threads through lazily-advanced batches."""
+    # well-separated panel + clean early reads: the first three 256-read
+    # batches flag ZERO rows (verified by instrumentation), so the parent
+    # takes the lazy tail-only scratch advance on them; the noisy/short
+    # tail then exercises oracle resolution against that lazy carry
+    panel = ["ACGTACGT", "TGCATGCA", "GGAATTCC"]
+    rng = np.random.default_rng(11)
+    path = tmp_path / "reads.fastq"
+    with open(path, "w") as stream:
+        for i in range(1500):
+            word = panel[rng.integers(len(panel))]
+            bases = list(word)
+            quality = [int(rng.integers(32, 41)) for _ in bases]
+            if i > 900:
+                for position in range(len(bases)):
+                    if rng.random() < 0.15:
+                        bases[position] = BASES[rng.integers(4)]
+                        quality[position] = int(rng.integers(5, 20))
+            seq = "".join(bases)
+            qual = "".join(chr(q + 33) for q in quality)
+            # short reads ONLY in the second half of the stream: the first
+            # batches are all full width (lazy carry advance), then the
+            # short rows' oracle must see the lazily-threaded scratch
+            if i > 900 and rng.random() < 0.3:
+                cut = int(rng.integers(2, len(seq)))
+                seq, qual = seq[:cut], qual[:cut]
+            stream.write(f"@read{i}\n{seq}\n+\n{qual}\n")
+
+    config = {
+        "input": [str(path)],
+        "template": {"transform": {"token": ["0::"]}},
+        "sample": {
+            "algorithm": "pamld",
+            "confidence threshold": 0.9,
+            "noise": 0.05,
+            "transform": {"token": ["0::8"]},
+            "codec": {f"@{word}": {"barcode": [word]} for word in panel},
+        },
+    }
+
+    outputs = {}
+    for fidelity, threads in (("strict", 1), ("hybrid", 3)):
+        job = dict(config)
+        out = tmp_path / f"out_{fidelity}.sam"
+        job["output"] = [str(out)]
+        config_path = tmp_path / f"job_{fidelity}.json"
+        config_path.write_text(json.dumps(job))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        result = subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config", str(config_path), "--precision", "15",
+                "--fidelity", fidelity, "--threads", str(threads),
+                "--batch-size", "256",
+            ],
+            cwd=str(tmp_path), env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        outputs[fidelity] = decisions(out.read_text())
+
+    assert outputs["strict"] == outputs["hybrid"]
+
+
 def test_fast_mode_may_differ_but_hybrid_resolves(adversarial_job):
     """Sanity: on this adversarial workload the plain fast path is allowed
     to differ from strict (that is why hybrid exists); hybrid must not."""
