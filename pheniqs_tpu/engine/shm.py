@@ -196,6 +196,44 @@ def shm_to_batch(descriptor):
     return batch, decisions
 
 
+def chunk_to_shm(chunk: dict) -> dict | None:
+    """Spill a worker's rendered output chunk ({url: bytes}) to one tmpfs
+    file, returning a descriptor the parent consumes with chunk_from_shm.
+    A 65 MB chunk pickled through the result queue costs a pickle copy
+    plus two pipe crossings per batch; a tmpfs spill is one write here and
+    one read + feed write there. Returns None when tmpfs is unavailable
+    (caller sends the dict as-is)."""
+    if not chunk or not shm_supported():
+        return None
+    path = os.path.join(
+        SHM_DIR, f"pheniqs-{os.getpid()}-out-{uuid.uuid4().hex}"
+    )
+    layout = []
+    offset = 0
+    try:
+        with open(path, "wb") as handle:
+            for url, data in chunk.items():
+                handle.write(data)
+                layout.append((url, offset, len(data)))
+                offset += len(data)
+    except OSError:
+        unlink_leftover(path)
+        return None
+    return {"__shm_chunk__": path, "layout": layout}
+
+
+def chunk_from_shm(descriptor: dict):
+    """Yield (url, bytes) from a chunk descriptor, then unlink the file."""
+    path = descriptor["__shm_chunk__"]
+    try:
+        with open(path, "rb") as handle:
+            for url, offset, size in descriptor["layout"]:
+                handle.seek(offset)
+                yield url, handle.read(size)
+    finally:
+        unlink_leftover(path)
+
+
 def unlink_leftover(path: str):
     """Best-effort cleanup of a file a crashed worker never consumed."""
     try:

@@ -107,7 +107,8 @@ class WorkerFeed:
         self.format = feed.format
         self.phred_offset = feed.phred_offset
         self.platform = feed.platform
-        self.buffer = bytearray()
+        self.buffer = bytearray()  # compressed paths (BAM/BGZF sinks)
+        self.chunks = []  # plain path: payloads held by reference, no copy
         self.bam = None
         self._bgzf = None
         self._devnull = feed.url.is_dev_null()
@@ -125,13 +126,15 @@ class WorkerFeed:
             level = int(self.url.compression_level or 5)
             self._bgzf = BgzfWriter(_BufferSink(self.buffer), level)
 
-    def write(self, payload: bytes):
+    def write(self, payload):
         if self._devnull:
             return
         if self._bgzf is not None:
             self._bgzf.write(payload)
         else:
-            self.buffer += payload
+            # keep by reference: payloads are fresh render arenas (or
+            # immutable bytes), consumed by take() within the same task
+            self.chunks.append(payload)
 
     def flush(self):
         pass
@@ -141,14 +144,22 @@ class WorkerFeed:
 
         OutputFeed.emit(self, name, flag, code, quality, length, tags, segment_index)
 
-    def take(self) -> bytes:
+    def take(self):
         if self.bam is not None:
             self.bam.flush_block()
         if self._bgzf is not None:
             self._bgzf.flush_block()
-        payload = bytes(self.buffer)
-        self.buffer.clear()
-        return payload
+        if self.buffer:
+            payload = bytes(self.buffer)
+            self.buffer.clear()
+            return payload
+        if not self.chunks:
+            return b""
+        chunks = self.chunks
+        self.chunks = []
+        if len(chunks) == 1:
+            return chunks[0]
+        return b"".join(chunks)  # accepts bytes and uint8 views alike
 
     def close(self):
         pass
@@ -184,10 +195,20 @@ def _apply_decisions(engine: StrictEngine, batch, payloads):
 
 def _collect_chunk(engine: StrictEngine) -> dict:
     chunk = {}
+    total = 0
     for url, feed in engine.feeds_by_url.items():
         data = feed.take()
-        if data:
+        if len(data):
             chunk[url] = data
+            total += len(data)
+    if total >= 1 << 20:
+        # large chunks ride tmpfs instead of the pickled result queue
+        # (engine/shm.py chunk_to_shm); small ones aren't worth a file
+        from .shm import chunk_to_shm
+
+        spilled = chunk_to_shm(chunk)
+        if spilled is not None:
+            return spilled
     return chunk
 
 
@@ -711,8 +732,15 @@ class StreamRunner:
                 index, chunk = item
                 pending[index] = chunk
                 while next_write in pending:
-                    for url, data in pending.pop(next_write).items():
-                        feeds_by_url[url].write_raw(data)
+                    chunk = pending.pop(next_write)
+                    if "__shm_chunk__" in chunk:
+                        from .shm import chunk_from_shm
+
+                        for url, data in chunk_from_shm(chunk):
+                            feeds_by_url[url].write_raw(data)
+                    else:
+                        for url, data in chunk.items():
+                            feeds_by_url[url].write_raw(data)
                     next_write += 1
         except Exception as error:  # surfaced by finish()
             self._writer_error.append(error)

@@ -1174,7 +1174,7 @@ class StrictEngine:
                     piece_start,
                     piece_len,
                 )
-                if payload:
+                if payload is not None and len(payload):
                     feed.write(payload)
                 continue
             pieces = []
@@ -1267,7 +1267,7 @@ class StrictEngine:
                     piece_start,
                     piece_len,
                 )
-                if payload:
+                if payload is not None and len(payload):
                     feed.write(payload)
                 continue
             for i in rows:

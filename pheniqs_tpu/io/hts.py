@@ -74,7 +74,9 @@ class BgzfWriter:
             self._pending = deque()
             self._max_pending = threads * 4
 
-    def write(self, data: bytes):
+    def write(self, data):
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            data = memoryview(data)  # uint8 render views
         self.buffer += data
         while len(self.buffer) >= BGZF_BLOCK:
             self._emit(bytes(self.buffer[:BGZF_BLOCK]))

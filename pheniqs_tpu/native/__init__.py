@@ -328,7 +328,9 @@ def sam_format_batch(
             line_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if used >= 0:
-            return arena[:used].tobytes(), line_offsets
+            # zero-copy: a uint8 view of this call's own arena (fresh
+            # allocation, so views from successive calls never alias)
+            return arena[:used], line_offsets
         capacity = -used
 
 
@@ -640,7 +642,7 @@ def sam_format_full(
             line_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if used >= 0:
-            return arena[:used].tobytes(), line_offsets
+            return arena[:used], line_offsets  # zero-copy view, fresh arena
         capacity = -used
 
 
@@ -652,7 +654,14 @@ def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray,
     piece_arena = np.ascontiguousarray(piece_arena, dtype=np.uint8)
     piece_start = np.ascontiguousarray(piece_start, dtype=np.int64)
     piece_len = np.ascontiguousarray(piece_len, dtype=np.int32)
-    arena_pointers = (ctypes.c_char_p * len(arenas))(*arenas)
+    # arenas may be bytes or uint8 views (sam_format_full's zero-copy
+    # return); pass raw addresses either way
+    arena_pointers = (ctypes.c_char_p * len(arenas))(
+        *(
+            ctypes.c_char_p(a.ctypes.data) if isinstance(a, np.ndarray) else a
+            for a in arenas
+        )
+    )
     capacity = int(piece_len.sum()) + 1
     arena, out = _scratch(capacity)
     used = lib.pq_concat_spans(
@@ -666,7 +675,7 @@ def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray,
     )
     if used < 0:
         return None
-    return arena[:used].tobytes()
+    return arena[:used]  # zero-copy view of this call's own arena
 
 
 def fastq_format_batch(
@@ -728,7 +737,7 @@ def fastq_format_batch(
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if used >= 0:
-            return arena[:used].tobytes(), offsets
+            return arena[:used], offsets  # zero-copy view, fresh arena
         capacity = -used
 
 

@@ -75,7 +75,7 @@ def test_concat_spans(native):
     piece_arena = np.array([0, 1, 0], dtype=np.uint8)
     piece_start = np.array([0, 2, 5], dtype=np.int64)
     piece_len = np.array([5, 3, 5], dtype=np.int32)
-    assert concat_spans(arenas, piece_arena, piece_start, piece_len) == (
+    assert bytes(concat_spans(arenas, piece_arena, piece_start, piece_len)) == (
         b"HELLO" + b"cde" + b"WORLD"
     )
 
@@ -97,7 +97,7 @@ def test_fastq_format_batch(native):
     arena, rec = fastq_format_batch(
         names, offsets, qcfail, 2, code, quality, length, 33, bc
     )
-    records = arena.decode().rstrip("\n").split("\n")
+    records = bytes(arena).decode().rstrip("\n").split("\n")
     assert records[0] == "@read1 2:N:0:AA"
     assert records[1] == "ACGTN"
     assert records[2] == "+"
@@ -110,7 +110,7 @@ def test_fastq_format_batch(native):
     arena2, _ = fastq_format_batch(
         names, offsets, qcfail, 0, code, quality, length, 33, None
     )
-    assert arena2.decode().split("\n")[0] == "@read1"
+    assert bytes(arena2).decode().split("\n")[0] == "@read1"
 
 
 def test_overlong_read_grows_not_truncates(native, tmp_path):
