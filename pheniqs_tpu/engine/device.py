@@ -89,15 +89,16 @@ class DeviceEngine(StrictEngine):
         self._current_batch: ReadBatch | None = None
         self._batch_results: list[dict] | None = None
         self._predispatched = None
-        # rotating staging buffer sets: with D batches of lookahead, a
-        # batch's host arrays may still back an in-flight transfer while
-        # D more stage (jax can alias host memory on CPU), so keep D+2
+        # rotating staging buffer sets: packing now runs on the ingest
+        # thread up to the prefetch-queue depth (4) ahead of dispatch, and
+        # D dispatched batches may still back in-flight transfers (jax can
+        # alias host memory on CPU), so keep D + 4 + 2 buffers per shape
         self._staging: dict[tuple, list] = {}
         self._staging_flip = 0
         self._tp = False
         self._tp_shards = None
         self._staging_sets = (
-            max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2"))) + 2
+            max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2"))) + 6
         )
 
     # --- device dispatch -------------------------------------------------
@@ -200,6 +201,13 @@ class DeviceEngine(StrictEngine):
         """Pad to a stable shape signature and ship to device."""
         import jax.numpy as jnp
 
+        signature, blob = self._pack_batch(batch)
+        return signature, {"blob": jnp.asarray(blob)}
+
+    def _pack_batch(self, batch: ReadBatch):
+        """Pack the batch into the uint8 wire blob at a stable shape
+        signature (host-side only — no device work, so it can run on the
+        ingest thread ahead of dispatch)."""
         n = batch.size
         padded_n = max(_round_up(n, 1024), 1024)
         mesh = self._mesh()
@@ -257,11 +265,8 @@ class DeviceEngine(StrictEngine):
         if n < padded_n:
             blob[n:] = 0
             blob[n:, -1] = pad_flags
-        now = clock()
-        self._stage_add("pack", now - mark)
-        device_blob = jnp.asarray(blob)
-        self._stage_add("h2d", clock() - now)
-        return signature, {"blob": device_blob}
+        self._stage_add("pack", clock() - mark)
+        return signature, blob
 
     # --- pipelined execution ---------------------------------------------
     def execute(self, batch_size: int = 16384):
@@ -288,6 +293,29 @@ class DeviceEngine(StrictEngine):
         with profiler:
             return self._execute_pipeline(batch_size)
 
+    def _prepared_batches(self, batches):
+        """Per-batch host preparation, run ahead of the dispatch loop
+        (on the ingest thread when prefetch is on): raw accounting counts,
+        input filters, wire-blob packing, and worker-slot staging. The
+        dispatch/pull loop then touches only the device and the small
+        decision arrays."""
+        raw_index = -1
+        for batch in batches:
+            raw_index += 1
+            raw_size = batch.size
+            raw_pf = int((~batch.qcfail).sum())
+            batch = self._apply_input_filters(batch)
+            batch.raw_index = raw_index
+            packed = None
+            if batch.size:
+                packed = self._pack_batch(batch)
+                self._stage_for_workers(batch)
+            yield raw_size, raw_pf, batch, packed
+
+    def _stage_for_workers(self, batch: ReadBatch):
+        """Hook: the streamed engine pre-writes the batch into a shared
+        memory slot here, off the dispatch loop."""
+
     def _execute_pipeline(self, batch_size: int):
         import collections
         import time
@@ -296,11 +324,15 @@ class DeviceEngine(StrictEngine):
         start = time.perf_counter()
         batches = self.read_batches(batch_size)
         if os.environ.get("PHENIQS_PREFETCH", "1") != "0":
-            # ingest on its own thread by default: the native parse
-            # releases the GIL, so it overlaps the dispatch/pull loop
+            # two pipelined host stages, each on its own thread: parse
+            # (native, GIL-free) | filter + wire-pack + worker staging —
+            # so neither serializes behind the other or behind the
+            # dispatch/pull loop
             from .strict import _prefetch
 
-            batches = _prefetch(batches)
+            prepared = _prefetch(self._prepared_batches(_prefetch(batches)))
+        else:
+            prepared = self._prepared_batches(batches)
         # in-flight depth: more than one batch of lookahead hides the
         # transfer latency of high-latency links (the tunneled axon relay
         # adds ~0.3s per round trip); bounded to keep memory finite
@@ -313,27 +345,24 @@ class DeviceEngine(StrictEngine):
         pending = collections.deque()
         clock = time.perf_counter
         mark = clock()
-        iterator = iter(batches)
-        raw_index = -1
+        iterator = iter(prepared)
         while True:
             try:
-                batch = next(iterator)
+                raw_size, raw_pf, batch, packed = next(iterator)
             except StopIteration:
                 break
             now = clock()
             stages["ingest_wait"] += now - mark
             mark = now
-            raw_index += 1
-            batch.raw_index = raw_index
-            # account + filter BEFORE dispatch so device rows match exactly
-            self.incoming_count += batch.size
-            self.incoming_pf_count += int((~batch.qcfail).sum())
-            batch = self._apply_input_filters(batch)
+            # raw accounting happened pre-filter in _prepared_batches so
+            # device rows match the filtered batch exactly
+            self.incoming_count += raw_size
+            self.incoming_pf_count += raw_pf
             if batch.size == 0:
-                self._note_skipped_batch(raw_index)
+                self._note_skipped_batch(batch.raw_index)
                 mark = clock()
                 continue
-            handles = self._dispatch(batch)
+            handles = self._dispatch(batch, packed)
             pending.append((batch, handles))
             now = clock()
             stages["stage_dispatch"] += now - mark
@@ -363,10 +392,19 @@ class DeviceEngine(StrictEngine):
                 f"({fraction:.3%}) flagged by the derived bound\n"
             )
 
-    def _dispatch(self, batch: ReadBatch):
-        signature, device_batch = self._device_batch(batch)
+    def _dispatch(self, batch: ReadBatch, packed=None):
+        import time
+
+        import jax.numpy as jnp
+
+        if packed is None:
+            packed = self._pack_batch(batch)
+        signature, blob = packed
+        mark = time.perf_counter()
+        device_blob = jnp.asarray(blob)
+        self._stage_add("h2d", time.perf_counter() - mark)
         step = self._get_step(signature)
-        handles = step(device_batch)
+        handles = step({"blob": device_blob})
         # start the device->host transfer immediately: by the time the
         # lookahead window drains to this batch the blob is already local
         # (the tunneled relay's pull latency otherwise serializes finishes)
@@ -705,6 +743,13 @@ class StreamedDeviceEngine(DeviceEngine):
 
     def _note_skipped_batch(self, raw_index: int):
         self._runner.submit_skip(raw_index)
+
+    def _stage_for_workers(self, batch):
+        # pre-write the batch into a shared-memory slot from the ingest
+        # thread: the submit after classification then appends only the
+        # decision arrays (engine/stream.py StreamRunner.stage)
+        if self._runner is not None:
+            self._runner.stage(batch)
 
     def _consume_classified(self, batch, results):
         clock = __import__("time").perf_counter

@@ -81,6 +81,21 @@ class SlotPool:
     def release(self, slot: int):
         self._free.put(slot)
 
+    def ensure(self, slot: int, nbytes: int) -> np.memmap:
+        """Grow an already-acquired slot to at least `nbytes` (used when
+        decision arrays appended after staging overflow the reserve)."""
+        if self._sizes[slot] < nbytes:
+            capacity = -(-nbytes // self.GRANULE) * self.GRANULE
+            self._maps[slot] = None
+            with open(self._paths[slot], "r+b") as handle:
+                handle.truncate(capacity)
+            self._maps[slot] = np.memmap(
+                self._paths[slot], dtype=np.uint8, mode="r+",
+                shape=(capacity,),
+            )
+            self._sizes[slot] = capacity
+        return self._maps[slot]
+
     def path(self, slot: int) -> str:
         return self._paths[slot]
 
@@ -93,11 +108,24 @@ class SlotPool:
             unlink_leftover(path)
 
 
-def batch_to_shm(batch, decisions: list[dict] | None, pool: SlotPool):
-    """Serialize a ReadBatch (+ optional per-decoder decision arrays)
-    into a pool slot. Returns (descriptor, slot); the worker maps the
-    slot's file read-only (cached across tasks) and the parent releases
-    the slot when the writer consumes the worker's result."""
+def _layout_arrays(arrays, base_offset: int = 0):
+    """64B-aligned layout plan for a list of (key, array) pairs."""
+    layout = []
+    contiguous = []
+    offset = base_offset
+    for key, value in arrays:
+        value = np.ascontiguousarray(value)
+        contiguous.append(value)
+        layout.append((key, value.shape, value.dtype.str, offset))
+        offset += -(-value.nbytes // 64) * 64  # 64B-align each array
+    return layout, contiguous, offset
+
+
+def stage_batch(batch, pool: SlotPool, reserve: int = 0):
+    """Write a ReadBatch's arrays into a fresh pool slot, reserving
+    `reserve` trailing bytes for decision arrays appended later
+    (append_decisions). Returns (slot, layout, end_offset). Called from
+    the ingest thread so the big matrix memcpy overlaps device dispatch."""
     arrays: list[tuple[str, np.ndarray]] = []
     for s, segment in enumerate(batch.segments):
         arrays.append((f"code{s}", segment.code))
@@ -108,26 +136,46 @@ def batch_to_shm(batch, decisions: list[dict] | None, pool: SlotPool):
     arrays.append(
         ("names_blob", np.frombuffer(batch.names_blob, dtype=np.uint8))
     )
-    if decisions is not None:
-        for k, decision in enumerate(decisions):
-            for field, value in decision.items():
-                arrays.append((f"d{k}_{field}", np.asarray(value)))
-
-    layout = []
-    offset = 0
-    contiguous = []
-    for key, value in arrays:
-        value = np.ascontiguousarray(value)
-        contiguous.append(value)
-        layout.append((key, value.shape, value.dtype.str, offset))
-        offset += -(-value.nbytes // 64) * 64  # 64B-align each array
-    total = max(offset, 1)
-
-    slot, target = pool.acquire(total)
+    layout, contiguous, offset = _layout_arrays(arrays)
+    slot, target = pool.acquire(max(offset + reserve, 1))
     for (key, shape, dtype, start), value in zip(layout, contiguous):
         view = np.ndarray(shape, dtype=value.dtype, buffer=target,
                           offset=start)
         view[...] = value
+    return slot, layout, offset
+
+
+def append_decisions(pool: SlotPool, slot: int, layout, offset: int,
+                     decisions: list[dict]):
+    """Append per-decoder decision arrays to a staged slot, growing it
+    when the stage-time reserve was short. Returns (layout, end_offset)."""
+    arrays = [
+        (f"d{k}_{field}", np.asarray(value))
+        for k, decision in enumerate(decisions)
+        for field, value in decision.items()
+    ]
+    d_layout, contiguous, end = _layout_arrays(arrays, offset)
+    target = pool.ensure(slot, end)
+    for (key, shape, dtype, start), value in zip(d_layout, contiguous):
+        view = np.ndarray(shape, dtype=value.dtype, buffer=target,
+                          offset=start)
+        view[...] = value
+    return layout + d_layout, end
+
+
+def batch_to_shm(batch, decisions: list[dict] | None, pool: SlotPool,
+                 staged=None):
+    """Serialize a ReadBatch (+ optional per-decoder decision arrays)
+    into a pool slot. Returns (descriptor, slot); the worker maps the
+    slot's file read-only (cached across tasks) and the parent releases
+    the slot when the writer consumes the worker's result. `staged` is
+    a (slot, layout, end_offset) from an earlier stage_batch call."""
+    if staged is None:
+        slot, layout, offset = stage_batch(batch, pool)
+    else:
+        slot, layout, offset = staged
+    if decisions is not None:
+        layout, offset = append_decisions(pool, slot, layout, offset, decisions)
     descriptor = {
         "path": pool.path(slot),
         "capacity": pool.capacity(slot),

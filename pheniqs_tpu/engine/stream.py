@@ -40,6 +40,8 @@ import pickle
 import threading
 import warnings
 
+import numpy as np
+
 from ..decode.oracle import ClassifyResult
 from .strict import StrictEngine
 
@@ -485,6 +487,9 @@ class StreamRunner:
         self._pool = None  # shm.SlotPool: reusable segments + backpressure
         self._slot_by_index: dict[int, int] = {}
         self._worker_failure: tuple | None = None
+        # stage-time reserve for the decision arrays appended at submit;
+        # self-tunes to the first batch's observed footprint
+        self._decision_reserve = 1 << 20
 
     def _input_replayable(self) -> bool:
         """Workers can re-parse iff every input is a real file (not a
@@ -517,7 +522,9 @@ class StreamRunner:
             import os
 
             lookahead = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
-            self._pool = SlotPool(self.workers * 2 + 1 + 2 * lookahead)
+            # + prefetch depth: batches are staged into slots on the
+            # ingest thread, ahead of dispatch (device.py _prepared_batches)
+            self._pool = SlotPool(self.workers * 2 + 5 + 2 * lookahead)
         for worker_id in range(self.workers):
             if self.transport == "autonomous":
                 process = context.Process(
@@ -647,6 +654,28 @@ class StreamRunner:
             self._raise_worker_failure()
             raise
 
+    def stage(self, batch):
+        """Write the batch's arrays into a pool slot NOW (called from the
+        ingest thread): the big memcpy and any slot backpressure happen
+        off the dispatch/pull loop; _send_shm later appends only the small
+        decision arrays. Reserves space for them based on the last batch."""
+        if self._pool is None or self.transport != "shm":
+            return
+        import time
+
+        from .shm import stage_batch
+
+        stage_add = getattr(self.engine, "_stage_add", None)
+        mark = time.perf_counter()
+        wait_before = self._pool.wait_seconds
+        batch._shm_staged = stage_batch(
+            batch, self._pool, self._decision_reserve
+        )
+        if stage_add is not None:
+            waited = self._pool.wait_seconds - wait_before
+            stage_add("stage_slot", waited)
+            stage_add("stage_copy", time.perf_counter() - mark - waited)
+
     def _send_shm(self, batch, payloads):
         import time
 
@@ -655,7 +684,15 @@ class StreamRunner:
         stage_add = getattr(self.engine, "_stage_add", None)
         mark = time.perf_counter()
         wait_before = self._pool.wait_seconds
-        descriptor, slot = batch_to_shm(batch, payloads, self._pool)
+        staged = getattr(batch, "_shm_staged", None)
+        descriptor, slot = batch_to_shm(batch, payloads, self._pool, staged)
+        if staged is not None and payloads is not None:
+            # next stage() reserves what this batch's decisions needed
+            used = descriptor["layout"][-1]
+            end = used[3] + int(np.prod(used[1])) * np.dtype(used[2]).itemsize
+            self._decision_reserve = max(
+                self._decision_reserve, (end - staged[2]) + (1 << 12)
+            )
         # released by the writer thread when this task's result lands
         self._slot_by_index[batch.raw_index] = slot
         if stage_add is not None:

@@ -28,6 +28,7 @@ class ReadBatch:
         "name_offsets",
         "_names",
         "raw_index",
+        "_shm_staged",  # (slot, layout, end) from StreamRunner.stage
     )
 
     def __init__(
