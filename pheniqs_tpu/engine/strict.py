@@ -332,6 +332,9 @@ class StrictEngine:
         self.template_rule = Rule.from_ontology(
             ontology["template"]["transform"], allow_virtual=True
         )
+        from ..native import available as _native_available
+
+        self._native_render = _native_available()
 
         # multiplexing decoder + channels
         self.multiplexing = self._find_multiplexing_runtime()
@@ -871,6 +874,25 @@ class StrictEngine:
                 out["cor_seq"] = spans(tags.corrected_seq)
                 out["cor_qual"] = spans(tags.corrected_qual)
             return out
+
+        corrected_panel = corrected and spec.panel is not None
+        if self._native_render:
+            from ..native import observation_spans
+
+            panel_segs = None
+            if corrected_panel:
+                panel_segs = [
+                    spec.panel.codes[:, sl]
+                    for sl in spec.panel.segment_slices()
+                ]
+            out = observation_spans(
+                observation,
+                panel_segs,
+                result.decoded if corrected_panel else None,
+                int(spec.corrected_quality),
+            )
+            if out is not None:
+                return out
 
         if single:
             code_m = observation[0].code

@@ -108,6 +108,41 @@ def load():
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.pq_apply_token.restype = None
+        lib.pq_apply_token.argtypes = [
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),  # src_code
+            ctypes.POINTER(ctypes.c_uint8),  # src_qual
+            ctypes.c_int64,  # src_row_stride
+            ctypes.c_int64,  # start
+            ctypes.c_int32,  # w
+            ctypes.POINTER(ctypes.c_int32),  # size
+            ctypes.POINTER(ctypes.c_uint8),  # dst_code
+            ctypes.POINTER(ctypes.c_uint8),  # dst_qual
+            ctypes.c_int64,  # dst_row_stride
+            ctypes.c_int64,  # dst_col_offset
+            ctypes.POINTER(ctypes.c_int32),  # dst_len
+        ]
+        lib.pq_observation_spans.restype = None
+        lib.pq_observation_spans.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),  # codes
+            ctypes.POINTER(ctypes.c_void_p),  # quals
+            ctypes.POINTER(ctypes.c_void_p),  # seg_lens
+            ctypes.POINTER(ctypes.c_int32),  # widths
+            ctypes.POINTER(ctypes.c_void_p),  # panel_segs
+            ctypes.c_int64,  # panel_stride
+            ctypes.POINTER(ctypes.c_int32),  # seg_widths
+            ctypes.POINTER(ctypes.c_int32),  # decoded
+            ctypes.c_uint8,  # corrected_quality
+            ctypes.POINTER(ctypes.c_uint8),  # raw_seq
+            ctypes.POINTER(ctypes.c_uint8),  # raw_qual
+            ctypes.POINTER(ctypes.c_int32),  # raw_lens
+            ctypes.POINTER(ctypes.c_uint8),  # cor_seq
+            ctypes.POINTER(ctypes.c_uint8),  # cor_qual
+            ctypes.POINTER(ctypes.c_int32),  # cor_lens
+        ]
         lib.pq_sam_format_full.restype = ctypes.c_int64
         lib.pq_sam_format_full.argtypes = [
             ctypes.c_int32,
@@ -589,7 +624,11 @@ def sam_format_full(
     span_payload = 0
     for j, column in enumerate(columns):
         if column.kind == 0:
-            buffers[j] = column.buffer
+            buffer = column.buffer
+            if isinstance(buffer, np.ndarray):  # zero-copy span arenas
+                buffers[j] = ctypes.c_char_p(buffer.ctypes.data)
+            else:
+                buffers[j] = buffer
             starts[j] = column.starts.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int64)
             )
@@ -678,6 +717,151 @@ def concat_spans(arenas: list, piece_arena: np.ndarray, piece_start: np.ndarray,
     return arena[:used]  # zero-copy view of this call's own arena
 
 
+def apply_token_block(src, dst, start: int, w: int, size, offset: int) -> bool:
+    """Native fast path of Rule.apply's forward constant-start block
+    (transform.py): strided src rows -> contiguous dst block with
+    per-read tail zeroing and dst length accumulation. Returns False when
+    the native lib is unavailable or a layout precondition fails."""
+    lib = load()
+    if lib is None:
+        return False
+    src_code, src_qual = src.code, src.quality
+    dst_code, dst_qual = dst.code, dst.quality
+    for m in (src_code, src_qual, dst_code, dst_qual):
+        if m.dtype != np.uint8 or m.ndim != 2 or m.strides[1] != 1:
+            return False
+    if (
+        src_code.strides[0] != src_qual.strides[0]
+        or dst_code.strides[0] != dst_qual.strides[0]
+    ):
+        return False
+    n = src_code.shape[0]
+    size = np.ascontiguousarray(size, dtype=np.int32)
+    length = dst.length
+    if length.dtype != np.int32 or not length.flags["C_CONTIGUOUS"]:
+        return False
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pq_apply_token(
+        n,
+        src_code.ctypes.data_as(u8p),
+        src_qual.ctypes.data_as(u8p),
+        src_code.strides[0],
+        start,
+        w,
+        size.ctypes.data_as(i32p),
+        dst_code.ctypes.data_as(u8p),
+        dst_qual.ctypes.data_as(u8p),
+        dst_code.strides[0],
+        offset,
+        length.ctypes.data_as(i32p),
+    )
+    return True
+
+
+def observation_spans(
+    observation,
+    panel_segs,
+    decoded,
+    corrected_quality: int,
+):
+    """Fused raw/corrected observation-span rendering (mirrors the numpy
+    fast path of engine/strict.py _observation_spans byte-for-byte; the
+    caller has already verified the single-or-uniform precondition).
+
+    `observation` is a list of SegmentBatch-likes with contiguous (n, W)
+    uint8 code/quality and (n,) int32 length. `panel_segs` is None (raw
+    only) or a list of (B, ws) uint8 per-segment panel slices sharing one
+    row stride. Returns a dict shaped like _observation_spans' output."""
+    lib = load()
+    k = len(observation)
+    if lib is None or k == 0 or k > 16:
+        return None
+    n = int(observation[0].length.shape[0])
+    codes = (ctypes.c_void_p * k)()
+    quals = (ctypes.c_void_p * k)()
+    seg_lens = (ctypes.c_void_p * k)()
+    widths = np.zeros(k, dtype=np.int32)
+    keep_alive = []
+    for j, segment in enumerate(observation):
+        code = np.ascontiguousarray(segment.code, dtype=np.uint8)
+        qual = np.ascontiguousarray(segment.quality, dtype=np.uint8)
+        length = np.ascontiguousarray(segment.length, dtype=np.int32)
+        keep_alive.extend((code, qual, length))
+        codes[j] = code.ctypes.data
+        quals[j] = qual.ctypes.data
+        seg_lens[j] = length.ctypes.data
+        widths[j] = code.shape[1] if code.ndim == 2 else 0
+    w_total = int(widths.sum())
+    raw_seq = np.empty(n * w_total, dtype=np.uint8)
+    raw_qual = np.empty(n * w_total, dtype=np.uint8)
+    raw_lens = np.empty(n, dtype=np.int32)
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    null_i32 = ctypes.POINTER(ctypes.c_int32)()
+    if panel_segs is not None:
+        panel_ptrs = (ctypes.c_void_p * k)()
+        seg_widths = np.zeros(k, dtype=np.int32)
+        stride = None
+        for j, seg in enumerate(panel_segs):
+            # one row stride shared by every slice of the panel matrix
+            if stride is None:
+                stride = seg.strides[0]
+            elif seg.strides[0] != stride:
+                return None
+            if seg.itemsize != 1 or seg.strides[1] != 1:
+                return None
+            panel_ptrs[j] = seg.ctypes.data
+            seg_widths[j] = seg.shape[1]
+        decoded = np.ascontiguousarray(decoded, dtype=np.int32)
+        cw_total = int(
+            np.minimum(widths, seg_widths).sum()
+        )
+        cor_seq = np.empty(n * cw_total, dtype=np.uint8)
+        cor_qual = np.empty(n * cw_total, dtype=np.uint8)
+        cor_lens = np.empty(n, dtype=np.int32)
+        lib.pq_observation_spans(
+            n, k, codes, quals, seg_lens,
+            widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            panel_ptrs, stride or 0,
+            seg_widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            decoded.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            corrected_quality & 0xFF,
+            raw_seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            raw_qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            raw_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cor_seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cor_qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cor_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        cor_seq = cor_qual = cor_lens = None
+        cw_total = 0
+        lib.pq_observation_spans(
+            n, k, codes, quals, seg_lens,
+            widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            (ctypes.c_void_p * k)(), 0,
+            null_i32,
+            null_i32,
+            0,
+            raw_seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            raw_qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            raw_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            null_u8,
+            null_u8,
+            null_i32,
+        )
+    starts = np.arange(n, dtype=np.int64) * w_total
+    out = {
+        "raw_seq": (raw_seq, starts, raw_lens),
+        "raw_qual": (raw_qual, starts, raw_lens),
+    }
+    if panel_segs is not None:
+        cor_starts = np.arange(n, dtype=np.int64) * cw_total
+        out["cor_seq"] = (cor_seq, cor_starts, cor_lens)
+        out["cor_qual"] = (cor_qual, cor_starts, cor_lens)
+    return out
+
+
 def fastq_format_batch(
     names_blob: bytes,
     name_offsets: np.ndarray,
@@ -704,6 +888,8 @@ def fastq_format_batch(
     capacity = len(names_blob) + n * (28 + 2 * max(width, 1))
     if bc_span is not None:
         bc_buffer, bc_start, bc_len = bc_span
+        if isinstance(bc_buffer, np.ndarray):  # zero-copy span arenas
+            bc_buffer = ctypes.c_char_p(bc_buffer.ctypes.data)
         bc_start = np.ascontiguousarray(bc_start, dtype=np.int64)
         bc_len = np.ascontiguousarray(bc_len, dtype=np.int32)
         capacity += int(bc_len.sum())

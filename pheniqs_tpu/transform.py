@@ -269,10 +269,18 @@ class Rule:
             ):
                 stop = start_scalar + wmax
                 if stop <= src.width:
+                    full = bool((size == wmax).all())
+                    uniform_offset[slot] = offset + wmax if full else None
+                    from .native import apply_token_block
+
+                    if apply_token_block(
+                        src, dst, start_scalar, wmax, size, offset
+                    ):
+                        continue
                     block = slice(offset, offset + wmax)
                     dst.code[:, block] = src.code[:, start_scalar:stop]
                     dst.quality[:, block] = src.quality[:, start_scalar:stop]
-                    if not (size == wmax).all():
+                    if not full:
                         # zero the tail past each read's extent
                         past = (
                             np.arange(wmax, dtype=np.int64)[None, :]
@@ -280,9 +288,6 @@ class Rule:
                         )
                         dst.code[:, block][past] = 0
                         dst.quality[:, block][past] = 0
-                        uniform_offset[slot] = None
-                    else:
-                        uniform_offset[slot] = offset + wmax
                     dst.length = (
                         dst.length.astype(np.int64) + size
                     ).astype(np.int32)

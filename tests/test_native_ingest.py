@@ -291,3 +291,142 @@ def test_native_bam_ingest_matches_fastq(native, bdggg, tmp_path):
         ]
     assert outputs["fastq"] == outputs["bam"]
     assert len(outputs["bam"]) > 0
+
+
+def test_apply_token_block_parity(native):
+    """Native Rule.apply block (pq_apply_token) == the numpy fast path,
+    including short reads (tail zeroing) and strided sources."""
+    import pheniqs_tpu.native as native_mod
+    from pheniqs_tpu.transform import Rule, SegmentBatch
+
+    rng = np.random.default_rng(7)
+    n = 997
+    arena = rng.integers(0, 16, size=(n, 64), dtype=np.uint8)
+    qarena = rng.integers(0, 60, size=(n, 64), dtype=np.uint8)
+    lengths = rng.integers(0, 33, size=n).astype(np.int32)
+    # strided views, as the parse arena produces
+    segments = [
+        SegmentBatch(
+            code=arena[:, 2:34], quality=qarena[:, 2:34], length=lengths
+        )
+    ]
+    rule = Rule.from_ontology({"token": ["0:4:12", "0::8", "0:1:"]})
+    a = rule.apply(segments)
+    original_load = native_mod.load
+    native_mod.load = lambda: None
+    try:
+        b = rule.apply(segments)
+    finally:
+        native_mod.load = original_load
+    for sa, sb in zip(a, b):
+        assert (sa.code == sb.code).all()
+        assert (sa.quality == sb.quality).all()
+        assert (sa.length == sb.length).all()
+
+
+def test_observation_spans_parity(native):
+    """Native fused span rendering == the numpy _observation_spans fast
+    path for raw and corrected outputs, incl. undetermined rows and short
+    reads."""
+    from types import SimpleNamespace
+
+    from pheniqs_tpu.engine.strict import StrictEngine
+    from pheniqs_tpu.transform import SegmentBatch
+
+    rng = np.random.default_rng(11)
+    n = 511
+    obs = [
+        SegmentBatch(
+            code=rng.integers(1, 16, size=(n, 8), dtype=np.uint8),
+            quality=rng.integers(2, 42, size=(n, 8), dtype=np.uint8),
+            length=np.full(n, 8, dtype=np.int32),
+        ),
+        SegmentBatch(
+            code=rng.integers(1, 16, size=(n, 6), dtype=np.uint8),
+            quality=rng.integers(2, 42, size=(n, 6), dtype=np.uint8),
+            length=np.full(n, 6, dtype=np.int32),
+        ),
+    ]
+    panel = SimpleNamespace(
+        codes=rng.integers(1, 16, size=(5, 14), dtype=np.uint8),
+        segment_lengths=[8, 6],
+    )
+    panel.segment_slices = lambda: [slice(0, 8), slice(8, 14)]
+    spec = SimpleNamespace(panel=panel, corrected_quality=37)
+    decoded = rng.integers(0, 6, size=n).astype(np.int32)
+    result = SimpleNamespace(observation=obs, decoded=decoded)
+
+    engine = SimpleNamespace(_native_render=True)
+    a = StrictEngine._observation_spans(engine, result, spec, corrected=True)
+    engine_np = SimpleNamespace(_native_render=False)
+    b = StrictEngine._observation_spans(engine_np, result, spec, corrected=True)
+    for key in b:
+        buf_a, starts_a, lens_a = a[key]
+        buf_b, starts_b, lens_b = b[key]
+        assert (starts_a == starts_b).all() and (lens_a == lens_b).all()
+        raw_a = bytes(buf_a)
+        raw_b = buf_b if isinstance(buf_b, bytes) else bytes(buf_b)
+        for i in range(n):
+            assert (
+                raw_a[starts_a[i] : starts_a[i] + lens_a[i]]
+                == raw_b[starts_b[i] : starts_b[i] + lens_b[i]]
+            ), (key, i)
+
+    # single-segment short reads exercise min(length, width) raw lens
+    obs_short = [
+        SegmentBatch(
+            code=obs[0].code,
+            quality=obs[0].quality,
+            length=rng.integers(0, 9, size=n).astype(np.int32),
+        )
+    ]
+    panel1 = SimpleNamespace(
+        codes=panel.codes[:, :8], segment_lengths=[8]
+    )
+    panel1.segment_slices = lambda: [slice(0, 8)]
+    spec1 = SimpleNamespace(panel=panel1, corrected_quality=37)
+    result1 = SimpleNamespace(observation=obs_short, decoded=decoded)
+    a = StrictEngine._observation_spans(engine, result1, spec1, corrected=True)
+    b = StrictEngine._observation_spans(engine_np, result1, spec1, corrected=True)
+    for key in b:
+        buf_a, starts_a, lens_a = a[key]
+        buf_b, starts_b, lens_b = b[key]
+        assert (lens_a == lens_b).all()
+        raw_a = bytes(buf_a)
+        raw_b = buf_b if isinstance(buf_b, bytes) else bytes(buf_b)
+        for i in range(n):
+            assert (
+                raw_a[starts_a[i] : starts_a[i] + lens_a[i]]
+                == raw_b[starts_b[i] : starts_b[i] + lens_b[i]]
+            ), (key, i)
+
+
+def test_emit_g_float_tags_match_python(native):
+    """The to_chars '%g' path in pq_sam_format_full is byte-identical to
+    Python's '%g' formatting of float32 confidences (the XB/XM/XC golden
+    contract)."""
+    from pheniqs_tpu.native import FloatColumn, sam_format_full
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    values = rng.random(n, dtype=np.float32)
+    values[0] = np.float32(1e-7)  # exponent form
+    values[1] = np.float32(0.1)
+    values[2] = np.float32(1 - 1e-7)
+    mask = (values > 0) & (values < 1)
+    names = b"".join(b"r%04d" % i for i in range(n))
+    offsets = np.arange(n + 1, dtype=np.int64) * 5
+    code = np.ones((n, 4), dtype=np.uint8)
+    quality = np.full((n, 4), 30, dtype=np.uint8)
+    length = np.full(n, 4, dtype=np.int32)
+    flags = np.zeros(n, dtype=np.int32)
+    arena, line_offsets = sam_format_full(
+        names, offsets, flags, code, quality, length, 33,
+        [FloatColumn(b"XB:f:", values, mask)],
+    )
+    text = bytes(arena).decode()
+    for i, line in enumerate(text.rstrip("\n").split("\n")):
+        fields = line.split("\t")
+        tag = [f for f in fields if f.startswith("XB:f:")]
+        assert len(tag) == 1
+        assert tag[0][5:] == "%g" % values[i], (i, tag[0], values[i])
