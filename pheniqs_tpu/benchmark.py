@@ -28,7 +28,7 @@ SEGMENT_WIDTHS = (150, 8, 8, 26)
 def synthesize_fastq_input(
     directory: str,
     n_reads: int,
-    seed: int = 20260817,
+    seed: int = 20260818,  # bumped with the RTA3 quality binning
     chunk: int = 1 << 17,
 ) -> list[str]:
     """Write the flagship workload as 4 per-segment FASTQ files (R1, I7,

@@ -18,6 +18,22 @@ BASES = np.array(list("ACGT"))
 #: BAM 4-bit codes for A/C/G/T
 BASE_CODES = np.array([1, 2, 4, 8], dtype=np.uint8)
 
+#: NovaSeq RTA3 emits exactly four quality values; the flagship workload
+#: models that sequencer, so its synthetic qualities are binned the same
+#: way (q<=2 -> 2 no-call, 3..14 -> 12, 15..30 -> 23, >=31 -> 37). This is
+#: also what lets the engine's sensed 2-bit quality wire engage
+#: (device/step.py wire v3), exactly as it would on real NovaSeq FASTQ.
+RTA3_VALUES = (2, 12, 23, 37)
+
+
+def rta3_bin(qual: np.ndarray) -> np.ndarray:
+    """Quantize Phred qualities to the NovaSeq RTA3 four-value alphabet."""
+    binned = np.full(qual.shape, 37, dtype=np.uint8)
+    binned[qual <= 30] = 23
+    binned[qual <= 14] = 12
+    binned[qual <= 2] = 2
+    return binned
+
 
 def _random_words(rng: np.random.Generator, count: int, length: int) -> list[str]:
     seen: set[str] = set()
@@ -111,9 +127,12 @@ def synthetic_batch(
     seed: int = 7,
     error_rate: float = 0.02,
     segment_widths: tuple[int, ...] = (150, 8, 8, 26),
+    quality_binning: str | None = "rta3",
 ) -> dict:
     """Simulate a NumPy read batch drawn from the ontology's panels.
 
+    Qualities are RTA3-binned by default (the flagship models a NovaSeq;
+    pass ``quality_binning=None`` for a rich Sanger-scale alphabet).
     Panels come from the NumPy decoder specs, NOT the device instrument:
     input synthesis must never touch the accelerator (an `np.asarray` of
     a device-resident panel blocks on a D2H pull — on the tunneled axon
@@ -157,6 +176,8 @@ def synthetic_batch(
             umi_qual = rng.integers(20, 41, size=(n, 10)).astype(np.uint8)
             code = np.concatenate([cell_code, umi], axis=1)
             qual = np.concatenate([cell_qual, umi_qual], axis=1)
+        if quality_binning == "rta3":
+            qual = rta3_bin(qual)
         segments.append(
             (
                 code.astype(np.int32),

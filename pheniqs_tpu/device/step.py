@@ -160,44 +160,117 @@ def _classify_one(
 # exact float64 oracle, keeping strict-identity guarantees intact.
 # Layout per read:  per segment [w/2 B nibble-packed codes][3w/4 B 6-bit
 # packed qualities][1-2 B length], then one flags byte.
+#
+# Wire v3 (quality codebook): modern Illumina basecallers emit a handful
+# of distinct quality values (NovaSeq RTA3 bins to exactly {2,12,23,37}),
+# so the engine senses the quality alphabet from the first batch and —
+# when it fits — sends 2-bit (<=4 values) or 4-bit (<=16) CODEBOOK INDICES
+# instead of 6-bit values. The codebook itself is a tiny runtime argument
+# (`qcb`, (K,) int32) so the compiled program (and its AOT-store key) is
+# independent of the actual quality values. Any later row carrying a
+# quality outside the codebook is packed as the nearest entry and flagged
+# H2D_FORCED — the same oracle re-resolution contract as the >=64 clamp —
+# so hybrid strict-identity is preserved verbatim in every regime.
 
 H2D_QCFAIL = 1  #: flags bit 0: read arrived qc-failed
 H2D_PAD = 2     #: flags bit 1: padding row — excluded from counters
-H2D_FORCED = 4  #: flags bit 2: quality clamped at 63; force oracle re-resolve
+H2D_FORCED = 4  #: flags bit 2: lossy quality on the wire; force oracle re-resolve
 
 
 def _length_bytes(w: int) -> int:
     return 1 if w < 256 else 2
 
 
-def h2d_blob_bytes(widths: list[int]) -> int:
+def _qual_bytes(w: int, qual_bits: int) -> int:
+    """Wire bytes of one segment's quality lane (w is a multiple of 4)."""
+    return {2: w // 4, 4: w // 2, 6: (3 * w) // 4}[qual_bits]
+
+
+def h2d_blob_bytes(widths: list[int], qual_bits: int = 6) -> int:
     """Bytes per read of the packed host->device layout for `widths`
     (each a multiple of 4, as the engine's width buckets guarantee)."""
-    return sum(w // 2 + (3 * w) // 4 + _length_bytes(w) for w in widths) + 1
+    return (
+        sum(
+            w // 2 + _qual_bytes(w, qual_bits) + _length_bytes(w)
+            for w in widths
+        )
+        + 1
+    )
+
+
+def sense_qual_codebook(values, mode: str = "auto"):
+    """Choose the quality wire regime from the distinct quality values of a
+    (representative) batch.
+
+    Returns ``(qual_bits, codebook, lut_idx, lut_exact)`` — codebook is the
+    (K,) int32 runtime argument for the device unpack (K = 4 or 16, padded
+    by repeating the last entry), lut_idx maps any byte value to its
+    nearest codebook index, and lut_exact marks the byte values the
+    codebook represents losslessly (everything else gets H2D_FORCED).
+    For ``qual_bits == 6`` (codebook doesn't fit, or mode forces it) the
+    codebook/luts are None and the classic 10-bit layout applies.
+    """
+    import numpy as np
+
+    values = np.unique(np.minimum(np.asarray(values, dtype=np.int64), 63))
+    if mode == "6":
+        return 6, None, None, None
+    if mode == "2" or (mode == "auto" and values.size <= 4):
+        k = 4
+    elif mode == "4" or (mode == "auto" and values.size <= 16):
+        k = 16
+    else:
+        return 6, None, None, None
+    if values.size > k or values.size == 0:
+        return 6, None, None, None
+    codebook = np.empty(k, dtype=np.int32)
+    codebook[: values.size] = values
+    codebook[values.size :] = values[-1]
+    domain = np.minimum(np.arange(256, dtype=np.int64), 63)
+    # nearest codebook entry per byte value (distance in quality space:
+    # only flagged rows can be affected, and those re-resolve in f64)
+    dist = np.abs(domain[:, None] - values[None, :])
+    lut_idx = np.argmin(dist, axis=1).astype(np.uint8)
+    lut_exact = np.zeros(256, dtype=np.uint8)
+    exact = np.isin(np.arange(256, dtype=np.int64), values)
+    lut_exact[exact] = 1
+    return (2 if k == 4 else 4), codebook, lut_idx, lut_exact
 
 
 def pack_h2d_blob(
-    widths: list[int], segments, qcfail, out=None
+    widths: list[int],
+    segments,
+    qcfail,
+    out=None,
+    qual_bits: int = 6,
+    qual_lut=None,
 ):
     """Host-side packing of per-segment (code, qual, length) + flags into
     one (N, bytes_per_read) uint8 matrix — a single transfer per batch.
 
-    Codes nibble-pack two per byte; qualities clamp to 63 and pack four per
-    three bytes; rows that carried a quality >= 64 get the H2D_FORCED flag
-    so the hybrid engine resolves them exactly.
+    Codes nibble-pack two per byte. Qualities: ``qual_bits == 6`` clamps
+    to 63 and packs four per three bytes (rows with a quality >= 64 get
+    H2D_FORCED); ``qual_bits`` 2/4 pack CODEBOOK INDICES via ``qual_lut =
+    (lut_idx, lut_exact)`` from `sense_qual_codebook`, force-flagging any
+    row whose quality isn't represented exactly.
     """
     import numpy as np
 
     n = qcfail.shape[0]
     blob = out if out is not None else np.empty(
-        (n, h2d_blob_bytes(widths)), dtype=np.uint8
+        (n, h2d_blob_bytes(widths, qual_bits)), dtype=np.uint8
     )
+    if qual_bits != 6 and qual_lut is None:
+        raise ValueError("qual_bits < 6 requires qual_lut")
     if os.environ.get("PHENIQS_NATIVE_PACK", "1") != "0":
         from ..native import pack_h2d_native
 
         # byte-identical native path (GIL released): parity pinned by
         # tests/test_device_wire.py; falls back on layout mismatch
-        if pack_h2d_native(widths, segments, qcfail, blob):
+        if pack_h2d_native(
+            widths, segments, qcfail, blob, qual_bits=qual_bits,
+            qual_lut=qual_lut,
+        ):
             return blob
     flags = np.asarray(qcfail, dtype=np.uint8) * H2D_QCFAIL
     offset = 0
@@ -205,7 +278,7 @@ def pack_h2d_blob(
         if w % 4:
             raise ValueError(f"h2d segment width {w} not a multiple of 4")
         sw = code.shape[1]
-        cw, qw = w // 2, (3 * w) // 4
+        cw, qw = w // 2, _qual_bytes(w, qual_bits)
         code = np.asarray(code, dtype=np.uint8)
         qual = np.asarray(qual, dtype=np.uint8)
         if sw < w:
@@ -217,21 +290,47 @@ def pack_h2d_blob(
             )
         blob[:, offset : offset + cw] = code[:, 0::2] | (code[:, 1::2] << 4)
         offset += cw
-        overflow = qual > 63
-        if overflow.any():
-            flags |= overflow.any(axis=1).astype(np.uint8) * H2D_FORCED
-            qual = np.minimum(qual, 63)
-        q4 = qual.reshape(n, w // 4, 4).astype(np.uint16)
-        # strided column assignment (a reshape of the blob slice may copy)
-        blob[:, offset : offset + qw : 3] = (
-            q4[:, :, 0] | (q4[:, :, 1] << 6)
-        ).astype(np.uint8)
-        blob[:, offset + 1 : offset + qw : 3] = (
-            (q4[:, :, 1] >> 2) | (q4[:, :, 2] << 4)
-        ).astype(np.uint8)
-        blob[:, offset + 2 : offset + qw : 3] = (
-            (q4[:, :, 2] >> 4) | (q4[:, :, 3] << 2)
-        ).astype(np.uint8)
+        if qual_bits == 6:
+            overflow = qual > 63
+            if overflow.any():
+                flags |= overflow.any(axis=1).astype(np.uint8) * H2D_FORCED
+                qual = np.minimum(qual, 63)
+            q4 = qual.reshape(n, w // 4, 4).astype(np.uint16)
+            # strided column assignment (a reshape of the blob slice may copy)
+            blob[:, offset : offset + qw : 3] = (
+                q4[:, :, 0] | (q4[:, :, 1] << 6)
+            ).astype(np.uint8)
+            blob[:, offset + 1 : offset + qw : 3] = (
+                (q4[:, :, 1] >> 2) | (q4[:, :, 2] << 4)
+            ).astype(np.uint8)
+            blob[:, offset + 2 : offset + qw : 3] = (
+                (q4[:, :, 2] >> 4) | (q4[:, :, 3] << 2)
+            ).astype(np.uint8)
+        else:
+            lut_idx, lut_exact = qual_lut
+            inexact = lut_exact[qual] == 0
+            # exactness only matters within the read: positions beyond
+            # `length` (buffer padding) never reach a decode decision —
+            # short-vs-token reads are independently force-re-resolved
+            inexact &= (
+                np.arange(w, dtype=np.int32)[None, :]
+                < np.asarray(length, dtype=np.int32)[:, None]
+            )
+            if inexact.any():
+                flags |= inexact.any(axis=1).astype(np.uint8) * H2D_FORCED
+            idx = lut_idx[qual]
+            if qual_bits == 2:
+                q4 = idx.reshape(n, w // 4, 4).astype(np.uint16)
+                blob[:, offset : offset + qw] = (
+                    q4[:, :, 0]
+                    | (q4[:, :, 1] << 2)
+                    | (q4[:, :, 2] << 4)
+                    | (q4[:, :, 3] << 6)
+                ).astype(np.uint8)
+            else:  # 4-bit
+                blob[:, offset : offset + qw] = (
+                    idx[:, 0::2] | (idx[:, 1::2] << 4)
+                )
         offset += qw
         clipped = np.clip(length, 0, w)
         if _length_bytes(w) == 1:
@@ -245,30 +344,55 @@ def pack_h2d_blob(
     return blob
 
 
-def _unpack_h2d_blob(widths: list[int], blob):
+def _unpack_h2d_blob(widths: list[int], blob, qual_bits: int = 6, qcb=None):
     """Device-side unpack (inside jit: slices + a few VPU bit ops; the
     10-bit wire format costs a handful of elementwise ops against a ~40%
-    transfer-byte reduction). Returns (segments, qcfail, pad, forced)."""
+    transfer-byte reduction, and the codebook formats cut further).
+    ``qcb`` is the (K,) int32 codebook runtime argument for qual_bits 2/4;
+    index decode is a K-way select chain — no dynamic gather (gathers
+    lower poorly on TPU, see the round-3 profile in BASELINE.md).
+    Returns (segments, qcfail, pad, forced)."""
     segments = []
     offset = 0
     n = blob.shape[0]
     for w in widths:
-        cw, qw = w // 2, (3 * w) // 4
+        cw, qw = w // 2, _qual_bytes(w, qual_bits)
         packed_c = blob[:, offset : offset + cw].astype(jnp.int32)
         code = jnp.stack([packed_c & 15, packed_c >> 4], axis=2).reshape(n, w)
         offset += cw
-        q3 = blob[:, offset : offset + qw].astype(jnp.int32).reshape(
-            n, w // 4, 3
-        )
-        qual = jnp.stack(
-            [
-                q3[:, :, 0] & 63,
-                (q3[:, :, 0] >> 6) | ((q3[:, :, 1] & 15) << 2),
-                (q3[:, :, 1] >> 4) | ((q3[:, :, 2] & 3) << 4),
-                q3[:, :, 2] >> 2,
-            ],
-            axis=2,
-        ).reshape(n, w)
+        if qual_bits == 6:
+            q3 = blob[:, offset : offset + qw].astype(jnp.int32).reshape(
+                n, w // 4, 3
+            )
+            qual = jnp.stack(
+                [
+                    q3[:, :, 0] & 63,
+                    (q3[:, :, 0] >> 6) | ((q3[:, :, 1] & 15) << 2),
+                    (q3[:, :, 1] >> 4) | ((q3[:, :, 2] & 3) << 4),
+                    q3[:, :, 2] >> 2,
+                ],
+                axis=2,
+            ).reshape(n, w)
+        else:
+            packed_q = blob[:, offset : offset + qw].astype(jnp.int32)
+            if qual_bits == 2:
+                idx = jnp.stack(
+                    [
+                        packed_q & 3,
+                        (packed_q >> 2) & 3,
+                        (packed_q >> 4) & 3,
+                        packed_q >> 6,
+                    ],
+                    axis=2,
+                ).reshape(n, w)
+            else:  # 4-bit
+                idx = jnp.stack(
+                    [packed_q & 15, packed_q >> 4], axis=2
+                ).reshape(n, w)
+            cb = qcb.astype(jnp.int32)
+            qual = jnp.full_like(idx, cb[0])
+            for k in range(1, cb.shape[0]):
+                qual = jnp.where(idx == k, cb[k], qual)
         offset += qw
         if _length_bytes(w) == 1:
             length = blob[:, offset].astype(jnp.int32)
@@ -370,13 +494,16 @@ def make_decode_step(
     pack_outputs: bool = False,
     h2d_widths: list[int] | None = None,
     panel_axis: str | None = None,
+    qual_bits: int = 6,
 ):
     """Build the (batch) -> (per_read, counters) step function.
 
     ``batch`` is a dict: ``segments`` — list of (code (N, Wi) int32,
     quality (N, Wi) int32, length (N,) int32) — and ``qcfail`` (N,) bool.
     With ``h2d_widths`` the step instead takes {"blob": (N, bytes) uint8}
-    packed by `pack_h2d_blob` (one transfer up, one back).
+    packed by `pack_h2d_blob` (one transfer up, one back); for
+    ``qual_bits`` 2/4 the batch additionally carries the quality codebook
+    ``qcb`` ((K,) int32, replicated).
     When ``axis_name`` is given, counters are psum'd over that mesh axis.
     """
 
@@ -385,7 +512,10 @@ def make_decode_step(
         forced = None
         if h2d_widths is not None:
             segments, qcfail, pad, forced = _unpack_h2d_blob(
-                h2d_widths, batch["blob"]
+                h2d_widths,
+                batch["blob"],
+                qual_bits=qual_bits,
+                qcb=batch.get("qcb"),
             )
         else:
             segments = [
@@ -524,6 +654,7 @@ def make_sharded_decode_step(
     want_counters: bool = True,
     pack_outputs: bool = False,
     h2d_widths: list[int] | None = None,
+    qual_bits: int = 6,
 ):
     """SPMD decode step over a 1-D ``reads`` mesh axis.
 
@@ -539,11 +670,17 @@ def make_sharded_decode_step(
         want_counters=want_counters,
         pack_outputs=pack_outputs,
         h2d_widths=h2d_widths,
+        qual_bits=qual_bits,
     )
+    if h2d_widths is not None and qual_bits != 6:
+        # the codebook is replicated; the blob shards over reads
+        batch_spec = {"blob": P(axis_name), "qcb": P()}
+    else:
+        batch_spec = P(axis_name)
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(axis_name),),
+        in_specs=(batch_spec,),
         out_specs=(P(axis_name), P()),
         check_vma=False,
     )
@@ -587,6 +724,7 @@ def make_tp_sharded_decode_step(
     pack_outputs: bool = False,
     h2d_widths: list[int] | None = None,
     shard_threshold: int = 1 << 14,
+    qual_bits: int = 6,
 ):
     """SPMD decode step over a 2-D ``(reads, panel)`` mesh: reads shard
     over the first axis, and every PAMLD panel above ``shard_threshold``
@@ -613,6 +751,7 @@ def make_tp_sharded_decode_step(
         pack_outputs=pack_outputs,
         h2d_widths=h2d_widths,
         panel_axis=panel_axis,
+        qual_bits=qual_bits,
     )
 
     def wrapped(batch, panel_shards):
@@ -630,10 +769,14 @@ def make_tp_sharded_decode_step(
         str(position): (P(None, panel_axis), P(panel_axis))
         for position in sharded_positions
     }
+    if h2d_widths is not None and qual_bits != 6:
+        batch_spec = {"blob": P(reads_axis), "qcb": P()}
+    else:
+        batch_spec = P(reads_axis)
     sharded = jax.shard_map(
         wrapped,
         mesh=mesh,
-        in_specs=(P(reads_axis), shard_specs),
+        in_specs=(batch_spec, shard_specs),
         out_specs=(P(reads_axis), P()),
         check_vma=False,
     )

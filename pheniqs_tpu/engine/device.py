@@ -100,6 +100,14 @@ class DeviceEngine(StrictEngine):
         self._staging_sets = (
             max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2"))) + 6
         )
+        # wire v3 quality codebook (device/step.py): sensed from the first
+        # batch; lossy rows re-resolve via the f64 oracle, so the codebook
+        # wire is hybrid-only unless PHENIQS_QUAL_WIRE forces it
+        self._qual_bits = 6
+        self._qcb = None
+        self._qual_lut = None
+        self._qcb_device = None
+        self._qual_sensed = False
 
     # --- device dispatch -------------------------------------------------
     def _mesh(self):
@@ -141,6 +149,7 @@ class DeviceEngine(StrictEngine):
             from ..device.step import make_decode_step, make_sharded_decode_step
 
             widths = list(signature[1])
+            qual_bits = signature[2] if len(signature) > 2 else 6
             mesh = self._mesh()
             if mesh is not None and getattr(self, "_tp", False):
                 from ..device.step import make_tp_sharded_decode_step
@@ -156,6 +165,7 @@ class DeviceEngine(StrictEngine):
                     pack_outputs=True,
                     h2d_widths=widths,
                     shard_threshold=threshold,
+                    qual_bits=qual_bits,
                 )
                 if self._tp_shards is None:
                     self._tp_shards = shard_panels()
@@ -171,6 +181,7 @@ class DeviceEngine(StrictEngine):
                     want_counters=True,
                     pack_outputs=True,
                     h2d_widths=widths,
+                    qual_bits=qual_bits,
                 )
             else:
                 from ..device.aot import aot_jit
@@ -178,9 +189,14 @@ class DeviceEngine(StrictEngine):
 
                 specs = {
                     "blob": jax.ShapeDtypeStruct(
-                        (signature[0], h2d_blob_bytes(widths)), jnp.uint8
+                        (signature[0], h2d_blob_bytes(widths, qual_bits)),
+                        jnp.uint8,
                     )
                 }
+                if qual_bits != 6:
+                    specs["qcb"] = jax.ShapeDtypeStruct(
+                        (len(self._qcb),), jnp.int32
+                    )
                 # stable-key AOT store: a source edit that shifts line
                 # numbers no longer re-keys the program (device/aot.py)
                 step = aot_jit(
@@ -190,6 +206,7 @@ class DeviceEngine(StrictEngine):
                         want_counters=True,
                         pack_outputs=True,
                         h2d_widths=widths,
+                        qual_bits=qual_bits,
                     ),
                     specs,
                     label="decode",
@@ -197,12 +214,67 @@ class DeviceEngine(StrictEngine):
             self._step_cache[signature] = step
         return step
 
+    def _sense_qual_wire(self, used):
+        """Pick the quality wire regime (device/step.py wire v3) from the
+        first batch's within-length quality alphabet. NovaSeq RTA3 emits
+        exactly 4 distinct values, so its reads ride a 2-bit lane (the
+        quality wire drops from 6 to 2 bits/base); rich Sanger-scale
+        alphabets keep the lossless 6-bit layout. Later reads outside the
+        sensed codebook are packed nearest + H2D_FORCED, which the hybrid
+        engine re-resolves in exact f64 — so the codebook wire is
+        restricted to hybrid mode unless PHENIQS_QUAL_WIRE forces it."""
+        self._qual_sensed = True
+        mode = os.environ.get("PHENIQS_QUAL_WIRE", "auto")
+        if mode not in ("auto", "2", "4", "6"):
+            mode = "auto"
+        if mode == "auto" and not self.hybrid:
+            return  # fast mode never re-resolves forced rows: stay lossless
+        from ..device.step import sense_qual_codebook
+
+        values = []
+        for code, qual, length in (
+            (s.code, s.quality, s.length) for s in used
+        ):
+            qual = np.asarray(qual)
+            mask = (
+                np.arange(qual.shape[1], dtype=np.int32)[None, :]
+                < np.asarray(length, dtype=np.int32)[:, None]
+            )
+            if mask.all():
+                values.append(np.unique(qual))
+            else:
+                values.append(np.unique(qual[mask]))
+        values = np.unique(np.concatenate(values)) if values else np.empty(0)
+        qual_bits, qcb, lut_idx, lut_exact = sense_qual_codebook(values, mode)
+        self._qual_bits = qual_bits
+        if qual_bits != 6:
+            self._qcb = qcb
+            self._qual_lut = (lut_idx, lut_exact)
+            if os.environ.get("PHENIQS_TRACE") == "1":
+                import sys as sys_mod
+
+                sys_mod.stderr.write(
+                    f"[pheniqs-tpu] quality wire: {qual_bits}-bit codebook "
+                    f"{sorted(set(int(x) for x in qcb))}\n"
+                )
+
+    def _wire_batch(self, device_blob):
+        """The step's input dict for one device-resident blob (adds the
+        replicated quality codebook under wire v3)."""
+        if self._qual_bits == 6:
+            return {"blob": device_blob}
+        if self._qcb_device is None:
+            import jax.numpy as jnp
+
+            self._qcb_device = jnp.asarray(self._qcb)
+        return {"blob": device_blob, "qcb": self._qcb_device}
+
     def _device_batch(self, batch: ReadBatch):
         """Pad to a stable shape signature and ship to device."""
         import jax.numpy as jnp
 
         signature, blob = self._pack_batch(batch)
-        return signature, {"blob": jnp.asarray(blob)}
+        return signature, self._wire_batch(jnp.asarray(blob))
 
     def _pack_batch(self, batch: ReadBatch):
         """Pack the batch into the uint8 wire blob at a stable shape
@@ -229,7 +301,12 @@ class DeviceEngine(StrictEngine):
             w = max(w, self._width_buckets[position])
             self._width_buckets[position] = w
             widths.append(w)
-        signature = (padded_n, tuple(widths))
+        used = [
+            batch.segments[index] for index in self.instrument.used_segments
+        ]
+        if not self._qual_sensed:
+            self._sense_qual_wire(used)
+        signature = (padded_n, tuple(widths), self._qual_bits)
         staging_key = (self._staging_flip, signature)
         self._staging_flip = (self._staging_flip + 1) % self._staging_sets
         from ..device.step import (
@@ -243,7 +320,8 @@ class DeviceEngine(StrictEngine):
         blob = self._staging.get(staging_key)
         if blob is None:
             blob = np.zeros(
-                (padded_n, h2d_blob_bytes(widths)), dtype=np.uint8
+                (padded_n, h2d_blob_bytes(widths, self._qual_bits)),
+                dtype=np.uint8,
             )
             # padding rows arrive qcfail=True and counter-masked
             blob[:, -1] = pad_flags
@@ -251,9 +329,6 @@ class DeviceEngine(StrictEngine):
         # one packed uint8 matrix = ONE host->device transfer per batch
         # (the tunneled transport pays per-array latency; this replaces
         # 3*segments + 1 transfers)
-        used = [
-            batch.segments[index] for index in self.instrument.used_segments
-        ]
         clock = __import__("time").perf_counter
         mark = clock()
         pack_h2d_blob(
@@ -261,6 +336,8 @@ class DeviceEngine(StrictEngine):
             [(s.code, s.quality, s.length) for s in used],
             batch.qcfail,
             out=blob[:n],
+            qual_bits=self._qual_bits,
+            qual_lut=self._qual_lut,
         )
         if n < padded_n:
             blob[n:] = 0
@@ -404,7 +481,7 @@ class DeviceEngine(StrictEngine):
         device_blob = jnp.asarray(blob)
         self._stage_add("h2d", time.perf_counter() - mark)
         step = self._get_step(signature)
-        handles = step({"blob": device_blob})
+        handles = step(self._wire_batch(device_blob))
         # start the device->host transfer immediately: by the time the
         # lookahead window drains to this batch the blob is already local
         # (the tunneled relay's pull latency otherwise serializes finishes)

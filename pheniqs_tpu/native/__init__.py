@@ -302,6 +302,23 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.pq_pack_h2d_segment_cb.restype = None
+        lib.pq_pack_h2d_segment_cb.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.pq_bgzf_open.restype = ctypes.c_void_p
         lib.pq_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.pq_bgzf_read.restype = ctypes.c_int64
@@ -927,12 +944,16 @@ def fastq_format_batch(
         capacity = -used
 
 
-def pack_h2d_native(widths, segments, qcfail, out) -> bool:
+def pack_h2d_native(
+    widths, segments, qcfail, out, qual_bits: int = 6, qual_lut=None
+) -> bool:
     """Native path of device/step.py pack_h2d_blob: pack per-segment
-    (code, qual, length) into the 10-bit wire blob `out` (byte-identical
-    to the numpy path; releases the GIL so packing overlaps the render
-    workers). Returns False when the native lib is unavailable or the
-    array layout disqualifies (caller falls back to numpy)."""
+    (code, qual, length) into the wire blob `out` (byte-identical to the
+    numpy path; releases the GIL so packing overlaps the render workers).
+    ``qual_bits`` 2/4 select the codebook layout (wire v3) with
+    ``qual_lut = (lut_idx, lut_exact)``. Returns False when the native
+    lib is unavailable or the array layout disqualifies (caller falls
+    back to numpy)."""
     lib = load()
     if lib is None:
         return False
@@ -943,6 +964,11 @@ def pack_h2d_native(widths, segments, qcfail, out) -> bool:
         or n != np.asarray(qcfail).shape[0]
     ):
         return False
+    if qual_bits != 6:
+        if qual_lut is None:
+            return False
+        lut_idx = np.ascontiguousarray(qual_lut[0], dtype=np.uint8)
+        lut_exact = np.ascontiguousarray(qual_lut[1], dtype=np.uint8)
     u8 = ctypes.POINTER(ctypes.c_uint8)
     i32 = ctypes.POINTER(ctypes.c_int32)
     flags = np.asarray(qcfail).astype(np.uint8)  # H2D_QCFAIL = bit 0
@@ -957,20 +983,40 @@ def pack_h2d_native(widths, segments, qcfail, out) -> bool:
         qual = np.ascontiguousarray(qual, dtype=np.uint8)
         length = np.ascontiguousarray(length, dtype=np.int32)
         length_bytes = 1 if w < 256 else 2
-        lib.pq_pack_h2d_segment(
-            code.ctypes.data_as(u8),
-            qual.ctypes.data_as(u8),
-            length.ctypes.data_as(i32),
-            n,
-            sw,
-            w,
-            out.ctypes.data_as(u8),
-            out.strides[0],
-            offset,
-            length_bytes,
-            flags.ctypes.data_as(u8),
-        )
-        offset += w // 2 + (3 * w) // 4 + length_bytes
+        if qual_bits == 6:
+            lib.pq_pack_h2d_segment(
+                code.ctypes.data_as(u8),
+                qual.ctypes.data_as(u8),
+                length.ctypes.data_as(i32),
+                n,
+                sw,
+                w,
+                out.ctypes.data_as(u8),
+                out.strides[0],
+                offset,
+                length_bytes,
+                flags.ctypes.data_as(u8),
+            )
+            qw = (3 * w) // 4
+        else:
+            lib.pq_pack_h2d_segment_cb(
+                code.ctypes.data_as(u8),
+                qual.ctypes.data_as(u8),
+                length.ctypes.data_as(i32),
+                n,
+                sw,
+                w,
+                out.ctypes.data_as(u8),
+                out.strides[0],
+                offset,
+                length_bytes,
+                flags.ctypes.data_as(u8),
+                qual_bits,
+                lut_idx.ctypes.data_as(u8),
+                lut_exact.ctypes.data_as(u8),
+            )
+            qw = w // 4 if qual_bits == 2 else w // 2
+        offset += w // 2 + qw + length_bytes
     out[:, offset] = flags
     return True
 

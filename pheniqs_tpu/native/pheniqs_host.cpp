@@ -2154,4 +2154,68 @@ void pq_pack_h2d_segment(
     }
 }
 
+// Codebook variant of pq_pack_h2d_segment (wire v3, device/step.py):
+// qualities are mapped through lut_idx (256 -> nearest codebook index)
+// and packed at 2 or 4 bits each; any position WITHIN the read's length
+// whose quality the codebook cannot represent exactly (lut_exact == 0)
+// ORs H2D_FORCED into `flags` so the hybrid engine re-resolves the row
+// with the float64 oracle. Byte-identical to the numpy path (parity
+// pinned by tests/test_device_classify.py).
+void pq_pack_h2d_segment_cb(
+    const uint8_t* code, const uint8_t* qual, const int32_t* length,
+    int64_t n, int64_t sw, int64_t w,
+    uint8_t* blob, int64_t blob_stride, int64_t offset,
+    int64_t length_bytes, uint8_t* flags,
+    int64_t qual_bits, const uint8_t* lut_idx, const uint8_t* lut_exact) {
+    const int64_t cw = w / 2;
+    const int64_t qw = qual_bits == 2 ? w / 4 : w / 2;
+    const int64_t full = sw < w ? sw / 2 : cw;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* c = code + i * sw;
+        const uint8_t* q = qual + i * sw;
+        uint8_t* row = blob + i * blob_stride + offset;
+        for (int64_t j = 0; j < full; ++j) {
+            row[j] = static_cast<uint8_t>(c[2 * j] | (c[2 * j + 1] << 4));
+        }
+        for (int64_t j = full; j < cw; ++j) {
+            const int64_t a = 2 * j, b = 2 * j + 1;
+            const uint8_t lo = a < sw ? c[a] : 0;
+            const uint8_t hi = b < sw ? c[b] : 0;
+            row[j] = static_cast<uint8_t>(lo | (hi << 4));
+        }
+        uint8_t* qrow = row + cw;
+        int32_t len = length[i];
+        if (len < 0) len = 0;
+        if (len > w) len = static_cast<int32_t>(w);
+        bool forced = false;
+        if (qual_bits == 2) {
+            for (int64_t g = 0; g < w / 4; ++g) {
+                uint8_t byte = 0;
+                for (int k = 0; k < 4; ++k) {
+                    const int64_t s = 4 * g + k;
+                    const uint8_t x = s < sw ? q[s] : 0;
+                    if (s < len && !lut_exact[x]) forced = true;
+                    byte |= static_cast<uint8_t>(lut_idx[x] << (2 * k));
+                }
+                qrow[g] = byte;
+            }
+        } else {  // 4-bit indices, two per byte
+            for (int64_t g = 0; g < w / 2; ++g) {
+                uint8_t byte = 0;
+                for (int k = 0; k < 2; ++k) {
+                    const int64_t s = 2 * g + k;
+                    const uint8_t x = s < sw ? q[s] : 0;
+                    if (s < len && !lut_exact[x]) forced = true;
+                    byte |= static_cast<uint8_t>(lut_idx[x] << (4 * k));
+                }
+                qrow[g] = byte;
+            }
+        }
+        if (forced) flags[i] |= 4;  // H2D_FORCED
+        uint8_t* lrow = qrow + qw;
+        lrow[0] = static_cast<uint8_t>(len & 0xFF);
+        if (length_bytes == 2) lrow[1] = static_cast<uint8_t>(len >> 8);
+    }
+}
+
 }  // extern "C"

@@ -484,6 +484,145 @@ def test_h2d_blob_quality_clamp_flags_forced():
     assert not np.asarray(pad).any()
 
 
+def test_h2d_codebook_wire_round_trip():
+    """Wire v3: 2-bit and 4-bit quality codebooks survive pack -> device
+    unpack exactly for in-codebook values, and out-of-codebook values
+    within the read's length flag H2D_FORCED (beyond-length padding never
+    does)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pheniqs_tpu.device.step import (
+        _unpack_h2d_blob,
+        h2d_blob_bytes,
+        pack_h2d_blob,
+        sense_qual_codebook,
+    )
+
+    rng = np.random.default_rng(33)
+    for alphabet, expect_bits in (
+        ((2, 12, 23, 37), 2),
+        (tuple(range(2, 2 + 13)), 4),
+    ):
+        qual_bits, qcb, lut_idx, lut_exact = sense_qual_codebook(
+            np.array(alphabet)
+        )
+        assert qual_bits == expect_bits
+        n, w = 129, 16
+        code = rng.integers(0, 16, size=(n, w)).astype(np.uint8)
+        qual = rng.choice(np.array(alphabet, dtype=np.uint8), size=(n, w))
+        length = rng.integers(0, w + 1, size=n).astype(np.int32)
+        # row 5: out-of-codebook value inside the read -> forced;
+        # row 7: out-of-codebook value beyond the length -> NOT forced
+        length[5] = w
+        qual[5, 3] = 41
+        length[7] = 4
+        qual[7, 10] = 41
+        qcfail = (rng.random(n) < 0.3).astype(np.uint8)
+
+        blob = pack_h2d_blob(
+            [w], [(code, qual, length)], qcfail,
+            qual_bits=qual_bits, qual_lut=(lut_idx, lut_exact),
+        )
+        assert blob.shape == (n, h2d_blob_bytes([w], qual_bits))
+        unpacked, fail, pad, forced = jax.jit(
+            lambda b, cb: _unpack_h2d_blob([w], b, qual_bits=qual_bits, qcb=cb)
+        )(jnp.asarray(blob), jnp.asarray(qcb))
+        u_code, u_qual, u_length = unpacked[0]
+        np.testing.assert_array_equal(np.asarray(u_code), code)
+        np.testing.assert_array_equal(np.asarray(u_length), length)
+        expected_qual = np.asarray(qcb)[lut_idx[qual]]
+        np.testing.assert_array_equal(np.asarray(u_qual), expected_qual)
+        # every in-codebook position decodes to its exact value
+        exact = lut_exact[qual].astype(bool)
+        np.testing.assert_array_equal(
+            np.asarray(u_qual)[exact], qual.astype(np.int32)[exact]
+        )
+        expected_forced = np.zeros(n, dtype=bool)
+        expected_forced[5] = True
+        np.testing.assert_array_equal(np.asarray(forced), expected_forced)
+        np.testing.assert_array_equal(np.asarray(fail), qcfail.astype(bool))
+
+
+def test_h2d_codebook_native_pack_matches_numpy():
+    """The native codebook packer (wire v3) must be byte-identical to the
+    numpy path across ragged widths and out-of-codebook values."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from pheniqs_tpu.device.step import (
+        h2d_blob_bytes,
+        pack_h2d_blob,
+        sense_qual_codebook,
+    )
+    from pheniqs_tpu.native import available, pack_h2d_native
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(55)
+    n = 511
+    for alphabet in ((2, 12, 23, 37), tuple(range(30, 42))):
+        qual_bits, qcb, lut_idx, lut_exact = sense_qual_codebook(
+            np.array(alphabet)
+        )
+        widths = [8, 12, 28]
+        source_widths = [8, 10, 26]
+        segments = []
+        for w, sw in zip(widths, source_widths):
+            code = rng.integers(0, 16, size=(n, sw)).astype(np.uint8)
+            qual = rng.choice(
+                np.array(alphabet, dtype=np.uint8), size=(n, sw)
+            )
+            stray = rng.random((n, sw)) < 0.01  # out-of-codebook sprinkle
+            qual[stray] = 63
+            length = rng.integers(-2, sw + 3, size=n).astype(np.int32)
+            segments.append((code, qual, length))
+        qcfail = (rng.random(n) < 0.25).astype(np.uint8)
+
+        os.environ["PHENIQS_NATIVE_PACK"] = "0"
+        try:
+            reference = pack_h2d_blob(
+                widths, segments, qcfail,
+                qual_bits=qual_bits, qual_lut=(lut_idx, lut_exact),
+            )
+        finally:
+            os.environ.pop("PHENIQS_NATIVE_PACK")
+        native = np.zeros(
+            (n, h2d_blob_bytes(widths, qual_bits)), dtype=np.uint8
+        )
+        assert pack_h2d_native(
+            widths, segments, qcfail, native,
+            qual_bits=qual_bits, qual_lut=(lut_idx, lut_exact),
+        )
+        np.testing.assert_array_equal(native, reference)
+
+
+def test_sense_qual_codebook_regimes():
+    """Alphabet size selects the wire: <=4 values -> 2-bit, <=16 -> 4-bit,
+    larger -> the lossless 6-bit layout; explicit modes override."""
+    from pheniqs_tpu.device.step import sense_qual_codebook
+
+    bits, qcb, _, _ = sense_qual_codebook([2, 12, 23, 37])
+    assert bits == 2 and list(qcb) == [2, 12, 23, 37]
+    bits, qcb, _, _ = sense_qual_codebook([2, 12, 23])
+    assert bits == 2 and list(qcb) == [2, 12, 23, 23]  # padded
+    bits, qcb, _, _ = sense_qual_codebook(list(range(10, 20)))
+    assert bits == 4 and len(qcb) == 16
+    bits, qcb, _, _ = sense_qual_codebook(list(range(0, 40)))
+    assert bits == 6 and qcb is None
+    bits, _, _, _ = sense_qual_codebook([2, 12, 23, 37], mode="6")
+    assert bits == 6
+    bits, qcb, _, _ = sense_qual_codebook([2, 12], mode="4")
+    assert bits == 4 and len(qcb) == 16
+    # values above 63 clamp into the 6-bit domain before sensing
+    bits, qcb, _, _ = sense_qual_codebook([2, 70])
+    assert bits == 2 and list(qcb)[:2] == [2, 63]
+
+
 def test_static_window_token_path_matches_general_gather():
     """The forward fixed-token fast path (two static slices + row select)
     must equal the general clipped gather for every length regime: longer
