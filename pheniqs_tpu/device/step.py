@@ -181,17 +181,31 @@ def _length_bytes(w: int) -> int:
     return 1 if w < 256 else 2
 
 
-def _qual_bytes(w: int, qual_bits: int) -> int:
-    """Wire bytes of one segment's quality lane (w is a multiple of 4)."""
-    return {2: w // 4, 4: w // 2, 6: (3 * w) // 4}[qual_bits]
+#: joint wire mode: one 4-bit lane of (base, quality) PAIR codebook
+#: indices replaces both the code and quality lanes (modern binned
+#: basecallers emit <=16 distinct pairs: {A,C,G,T} x 3-4 quality bins
+#: plus (N, q2), so the whole base fits in 4 bits)
+JOINT4 = "j4"
 
 
-def h2d_blob_bytes(widths: list[int], qual_bits: int = 6) -> int:
+def _lane_bytes(w: int, qual_bits) -> tuple[int, int]:
+    """(code_lane, quality_lane) wire bytes of one segment (w a multiple
+    of 4). Joint mode fuses both lanes into one 4-bit index lane."""
+    if qual_bits == JOINT4:
+        return 0, w // 2
+    return w // 2, {2: w // 4, 4: w // 2, 6: (3 * w) // 4}[qual_bits]
+
+
+def _qual_bytes(w: int, qual_bits) -> int:
+    return _lane_bytes(w, qual_bits)[1]
+
+
+def h2d_blob_bytes(widths: list[int], qual_bits=6) -> int:
     """Bytes per read of the packed host->device layout for `widths`
     (each a multiple of 4, as the engine's width buckets guarantee)."""
     return (
         sum(
-            w // 2 + _qual_bytes(w, qual_bits) + _length_bytes(w)
+            sum(_lane_bytes(w, qual_bits)) + _length_bytes(w)
             for w in widths
         )
         + 1
@@ -237,6 +251,44 @@ def sense_qual_codebook(values, mode: str = "auto"):
     return (2 if k == 4 else 4), codebook, lut_idx, lut_exact
 
 
+def sense_joint_codebook(pairs):
+    """Joint (code, quality) pair codebook for the `j4` wire: ``pairs`` is
+    the distinct ``code * 256 + min(quality, 63)`` keys of a representative
+    batch. Returns ``(ccb, qcb, lut_idx, lut_exact)`` — ccb/qcb are the
+    (16,) int32 code/quality runtime arguments (padded by repeating the
+    last pair), lut_idx maps any 12-bit ``(code & 15) << 8 | quality`` key
+    to its nearest codebook index, lut_exact marks the exactly-represented
+    keys — or ``None`` when the alphabet doesn't fit in 16 pairs.
+    """
+    import numpy as np
+
+    pairs = np.unique(np.asarray(pairs, dtype=np.int64))
+    if pairs.size == 0 or pairs.size > 16:
+        return None
+    codes = pairs >> 8
+    quals = np.minimum(pairs & 255, 63)
+    if (codes > 15).any():
+        return None
+    ccb = np.empty(16, dtype=np.int32)
+    qcb = np.empty(16, dtype=np.int32)
+    ccb[: pairs.size] = codes
+    ccb[pairs.size :] = codes[-1]
+    qcb[: pairs.size] = quals
+    qcb[pairs.size :] = quals[-1]
+    domain_code = np.arange(4096, dtype=np.int64) >> 8
+    domain_qual = np.minimum(np.arange(4096, dtype=np.int64) & 255, 63)
+    # nearest entry: same code strongly preferred (a wrong quality only
+    # shifts the likelihood; a wrong base flips it), then quality distance
+    # — only H2D_FORCED rows can be affected, and those re-resolve in f64
+    dist = (domain_code[:, None] != codes[None, :]) * 1000 + np.abs(
+        domain_qual[:, None] - quals[None, :]
+    )
+    lut_idx = np.argmin(dist, axis=1).astype(np.uint8)
+    lut_exact = np.zeros(4096, dtype=np.uint8)
+    lut_exact[codes * 256 + quals] = 1
+    return ccb, qcb, lut_idx, lut_exact
+
+
 def pack_h2d_blob(
     widths: list[int],
     segments,
@@ -252,7 +304,9 @@ def pack_h2d_blob(
     to 63 and packs four per three bytes (rows with a quality >= 64 get
     H2D_FORCED); ``qual_bits`` 2/4 pack CODEBOOK INDICES via ``qual_lut =
     (lut_idx, lut_exact)`` from `sense_qual_codebook`, force-flagging any
-    row whose quality isn't represented exactly.
+    row whose quality isn't represented exactly. ``qual_bits == JOINT4``
+    replaces BOTH lanes with one 4-bit (code, quality) pair-index lane
+    (``qual_lut`` from `sense_joint_codebook`, same forced contract).
     """
     import numpy as np
 
@@ -278,7 +332,7 @@ def pack_h2d_blob(
         if w % 4:
             raise ValueError(f"h2d segment width {w} not a multiple of 4")
         sw = code.shape[1]
-        cw, qw = w // 2, _qual_bytes(w, qual_bits)
+        cw, qw = _lane_bytes(w, qual_bits)
         code = np.asarray(code, dtype=np.uint8)
         qual = np.asarray(qual, dtype=np.uint8)
         if sw < w:
@@ -288,6 +342,28 @@ def pack_h2d_blob(
             qual = np.concatenate(
                 [qual, np.zeros((n, w - sw), dtype=np.uint8)], axis=1
             )
+        if qual_bits == JOINT4:
+            lut_idx, lut_exact = qual_lut
+            key = (code.astype(np.int32) & 15) << 8 | qual
+            inexact = lut_exact[key] == 0
+            inexact &= (
+                np.arange(w, dtype=np.int32)[None, :]
+                < np.asarray(length, dtype=np.int32)[:, None]
+            )
+            if inexact.any():
+                flags |= inexact.any(axis=1).astype(np.uint8) * H2D_FORCED
+            idx = lut_idx[key]
+            blob[:, offset : offset + qw] = idx[:, 0::2] | (idx[:, 1::2] << 4)
+            offset += qw
+            clipped = np.clip(length, 0, w)
+            if _length_bytes(w) == 1:
+                blob[:, offset] = clipped.astype(np.uint8)
+                offset += 1
+            else:
+                blob[:, offset] = (clipped & 0xFF).astype(np.uint8)
+                blob[:, offset + 1] = (clipped >> 8).astype(np.uint8)
+                offset += 2
+            continue
         blob[:, offset : offset + cw] = code[:, 0::2] | (code[:, 1::2] << 4)
         offset += cw
         if qual_bits == 6:
@@ -344,19 +420,49 @@ def pack_h2d_blob(
     return blob
 
 
-def _unpack_h2d_blob(widths: list[int], blob, qual_bits: int = 6, qcb=None):
+def _codebook_select(idx, table):
+    """Decode codebook indices to values via a K-way select chain — no
+    dynamic gather (gathers lower poorly on TPU, see the round-3 profile
+    in BASELINE.md)."""
+    table = table.astype(jnp.int32)
+    value = jnp.full_like(idx, table[0])
+    for k in range(1, table.shape[0]):
+        value = jnp.where(idx == k, table[k], value)
+    return value
+
+
+def _unpack_h2d_blob(
+    widths: list[int], blob, qual_bits=6, qcb=None, ccb=None
+):
     """Device-side unpack (inside jit: slices + a few VPU bit ops; the
     10-bit wire format costs a handful of elementwise ops against a ~40%
     transfer-byte reduction, and the codebook formats cut further).
-    ``qcb`` is the (K,) int32 codebook runtime argument for qual_bits 2/4;
-    index decode is a K-way select chain — no dynamic gather (gathers
-    lower poorly on TPU, see the round-3 profile in BASELINE.md).
+    ``qcb`` is the (K,) int32 quality codebook runtime argument for
+    qual_bits 2/4; JOINT4 additionally takes ``ccb`` (16,) int32 and
+    decodes both lanes from the pair index.
     Returns (segments, qcfail, pad, forced)."""
     segments = []
     offset = 0
     n = blob.shape[0]
     for w in widths:
-        cw, qw = w // 2, _qual_bytes(w, qual_bits)
+        cw, qw = _lane_bytes(w, qual_bits)
+        if qual_bits == JOINT4:
+            packed = blob[:, offset : offset + qw].astype(jnp.int32)
+            idx = jnp.stack([packed & 15, packed >> 4], axis=2).reshape(n, w)
+            code = _codebook_select(idx, ccb)
+            qual = _codebook_select(idx, qcb)
+            offset += qw
+            if _length_bytes(w) == 1:
+                length = blob[:, offset].astype(jnp.int32)
+                offset += 1
+            else:
+                length = (
+                    blob[:, offset].astype(jnp.int32)
+                    | (blob[:, offset + 1].astype(jnp.int32) << 8)
+                )
+                offset += 2
+            segments.append((code, qual, length))
+            continue
         packed_c = blob[:, offset : offset + cw].astype(jnp.int32)
         code = jnp.stack([packed_c & 15, packed_c >> 4], axis=2).reshape(n, w)
         offset += cw
@@ -389,10 +495,7 @@ def _unpack_h2d_blob(widths: list[int], blob, qual_bits: int = 6, qcb=None):
                 idx = jnp.stack(
                     [packed_q & 15, packed_q >> 4], axis=2
                 ).reshape(n, w)
-            cb = qcb.astype(jnp.int32)
-            qual = jnp.full_like(idx, cb[0])
-            for k in range(1, cb.shape[0]):
-                qual = jnp.where(idx == k, cb[k], qual)
+            qual = _codebook_select(idx, qcb)
         offset += qw
         if _length_bytes(w) == 1:
             length = blob[:, offset].astype(jnp.int32)
@@ -516,6 +619,7 @@ def make_decode_step(
                 batch["blob"],
                 qual_bits=qual_bits,
                 qcb=batch.get("qcb"),
+                ccb=batch.get("ccb"),
             )
         else:
             segments = [
@@ -673,8 +777,10 @@ def make_sharded_decode_step(
         qual_bits=qual_bits,
     )
     if h2d_widths is not None and qual_bits != 6:
-        # the codebook is replicated; the blob shards over reads
+        # the codebooks are replicated; the blob shards over reads
         batch_spec = {"blob": P(axis_name), "qcb": P()}
+        if qual_bits == JOINT4:
+            batch_spec["ccb"] = P()
     else:
         batch_spec = P(axis_name)
     sharded = jax.shard_map(
@@ -771,6 +877,8 @@ def make_tp_sharded_decode_step(
     }
     if h2d_widths is not None and qual_bits != 6:
         batch_spec = {"blob": P(reads_axis), "qcb": P()}
+        if qual_bits == JOINT4:
+            batch_spec["ccb"] = P()
     else:
         batch_spec = P(reads_axis)
     sharded = jax.shard_map(

@@ -105,8 +105,10 @@ class DeviceEngine(StrictEngine):
         # wire is hybrid-only unless PHENIQS_QUAL_WIRE forces it
         self._qual_bits = 6
         self._qcb = None
+        self._ccb = None
         self._qual_lut = None
         self._qcb_device = None
+        self._ccb_device = None
         self._qual_sensed = False
 
     # --- device dispatch -------------------------------------------------
@@ -197,6 +199,10 @@ class DeviceEngine(StrictEngine):
                     specs["qcb"] = jax.ShapeDtypeStruct(
                         (len(self._qcb),), jnp.int32
                     )
+                    if getattr(self, "_ccb", None) is not None:
+                        specs["ccb"] = jax.ShapeDtypeStruct(
+                            (len(self._ccb),), jnp.int32
+                        )
                 # stable-key AOT store: a source edit that shifts line
                 # numbers no longer re-keys the program (device/aot.py)
                 step = aot_jit(
@@ -215,36 +221,72 @@ class DeviceEngine(StrictEngine):
         return step
 
     def _sense_qual_wire(self, used):
-        """Pick the quality wire regime (device/step.py wire v3) from the
-        first batch's within-length quality alphabet. NovaSeq RTA3 emits
-        exactly 4 distinct values, so its reads ride a 2-bit lane (the
-        quality wire drops from 6 to 2 bits/base); rich Sanger-scale
-        alphabets keep the lossless 6-bit layout. Later reads outside the
-        sensed codebook are packed nearest + H2D_FORCED, which the hybrid
-        engine re-resolves in exact f64 — so the codebook wire is
-        restricted to hybrid mode unless PHENIQS_QUAL_WIRE forces it."""
+        """Pick the wire regime (device/step.py wire v3) from the first
+        batch's within-length alphabet. Modern binned basecallers emit
+        <=16 distinct (base, quality) pairs (NovaSeq RTA3: {A,C,G,T} x
+        {12,23,37} + (N,2)), so both lanes collapse into one 4-bit joint
+        lane; a rich quality alphabet over few values rides a 2/4-bit
+        quality lane; Sanger-scale data keeps the lossless 6-bit layout.
+        Later reads outside the sensed codebook are packed nearest +
+        H2D_FORCED, which the hybrid engine re-resolves in exact f64 — so
+        the codebook wire is restricted to hybrid mode unless
+        PHENIQS_QUAL_WIRE forces it."""
         self._qual_sensed = True
         mode = os.environ.get("PHENIQS_QUAL_WIRE", "auto")
-        if mode not in ("auto", "2", "4", "6"):
+        if mode not in ("auto", "j4", "2", "4", "6"):
             mode = "auto"
         if mode == "auto" and not self.hybrid:
             return  # fast mode never re-resolves forced rows: stay lossless
-        from ..device.step import sense_qual_codebook
+        from ..device.step import (
+            JOINT4,
+            sense_joint_codebook,
+            sense_qual_codebook,
+        )
 
         values = []
+        pair_sets = []
         for code, qual, length in (
             (s.code, s.quality, s.length) for s in used
         ):
+            code = np.asarray(code)
             qual = np.asarray(qual)
+            keys = (code.astype(np.int64) & 15) << 8 | np.minimum(
+                qual.astype(np.int64), 63
+            )
             mask = (
                 np.arange(qual.shape[1], dtype=np.int32)[None, :]
                 < np.asarray(length, dtype=np.int32)[:, None]
             )
             if mask.all():
                 values.append(np.unique(qual))
+                pair_sets.append(np.unique(keys))
             else:
                 values.append(np.unique(qual[mask]))
+                pair_sets.append(np.unique(keys[mask]))
         values = np.unique(np.concatenate(values)) if values else np.empty(0)
+        pairs = (
+            np.unique(np.concatenate(pair_sets))
+            if pair_sets
+            else np.empty(0, dtype=np.int64)
+        )
+        if mode in ("auto", "j4"):
+            joint = sense_joint_codebook(pairs)
+            if joint is not None:
+                ccb, qcb, lut_idx, lut_exact = joint
+                self._qual_bits = JOINT4
+                self._ccb = ccb
+                self._qcb = qcb
+                self._qual_lut = (lut_idx, lut_exact)
+                if os.environ.get("PHENIQS_TRACE") == "1":
+                    import sys as sys_mod
+
+                    sys_mod.stderr.write(
+                        "[pheniqs-tpu] quality wire: joint 4-bit pair "
+                        f"codebook ({np.unique(pairs).size} pairs)\n"
+                    )
+                return
+            if mode == "j4":
+                return  # forced joint but alphabet too rich: stay 6-bit
         qual_bits, qcb, lut_idx, lut_exact = sense_qual_codebook(values, mode)
         self._qual_bits = qual_bits
         if qual_bits != 6:
@@ -260,14 +302,19 @@ class DeviceEngine(StrictEngine):
 
     def _wire_batch(self, device_blob):
         """The step's input dict for one device-resident blob (adds the
-        replicated quality codebook under wire v3)."""
+        replicated codebooks under wire v3)."""
         if self._qual_bits == 6:
             return {"blob": device_blob}
         if self._qcb_device is None:
             import jax.numpy as jnp
 
             self._qcb_device = jnp.asarray(self._qcb)
-        return {"blob": device_blob, "qcb": self._qcb_device}
+            if getattr(self, "_ccb", None) is not None:
+                self._ccb_device = jnp.asarray(self._ccb)
+        batch = {"blob": device_blob, "qcb": self._qcb_device}
+        if getattr(self, "_ccb", None) is not None:
+            batch["ccb"] = self._ccb_device
+        return batch
 
     def _device_batch(self, batch: ReadBatch):
         """Pad to a stable shape signature and ship to device."""

@@ -319,6 +319,22 @@ def load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.pq_pack_h2d_segment_j4.restype = None
+        lib.pq_pack_h2d_segment_j4.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.pq_bgzf_open.restype = ctypes.c_void_p
         lib.pq_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.pq_bgzf_read.restype = ctypes.c_int64
@@ -945,12 +961,13 @@ def fastq_format_batch(
 
 
 def pack_h2d_native(
-    widths, segments, qcfail, out, qual_bits: int = 6, qual_lut=None
+    widths, segments, qcfail, out, qual_bits=6, qual_lut=None
 ) -> bool:
     """Native path of device/step.py pack_h2d_blob: pack per-segment
     (code, qual, length) into the wire blob `out` (byte-identical to the
     numpy path; releases the GIL so packing overlaps the render workers).
-    ``qual_bits`` 2/4 select the codebook layout (wire v3) with
+    ``qual_bits`` 2/4 select the quality-codebook layout and ``"j4"`` the
+    joint (code, quality) pair-codebook layout (wire v3), both with
     ``qual_lut = (lut_idx, lut_exact)``. Returns False when the native
     lib is unavailable or the array layout disqualifies (caller falls
     back to numpy)."""
@@ -997,7 +1014,26 @@ def pack_h2d_native(
                 length_bytes,
                 flags.ctypes.data_as(u8),
             )
-            qw = (3 * w) // 4
+            offset += w // 2 + (3 * w) // 4 + length_bytes
+            continue
+        if qual_bits == "j4":
+            lib.pq_pack_h2d_segment_j4(
+                code.ctypes.data_as(u8),
+                qual.ctypes.data_as(u8),
+                length.ctypes.data_as(i32),
+                n,
+                sw,
+                w,
+                out.ctypes.data_as(u8),
+                out.strides[0],
+                offset,
+                length_bytes,
+                flags.ctypes.data_as(u8),
+                lut_idx.ctypes.data_as(u8),
+                lut_exact.ctypes.data_as(u8),
+            )
+            offset += w // 2 + length_bytes
+            continue
         else:
             lib.pq_pack_h2d_segment_cb(
                 code.ctypes.data_as(u8),

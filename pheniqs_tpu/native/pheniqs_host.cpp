@@ -2218,4 +2218,43 @@ void pq_pack_h2d_segment_cb(
     }
 }
 
+// Joint (code, quality) pair-codebook variant (wire j4, device/step.py):
+// both lanes collapse into one 4-bit pair-index lane. lut_idx/lut_exact
+// are the 4096-entry ((code & 15) << 8 | quality) tables from
+// sense_joint_codebook; inexact pairs WITHIN the read's length OR
+// H2D_FORCED into `flags` (f64 oracle re-resolution contract).
+// Byte-identical to the numpy path.
+void pq_pack_h2d_segment_j4(
+    const uint8_t* code, const uint8_t* qual, const int32_t* length,
+    int64_t n, int64_t sw, int64_t w,
+    uint8_t* blob, int64_t blob_stride, int64_t offset,
+    int64_t length_bytes, uint8_t* flags,
+    const uint8_t* lut_idx, const uint8_t* lut_exact) {
+    const int64_t qw = w / 2;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* c = code + i * sw;
+        const uint8_t* q = qual + i * sw;
+        uint8_t* row = blob + i * blob_stride + offset;
+        int32_t len = length[i];
+        if (len < 0) len = 0;
+        if (len > w) len = static_cast<int32_t>(w);
+        bool forced = false;
+        for (int64_t g = 0; g < qw; ++g) {
+            uint8_t byte = 0;
+            for (int k = 0; k < 2; ++k) {
+                const int64_t s = 2 * g + k;
+                const int32_t key =
+                    s < sw ? (((c[s] & 15) << 8) | q[s]) : 0;
+                if (s < len && !lut_exact[key]) forced = true;
+                byte |= static_cast<uint8_t>(lut_idx[key] << (4 * k));
+            }
+            row[g] = byte;
+        }
+        if (forced) flags[i] |= 4;  // H2D_FORCED
+        uint8_t* lrow = row + qw;
+        lrow[0] = static_cast<uint8_t>(len & 0xFF);
+        if (length_bytes == 2) lrow[1] = static_cast<uint8_t>(len >> 8);
+    }
+}
+
 }  // extern "C"

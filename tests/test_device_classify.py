@@ -601,6 +601,154 @@ def test_h2d_codebook_native_pack_matches_numpy():
         np.testing.assert_array_equal(native, reference)
 
 
+def test_h2d_joint_wire_round_trip():
+    """Wire j4: the joint (base, quality) pair codebook survives pack ->
+    device unpack exactly for in-codebook pairs; out-of-codebook pairs
+    within the read's length flag H2D_FORCED (beyond-length padding never
+    does)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pheniqs_tpu.device.step import (
+        JOINT4,
+        _unpack_h2d_blob,
+        h2d_blob_bytes,
+        pack_h2d_blob,
+        sense_joint_codebook,
+    )
+
+    rng = np.random.default_rng(41)
+    codes = np.array([1, 2, 4, 8], dtype=np.uint8)
+    quals = np.array([2, 12, 23, 37], dtype=np.uint8)
+    pairs = [
+        int(c) * 256 + int(q) for c in codes for q in quals
+    ]  # 16 pairs: exactly fills the codebook
+    ccb, qcb, lut_idx, lut_exact = sense_joint_codebook(pairs)
+    assert lut_exact.sum() == 16
+
+    n, w = 193, 16
+    code = rng.choice(codes, size=(n, w))
+    qual = rng.choice(quals, size=(n, w))
+    length = rng.integers(0, w + 1, size=n).astype(np.int32)
+    # row 4: out-of-codebook pair (N base) inside the read -> forced;
+    # row 6: out-of-codebook pair beyond the length -> NOT forced
+    length[4] = w
+    code[4, 5] = 15  # N
+    qual[4, 5] = 2
+    length[6] = 3
+    code[6, 9] = 15
+    qcfail = (rng.random(n) < 0.3).astype(np.uint8)
+
+    blob = pack_h2d_blob(
+        [w], [(code, qual, length)], qcfail,
+        qual_bits=JOINT4, qual_lut=(lut_idx, lut_exact),
+    )
+    assert blob.shape == (n, h2d_blob_bytes([w], JOINT4))
+    assert h2d_blob_bytes([w], JOINT4) == w // 2 + 1 + 1
+
+    unpacked, fail, pad, forced = jax.jit(
+        lambda b, cc, qc: _unpack_h2d_blob(
+            [w], b, qual_bits=JOINT4, qcb=qc, ccb=cc
+        )
+    )(jnp.asarray(blob), jnp.asarray(ccb), jnp.asarray(qcb))
+    u_code, u_qual, u_length = unpacked[0]
+    np.testing.assert_array_equal(np.asarray(u_length), length)
+    key = code.astype(np.int64) * 256 + qual
+    exact = lut_exact[key].astype(bool)
+    np.testing.assert_array_equal(
+        np.asarray(u_code)[exact], code.astype(np.int32)[exact]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u_qual)[exact], qual.astype(np.int32)[exact]
+    )
+    # the nearest-pair policy keeps the quality for an unknown base pair
+    np.testing.assert_array_equal(
+        np.asarray(u_qual)[4, 5], 2
+    )
+    expected_forced = np.zeros(n, dtype=bool)
+    expected_forced[4] = True
+    np.testing.assert_array_equal(np.asarray(forced), expected_forced)
+    np.testing.assert_array_equal(np.asarray(fail), qcfail.astype(bool))
+
+
+def test_h2d_joint_native_pack_matches_numpy():
+    """The native joint packer (wire j4) must be byte-identical to the
+    numpy path across ragged widths and out-of-codebook pairs."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from pheniqs_tpu.device.step import (
+        JOINT4,
+        h2d_blob_bytes,
+        pack_h2d_blob,
+        sense_joint_codebook,
+    )
+    from pheniqs_tpu.native import available, pack_h2d_native
+
+    if not available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(59)
+    codes = np.array([1, 2, 4, 8], dtype=np.uint8)
+    quals = np.array([2, 12, 23, 37], dtype=np.uint8)
+    pairs = [int(c) * 256 + int(q) for c in codes for q in quals]
+    ccb, qcb, lut_idx, lut_exact = sense_joint_codebook(pairs)
+
+    n = 511
+    widths = [8, 12, 28]
+    source_widths = [8, 10, 26]
+    segments = []
+    for w, sw in zip(widths, source_widths):
+        code = rng.choice(codes, size=(n, sw))
+        qual = rng.choice(quals, size=(n, sw))
+        stray = rng.random((n, sw)) < 0.01
+        code[stray] = 15  # N sprinkle: out-of-codebook pairs
+        length = rng.integers(-2, sw + 3, size=n).astype(np.int32)
+        segments.append((code, qual, length))
+    qcfail = (rng.random(n) < 0.25).astype(np.uint8)
+
+    os.environ["PHENIQS_NATIVE_PACK"] = "0"
+    try:
+        reference = pack_h2d_blob(
+            widths, segments, qcfail,
+            qual_bits=JOINT4, qual_lut=(lut_idx, lut_exact),
+        )
+    finally:
+        os.environ.pop("PHENIQS_NATIVE_PACK")
+    native = np.zeros(
+        (n, h2d_blob_bytes(widths, JOINT4)), dtype=np.uint8
+    )
+    assert pack_h2d_native(
+        widths, segments, qcfail, native,
+        qual_bits=JOINT4, qual_lut=(lut_idx, lut_exact),
+    )
+    np.testing.assert_array_equal(native, reference)
+
+
+def test_sense_joint_codebook_regimes():
+    """<=16 distinct pairs -> joint codebook; more -> None (fall back to
+    the quality-lane codebooks)."""
+    from pheniqs_tpu.device.step import sense_joint_codebook
+
+    pairs = [c * 256 + q for c in (1, 2, 4, 8) for q in (2, 12, 23)]
+    result = sense_joint_codebook(pairs)
+    assert result is not None
+    ccb, qcb, lut_idx, lut_exact = result
+    assert len(ccb) == len(qcb) == 16
+    assert lut_exact.sum() == 12
+    # NovaSeq with N no-calls: 13 pairs, still joint
+    pairs.append(15 * 256 + 2)
+    assert sense_joint_codebook(pairs) is not None
+    # 17 pairs: too rich
+    pairs17 = [c * 256 + q for c in (1, 2, 4, 8) for q in (2, 12, 23, 37)]
+    pairs17.append(15 * 256 + 2)
+    assert sense_joint_codebook(pairs17) is None
+    assert sense_joint_codebook([]) is None
+
+
 def test_sense_qual_codebook_regimes():
     """Alphabet size selects the wire: <=4 values -> 2-bit, <=16 -> 4-bit,
     larger -> the lossless 6-bit layout; explicit modes override."""

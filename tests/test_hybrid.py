@@ -205,11 +205,12 @@ def test_streamed_hybrid_scratch_carry_across_lazy_batches(tmp_path):
 
 
 def test_hybrid_codebook_wire_identical_to_strict(tmp_path):
-    """Wire v3: on an RTA3-binned input the engine senses a 2-bit quality
-    codebook from the first batch; reads in LATER batches carrying values
-    outside that codebook ride the wire lossily but flagged H2D_FORCED,
-    so the f64 oracle re-resolves them — decisions must equal the strict
-    engine exactly, and the trace must show the codebook wire engaged."""
+    """Wire v3: on an RTA3-binned input the engine senses the joint 4-bit
+    (base, quality) pair codebook from the first batch; reads in LATER
+    batches carrying values outside that codebook ride the wire lossily
+    but flagged H2D_FORCED, so the f64 oracle re-resolves them — decisions
+    must equal the strict engine exactly, and the trace must show the
+    codebook wire engaged."""
     panel = ["ACGTACGT", "ACGTACGA", "ACGTACTT", "TGCATGCA", "TGCATGCC"]
     rta3 = (2, 12, 23, 37)
     rng = np.random.default_rng(23)
@@ -267,10 +268,73 @@ def test_hybrid_codebook_wire_identical_to_strict(tmp_path):
         assert result.returncode == 0, result.stderr[-3000:]
         outputs[fidelity] = decisions(out.read_text())
         if fidelity == "hybrid":
-            assert "quality wire: 2-bit codebook [2, 12, 23, 37]" in (
+            assert "quality wire: joint 4-bit pair codebook" in (
                 result.stderr
             ), result.stderr[-2000:]
 
+    assert outputs["strict"] == outputs["hybrid"]
+
+
+def test_hybrid_q2_wire_identical_to_strict(tmp_path):
+    """The 2-bit quality-codebook lane (PHENIQS_QUAL_WIRE=2 forces it past
+    the joint wire) must also keep hybrid decisions strict-identical."""
+    panel = ["ACGTACGT", "ACGTACGA", "TGCATGCA"]
+    rta3 = (2, 12, 23, 37)
+    rng = np.random.default_rng(29)
+    path = tmp_path / "reads.fastq"
+    with open(path, "w") as stream:
+        for i in range(1200):
+            word = panel[rng.integers(len(panel))]
+            bases = list(word)
+            quality = [int(rng.choice(rta3)) for _ in bases]
+            for position in range(len(bases)):
+                if rng.random() < 0.2:
+                    bases[position] = BASES[rng.integers(4)]
+                    quality[position] = int(rng.choice(rta3[:2]))
+            stream.write(
+                f"@read{i}\n{''.join(bases)}\n+\n"
+                f"{''.join(chr(q + 33) for q in quality)}\n"
+            )
+    config = {
+        "input": [str(path)],
+        "template": {"transform": {"token": ["0::"]}},
+        "sample": {
+            "algorithm": "pamld",
+            "confidence threshold": 0.95,
+            "noise": 0.05,
+            "transform": {"token": ["0::8"]},
+            "codec": {f"@{word}": {"barcode": [word]} for word in panel},
+        },
+    }
+    outputs = {}
+    for fidelity, wire in (("strict", None), ("hybrid", "2")):
+        job = dict(config)
+        out = tmp_path / f"out_{fidelity}.sam"
+        job["output"] = [str(out)]
+        config_path = tmp_path / f"job_{fidelity}.json"
+        config_path.write_text(json.dumps(job))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PHENIQS_TRACE"] = "1"
+        if wire:
+            env["PHENIQS_QUAL_WIRE"] = wire
+        result = subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config", str(config_path), "--precision", "15",
+                "--fidelity", fidelity, "--batch-size", "256",
+            ],
+            cwd=str(tmp_path), env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-3000:]
+        outputs[fidelity] = decisions(out.read_text())
+        if fidelity == "hybrid":
+            assert "quality wire: 2-bit codebook [2, 12, 23, 37]" in (
+                result.stderr
+            ), result.stderr[-2000:]
     assert outputs["strict"] == outputs["hybrid"]
 
 
