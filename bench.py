@@ -47,7 +47,52 @@ BATCH = int(os.environ.get("PHENIQS_BENCH_BATCH", 1 << 17))
 BENCH_DIR = os.environ.get("PHENIQS_BENCH_DIR", "/tmp/pheniqs_bench")
 
 
+def _probe_accelerator() -> str:
+    """Return the platform the benchmark will run on.
+
+    The tunneled axon TPU occasionally goes unavailable (backend init
+    raises, or hangs past any useful deadline). Probing in a subprocess
+    keeps a hung tunnel from wedging the benchmark itself; on failure the
+    benchmark still runs — on the CPU backend, honestly labelled — so an
+    unattended driver run records a number instead of a stack trace.
+    """
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; print(jax.devices()[0].platform)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("PHENIQS_BENCH_PROBE_TIMEOUT", 240)),
+            env=os.environ.copy(),
+        )
+    except subprocess.TimeoutExpired:
+        return ""
+    out = probe.stdout.strip().splitlines()
+    platform = out[-1] if out else ""
+    if probe.returncode == 0 and platform:
+        return platform
+    return ""
+
+
 def main_e2e():
+    try:
+        platform = _probe_accelerator()
+    except Exception:
+        platform = ""
+    if not platform or platform == "cpu":
+        # accelerator unreachable: run on CPU and say so in the record
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu_fallback_accelerator_unavailable"
+
     from pheniqs_tpu.benchmark import run_e2e, synthesize_fastq_input
 
     paths = synthesize_fastq_input(os.path.join(BENCH_DIR, "main"), E2E_READS)
@@ -112,6 +157,7 @@ def main_e2e():
                 ),
                 "threads": THREADS,
                 "batch": BATCH,
+                "platform": platform,
             }
         )
     )
