@@ -844,6 +844,10 @@ class StreamedDeviceEngine(DeviceEngine):
     its CPU pipeline (reference transcode.cpp:1776-1795).
     """
 
+    # statistics are parent-owned (device counters + oracle rows): ship
+    # workers only the arrays render consumes (engine/stream.py)
+    _payload_fields = ("decoded", "confidence", "qcfail")
+
     def __init__(self, ontology: dict, hybrid: bool = False, workers: int = 2):
         super().__init__(ontology, hybrid=hybrid)
         self.workers = workers

@@ -67,6 +67,11 @@ _RESULT_FIELDS = (
     "argmax",
 )
 
+#: device modes own statistics in the parent (device counters + oracle
+#: rows), so workers only need what render consumes — the engine opts in
+#: via its `_payload_fields` attribute
+_RENDER_RESULT_FIELDS = ("decoded", "confidence", "qcfail")
+
 
 class _BufferSink:
     """File-like over the capture buffer (for worker-side BGZF writers)."""
@@ -185,6 +190,16 @@ def _apply_decisions(engine: StrictEngine, batch, payloads):
     observation gathers locally) and render."""
     results = []
     for runtime, payload in zip(engine.iter_runtimes(), payloads):
+        if "edit_distance" not in payload:
+            # render-only payload (_RENDER_RESULT_FIELDS): statistics live
+            # with the parent, so the bookkeeping arrays are synthesized
+            decoded = payload["decoded"]
+            payload = dict(
+                payload,
+                edit_distance=np.zeros_like(decoded),
+                branch=np.zeros(decoded.shape[0], dtype=np.int8),
+                argmax=decoded,
+            )
         result = ClassifyResult(**payload)
         if (
             runtime.spec.rule is not None
@@ -628,8 +643,9 @@ class StreamRunner:
 
     def submit(self, batch, results: list[ClassifyResult]):
         index = batch.raw_index
+        fields = getattr(self.engine, "_payload_fields", _RESULT_FIELDS)
         payloads = [
-            {field: getattr(result, field) for field in _RESULT_FIELDS}
+            {field: getattr(result, field) for field in fields}
             for result in results
         ]
         try:
@@ -781,6 +797,18 @@ class StreamRunner:
                     next_write += 1
         except Exception as error:  # surfaced by finish()
             self._writer_error.append(error)
+            # keep draining the bounded queue: otherwise the collector
+            # blocks forever in _chunk_queue.put and finish() hangs on
+            # its join instead of raising the stored error
+            while True:
+                item = self._chunk_queue.get()
+                if item is None:
+                    break
+                _, chunk = item
+                if isinstance(chunk, dict) and "__shm_chunk__" in chunk:
+                    from .shm import unlink_leftover
+
+                    unlink_leftover(chunk["__shm_chunk__"])
 
     def _raise_worker_failure(self):
         if self._worker_failure is None:

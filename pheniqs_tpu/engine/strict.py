@@ -675,19 +675,17 @@ class StrictEngine:
             )
             cellular_results.append((runtime, result, tags))
 
-        # --- combined confidences and distances (reference read.h:279-348)
+        # --- combined confidences (reference read.h:279-348; the read
+        # model's combined distances feed only the accumulators, which
+        # record() owns — tags carry confidences alone)
         sample_conf = np.ones(n, dtype=np.float64)
-        sample_dist = np.zeros(n, dtype=np.int64)
-        if sample_result is not None and self.sample.spec.algorithm in (
-            "pamld",
-            "mdd",
+        if (
+            sample_result is not None
+            and self.sample.spec.algorithm == "pamld"
         ):
-            if self.sample.spec.algorithm == "pamld":
-                sample_conf = sample_result.confidence.copy()
-            sample_dist += sample_result.edit_distance
+            sample_conf = sample_result.confidence.copy()
 
         molecular_conf = np.ones(n, dtype=np.float64)
-        molecular_dist = np.zeros(n, dtype=np.int64)
         for runtime, result, _ in molecular_results:
             if runtime.spec.algorithm == "pamld":
                 classified = result.decoded > 0
@@ -700,12 +698,8 @@ class StrictEngine:
                     ),
                     0.0,
                 )
-                molecular_dist = np.where(
-                    classified, molecular_dist + result.edit_distance, 0
-                )
 
         cellular_conf = np.ones(n, dtype=np.float64)
-        cellular_dist = np.zeros(n, dtype=np.int64)
         for runtime, result, _ in cellular_results:
             classified = result.decoded > 0
             if runtime.spec.algorithm == "pamld":
@@ -718,9 +712,6 @@ class StrictEngine:
                     ),
                     0.0,
                 )
-            cellular_dist = np.where(
-                classified, cellular_dist + result.edit_distance, 0
-            )
 
         # --- channel routing
         if self.multiplexing is not None:

@@ -725,9 +725,16 @@ class CramWriter:
                     vals = values[start:stop]
                     if isinstance(vals, np.ndarray):
                         length = vals.shape[1] + 1  # + NUL
-                        block = np.zeros((n, 1 + length), np.uint8)
-                        block[:, 0] = length  # itf8, length < 128
-                        block[:, 1:-1] = vals
+                        # every row shares one length, so its ITF-8
+                        # encoding (1 byte below 128, more above) is a
+                        # constant prefix column block
+                        prefix = np.frombuffer(
+                            itf8_put(length), dtype=np.uint8
+                        )
+                        p = prefix.shape[0]
+                        block = np.zeros((n, p + length), np.uint8)
+                        block[:, :p] = prefix
+                        block[:, p:-1] = vals
                         streams[cid] = block.tobytes()
                     else:
                         parts = bytearray()
@@ -1645,11 +1652,19 @@ def _decode_tag_value(kind: str, raw: bytes):
 def read_cram_header(path: str):
     """(header_text, [(reference_name, reference_length)]) of a CRAM."""
     with open(path, "rb") as stream:
-        buf = stream.read(1 << 20)
-    if buf[:4] != CRAM_MAGIC:
-        raise IOError_(f"{path} is not a CRAM file")
-    offset = 26
-    _ref, _n, _blocks, _length, offset = _parse_container_header(buf, offset)
+        buf = stream.read(1 << 16)
+        if buf[:4] != CRAM_MAGIC:
+            raise IOError_(f"{path} is not a CRAM file")
+        offset = 26
+        _ref, _n, _blocks, length, offset = _parse_container_header(
+            buf, offset
+        )
+        # the SAM-header container can exceed any fixed probe size
+        # (draft genomes carry multi-MB @SQ dictionaries): read exactly
+        # through its payload
+        need = offset + length
+        if len(buf) < need:
+            buf += stream.read(need - len(buf))
     content_type, _, raw, _ = read_block(buf, offset)
     if content_type != FILE_HEADER:
         raise IOError_("CRAM: first block is not the SAM header")

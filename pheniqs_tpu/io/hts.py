@@ -32,6 +32,26 @@ BGZF_BLOCK = 0xFF00
 
 UNMAPPED_BIN = 4680
 
+#: CIGAR ops that consume reference bases (SAM spec table in section 1.4)
+_REF_CONSUMING_OPS = frozenset("MDN=X")
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """SAM spec section 5.3: the smallest UCSC binning-scheme bin fully
+    containing the zero-based half-open interval [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
 
 def _deflate_block(payload: bytes, level: int) -> bytes:
     """Compress one payload into a complete standalone BGZF block."""
@@ -159,6 +179,17 @@ class BamWriter:
             struct.pack("<I", (length << 4) | CIGAR_OPS.index(op))
             for op, length in cigar
         )
+        if record.ref_id >= 0 and record.pos >= 0 and not (record.flag & 4):
+            # mapped: bin must be reg2bin of the reference span (SAM spec
+            # section 4.2.1; indexers and validators check it)
+            span = sum(
+                length
+                for op, length in cigar
+                if op in _REF_CONSUMING_OPS
+            )
+            record_bin = reg2bin(record.pos, record.pos + max(span, 1))
+        else:
+            record_bin = UNMAPPED_BIN
         body = (
             struct.pack(
                 "<iiBBHHHiiii",
@@ -166,7 +197,7 @@ class BamWriter:
                 record.pos,
                 len(raw_name),
                 record.mapq,
-                UNMAPPED_BIN,
+                record_bin,
                 len(cigar),
                 record.flag,
                 l_seq,

@@ -574,18 +574,22 @@ void pq_bam_close(void* handle) {
 
 // 256-entry LUT: one packed seq byte -> its two 4-bit codes, written as
 // one 16-bit store (hi nibble first, matching BAM base order)
-static const uint16_t* bam_nibble_lut() {
-    static uint16_t lut[256];
-    static bool ready = false;
-    if (!ready) {
+struct BamNibbleLut {
+    uint16_t lut[256];
+    BamNibbleLut() {
         for (int b = 0; b < 256; ++b) {
             uint8_t pair[2] = { static_cast<uint8_t>(b >> 4),
                                 static_cast<uint8_t>(b & 0xF) };
             std::memcpy(&lut[b], pair, 2);
         }
-        ready = true;
     }
-    return lut;
+};
+
+static const uint16_t* bam_nibble_lut() {
+    // magic-static init: thread-safe when BAM feeds parse concurrently
+    // (io/ingest.py uses a thread pool for 2+ input URLs)
+    static const BamNibbleLut table;
+    return table.lut;
 }
 
 // Emit one raw record body (parsed IN PLACE from the decompressed

@@ -6,6 +6,17 @@ live in NumPy arrays indexed by barcode (row 0 = unclassified), batch
 updates use order-preserving `np.add.at` so double sums replicate the
 serial `+=` ordering bit for bit, and cross-chip/cross-host merging is a
 plain elementwise sum (allreduce-friendly: every field is a sum).
+
+Precision note: the strict engine feeds these accumulators f64 values and
+reproduces the reference's report doubles exactly (golden-gated). The
+device engines instead merge per-batch counter deltas computed ON DEVICE
+(device/step.py counter_layout): counts are exact (small integers in f32
+stay exact far beyond any batch size), but per-barcode confidence sums
+accumulate within a batch in f32 before the host widens to f64 — so
+`average classified confidence` style report fields in fast/hybrid modes
+can differ from strict in low-order digits (~1e-6 relative per batch)
+even though every DECISION is strict-identical under hybrid. Tests pin
+count-level exactness across engines (tests/test_hybrid.py).
 """
 
 from __future__ import annotations

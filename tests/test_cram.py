@@ -553,3 +553,69 @@ def test_flush_simple_byte_identical_to_general(tmp_path):
     fast = build(False)
     general = build(True)
     assert fast == general
+
+
+def test_long_z_tag_batch_write_uses_multibyte_itf8(tmp_path):
+    """A Z-tag column 127+ chars wide needs a 2-byte ITF-8 length prefix;
+    the single-byte fast path would emit a high-bit byte that mis-frames
+    every later value in the slice (regression: round-3 review)."""
+    import io
+
+    n = 64
+    w = 150  # value length 151 incl. NUL -> 2-byte ITF-8
+    rng = np.random.default_rng(5)
+    codes = np.array([1, 2, 4, 8], dtype=np.uint8)[
+        rng.integers(4, size=(n, 36))
+    ]
+    quals = rng.integers(2, 42, size=(n, 36)).astype(np.uint8)
+    lengths = np.full(n, 36, dtype=np.int64)
+    names = [b"r%05d" % i for i in range(n)]
+    flags = np.full(n, 0x4D, dtype=np.int64)
+    rg = np.zeros(n, dtype=np.int64)
+    long_vals = np.frombuffer(
+        bytes(((i + j) % 26) + 65 for i in range(n) for j in range(w)),
+        dtype=np.uint8,
+    ).reshape(n, w).copy()
+
+    out = io.BytesIO()
+    writer = CramWriter(out, HEADER, 5)
+    writer.write_batch(
+        names, flags, codes, quals, lengths, rg,
+        [(b"CB", "Z", long_vals)],
+    )
+    writer.close()
+    path = tmp_path / "longz.cram"
+    path.write_bytes(out.getvalue())
+    back = list(read_cram(str(path)))
+    assert len(back) == n
+    for i in (0, 1, n - 1):
+        assert back[i].aux["CB"] == long_vals[i].tobytes().decode()
+
+
+def test_read_cram_header_beyond_probe_size(tmp_path):
+    """SAM headers can exceed any fixed probe (draft genomes carry
+    multi-MB @SQ dictionaries): read_cram_header must read through the
+    whole header container (regression: round-3 review)."""
+    import io
+
+    from pheniqs_tpu.io.cram import read_cram_header
+
+    sq = "".join(
+        f"@SQ\tSN:scaffold_{i:06d}\tLN:{1000 + i}\n" for i in range(4000)
+    )
+    big_header = "@HD\tVN:1.6\tSO:unknown\n" + sq
+    assert len(big_header) > (1 << 16)
+
+    out = io.BytesIO()
+    writer = CramWriter(out, big_header, 5)
+    code = np.array([1, 2, 4, 8], dtype=np.uint8)
+    writer.write_record("r0", 0x4, code, np.full(4, 30, np.uint8), 4, AuxTags())
+    writer.close()
+    path = tmp_path / "bigheader.cram"
+    path.write_bytes(out.getvalue())
+
+    text, references = read_cram_header(str(path))
+    assert text == big_header
+    assert len(references) == 4000
+    assert references[0] == ("scaffold_000000", 1000)
+    assert references[-1] == ("scaffold_003999", 4999)

@@ -148,3 +148,61 @@ def test_fastq_output_comment(reference_root, tmp_path):
     assert segment == "1" and fail in "YN" and control == "0"
     assert set(barcode) <= set("ACGTN=")
     assert set(lines[1]) <= set("ACGTN=")
+
+
+def test_reg2bin_matches_spec():
+    """SAM spec section 5.3 interval bins (hand-computed vectors)."""
+    from pheniqs_tpu.io.hts import reg2bin
+
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin((1 << 14) - 1, (1 << 14) + 1) == 585
+    assert reg2bin(1 << 26, (1 << 26) + 100) == 4681 + (1 << 12)
+    assert reg2bin(0, 1 << 28) == 0
+    assert reg2bin(9999, 10000 + 36) == 4681  # a 36bp read at pos 9999
+
+
+def test_mapped_bam_record_bin_field(tmp_path):
+    """write_hts_record must store reg2bin(pos, end) for mapped records
+    (validators and region indexes check it), UNMAPPED_BIN otherwise
+    (regression: round-3 review)."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    from pheniqs_tpu.io.hts import BamWriter, HtsRecord, reg2bin
+
+    header = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n"
+    code = np.array([1, 2, 4, 8] * 9, dtype=np.uint8)
+    qual = np.full(36, 30, dtype=np.uint8)
+    mapped = HtsRecord(
+        b"m0", 0, code, qual, {}, ref_id=0, pos=9999, mapq=37,
+        cigar=[("S", 4), ("M", 20), ("D", 5), ("M", 12)],
+    )
+    unmapped = HtsRecord(b"u0", 0x4, code, qual, {})
+    path = tmp_path / "bins.bam"
+    with open(path, "wb") as stream:
+        writer = BamWriter(stream, header, references=[("chr1", 100000)])
+        writer.write_hts_record(mapped)
+        writer.write_hts_record(unmapped)
+        writer.close()
+
+    raw = gzip.decompress(path.read_bytes())
+    assert raw[:4] == b"BAM\x01"
+    (l_text,) = struct.unpack_from("<i", raw, 4)
+    offset = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", raw, offset)
+    offset += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", raw, offset)
+        offset += 4 + l_name + 4
+    bins = []
+    for _ in range(2):
+        (block_size,) = struct.unpack_from("<i", raw, offset)
+        (bin_mq_nl,) = struct.unpack_from("<I", raw, offset + 4 + 8)
+        bins.append(bin_mq_nl >> 16)
+        offset += 4 + block_size
+    # reference span: 20 M + 5 D + 12 M = 37 bases from pos 9999
+    assert bins[0] == reg2bin(9999, 9999 + 37)
+    assert bins[1] == 4680
