@@ -63,6 +63,23 @@ def aot_cache_dir() -> str | None:
     return os.path.join(base, "aot")
 
 
+def _cpu_fingerprint() -> str:
+    """The host CPU's identity as XLA:CPU sees it: ISA feature flags (the
+    machine attributes baked into AOT artifacts) plus the arch."""
+    import platform as platform_mod
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as stream:
+            for line in stream:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return platform_mod.machine() + "|" + flags
+
+
 def semantic_key(fn, specs_tree) -> str:
     """Source-location-independent key for ``fn`` at the given abstract
     inputs: jaxpr structure + closed-over constant bytes + platform."""
@@ -71,7 +88,14 @@ def semantic_key(fn, specs_tree) -> str:
     closed = jax.make_jaxpr(fn)(specs_tree)
     digest = hashlib.sha256()
     digest.update(jax.__version__.encode())
-    digest.update(jax.default_backend().encode())
+    backend = jax.default_backend()
+    digest.update(backend.encode())
+    if backend == "cpu":
+        # XLA:CPU AOT artifacts bake the compile machine's feature set
+        # (avx512 etc.); loading one on a host with different features
+        # logs loudly and can SIGILL — key on a host fingerprint so a
+        # moved cache recompiles instead
+        digest.update(_cpu_fingerprint().encode())
     leaves, treedef = jax.tree.flatten(specs_tree)
     digest.update(str(treedef).encode())
     for leaf in leaves:
