@@ -95,6 +95,18 @@ class OutputFeed:
         elif self.stream is not None:
             self.stream.write(payload)
 
+    def write_records(self, payload):
+        """Write a pre-formatted record arena in this feed's RECORD
+        encoding: SAM/FASTQ text goes to the (possibly compressing)
+        stream; BAM record streams route through the container's BGZF
+        compressor (the columnar render path)."""
+        if self.stream is None:
+            return
+        if self.format == "bam" and self.bam is not None:
+            self.bam.bgzf.write(payload)
+        else:
+            self.stream.write(payload)
+
     def emit(self, name, flag, code, quality, length, tags, segment_index):
         """Write one output segment in this feed's format."""
         if self.stream is None:

@@ -143,6 +143,17 @@ class WorkerFeed:
             # immutable bytes), consumed by take() within the same task
             self.chunks.append(payload)
 
+    def write_records(self, payload):
+        """Columnar record arena in this feed's record encoding (see
+        OutputFeed.write_records): BAM arenas compress through the local
+        headerless BGZF writer."""
+        if self._devnull:
+            return
+        if self.format == "bam" and self.bam is not None:
+            self.bam.bgzf.write(payload)
+        else:
+            self.write(payload)
+
     def flush(self):
         pass
 

@@ -818,15 +818,17 @@ class StrictEngine:
         return virtual
 
     def _native_mode(self):
-        """"sam" / "fastq" when every routed feed shares that format and the
-        native library is loadable (full-native render paths); None
-        otherwise (per-read Python fallback)."""
+        """"sam" / "bam" / "fastq" when every routed feed shares that
+        format and the native library is loadable (full-native render
+        paths); None otherwise (per-read Python fallback)."""
         routed = [c for c in self.channels if c.feeds]
         if not routed:
             return None
         formats = {f.format for c in routed for f in c.feeds}
-        if formats not in ({"sam"}, {"fastq"}):
+        if formats not in ({"sam"}, {"bam"}, {"fastq"}):
             return None
+        if formats == {"bam"} and os.environ.get("PHENIQS_BAM_COLUMNS") == "0":
+            return None  # diagnostic: force the per-record fallback
         from ..native import load as native_load
 
         if native_load() is None:
@@ -1099,11 +1101,19 @@ class StrictEngine:
         return columns
 
     def _route_and_write_columns(
-        self, batch, output_segments, qcfail, channel_index, flags, columns
+        self, batch, output_segments, qcfail, channel_index, flags,
+        columns, container: str = "sam",
     ):
         """Native full-render routing: one formatted arena per output
-        segment, written per feed in global arrival order."""
-        from ..native import ConstColumn, sam_format_full
+        segment (SAM text lines or BAM binary records from the same
+        column material), written per feed in global arrival order."""
+        import struct as struct_mod
+
+        from ..native import ConstColumn, bam_format_full, sam_format_full
+
+        format_full = (
+            bam_format_full if container == "bam" else sam_format_full
+        )
 
         n = batch.size
         cardinality = len(output_segments)
@@ -1131,11 +1141,18 @@ class StrictEngine:
             segment = output_segments[s]
             segment_columns = columns
             if cardinality > 2:
-                segment_columns = [
-                    ConstColumn(f"FI:i:{s + 1}\tTC:i:{cardinality}".encode())
-                ] + columns
+                if container == "bam":
+                    # pre-encoded binary aux (encode_bam_aux order:
+                    # FI before TC, both only when TC > 2)
+                    const = (
+                        b"FIi" + struct_mod.pack("<i", s + 1)
+                        + b"TCi" + struct_mod.pack("<i", cardinality)
+                    )
+                else:
+                    const = f"FI:i:{s + 1}\tTC:i:{cardinality}".encode()
+                segment_columns = [ConstColumn(const)] + columns
             arenas.append(
-                sam_format_full(
+                format_full(
                     names_blob,
                     name_offsets,
                     np.full(n, flags[s], dtype=np.int32) | fail_flags,
@@ -1188,7 +1205,7 @@ class StrictEngine:
                     piece_len,
                 )
                 if payload is not None and len(payload):
-                    feed.write(payload)
+                    feed.write_records(payload)
                 continue
             pieces = []
             for i in rows:
@@ -1199,7 +1216,7 @@ class StrictEngine:
                     arena, offsets = arenas[s]
                     pieces.append(arena[offsets[i] : offsets[i + 1]])
             if pieces:
-                feed.write(b"".join(pieces))
+                feed.write_records(b"".join(pieces))
 
     def _route_and_write_fastq(
         self, batch, output_segments, qcfail, channel_index, bc_span
@@ -1321,7 +1338,7 @@ class StrictEngine:
             flags.append(flag)
 
         mode = self._native_mode()
-        if mode == "sam":
+        if mode in ("sam", "bam"):
             columns = self._tag_columns(
                 n,
                 sample_result,
@@ -1332,7 +1349,8 @@ class StrictEngine:
                 cellular_conf,
             )
             self._route_and_write_columns(
-                batch, output_segments, qcfail, channel_index, flags, columns
+                batch, output_segments, qcfail, channel_index, flags,
+                columns, container=mode,
             )
             return
         if mode == "fastq":

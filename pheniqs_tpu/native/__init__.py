@@ -167,6 +167,8 @@ def load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pq_bam_format_full.restype = ctypes.c_int64
+        lib.pq_bam_format_full.argtypes = lib.pq_sam_format_full.argtypes
         lib.pq_sam_format_batch.restype = ctypes.c_int64
         lib.pq_sam_format_batch.argtypes = [
             ctypes.c_int32,
@@ -630,6 +632,49 @@ def sam_format_full(
     lib = load()
     if lib is None:
         return None
+    return _format_full(
+        lib.pq_sam_format_full,
+        names_blob, name_offsets, flags, code, quality, length,
+        phred_offset, columns,
+    )
+
+
+def bam_format_full(
+    names_blob: bytes,
+    name_offsets: np.ndarray,
+    flags: np.ndarray,
+    code: np.ndarray,
+    quality: np.ndarray,
+    length: np.ndarray,
+    phred_offset: int,
+    columns: list,
+):
+    """Format N BAM records (uncompressed record stream) from the same
+    column material as `sam_format_full`; span columns must carry the
+    two tag chars in their prefix (e.g. b"RG:Z:") and const columns must
+    hold PRE-ENCODED binary aux bytes. Returns (arena, record_offsets)
+    or None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    return _format_full(
+        lib.pq_bam_format_full,
+        names_blob, name_offsets, flags, code, quality, length,
+        phred_offset, columns,
+    )
+
+
+def _format_full(
+    fn,
+    names_blob: bytes,
+    name_offsets: np.ndarray,
+    flags: np.ndarray,
+    code: np.ndarray,
+    quality: np.ndarray,
+    length: np.ndarray,
+    phred_offset: int,
+    columns: list,
+):
     n = int(flags.shape[0])
     k = len(columns)
     width = code.shape[1] if code.ndim == 2 else 0
@@ -690,7 +735,7 @@ def sam_format_full(
     capacity = len(names_blob) + span_payload + n * (40 + 2 * max(width, 1))
     while True:
         arena, out = _scratch(capacity)
-        used = lib.pq_sam_format_full(
+        used = fn(
             n,
             names_blob,
             name_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -1142,6 +1142,137 @@ int64_t pq_sam_format_full(
     return cursor - out;
 }
 
+// Format a batch of BAM records (the uncompressed record stream, each
+// prefixed with its block_size) from the same tag-column material as
+// pq_sam_format_full: span columns become Z tags (tag chars = first two
+// prefix bytes, value NUL-terminated), float columns become 'f' tags
+// (raw little-endian float32), const columns are pre-encoded binary aux
+// bytes copied verbatim (per-segment FI/TC). Demultiplexed reads are
+// unaligned by definition (reference read.h:28-139), so the placement
+// fields are the unmapped constants — matching BamWriter.write_record
+// byte for byte so the columnar and per-record paths are
+// interchangeable. Returns bytes written, or -(bytes required).
+int64_t pq_bam_format_full(
+    int32_t n,
+    const char* names,
+    const int64_t* name_offset,
+    const int32_t* flag,
+    const uint8_t* code,
+    const uint8_t* qual,
+    const int32_t* length,
+    int32_t width,
+    int32_t phred_offset,  // unused (BAM stores raw phred); kept for ABI symmetry
+    int32_t n_columns,
+    const uint8_t* kinds,
+    const char* const* prefixes,
+    const int32_t* prefix_lens,
+    const char* const* buffers,
+    const int64_t* const* starts,
+    const int32_t* const* lens,
+    const float* const* floats,
+    const uint8_t* const* masks,
+    char* out,
+    int64_t out_capacity,
+    int64_t* record_offset
+) {
+    (void)phred_offset;
+    int64_t required = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        int32_t l = length[r] > width ? width : length[r];
+        if (l < 0) l = 0;
+        required += 36 + (name_offset[r + 1] - name_offset[r]) + 1
+                  + (l + 1) / 2 + l;
+    }
+    for (int32_t k = 0; k < n_columns; ++k) {
+        if (kinds[k] == 0) {
+            for (int32_t r = 0; r < n; ++r) {
+                if (lens[k][r] > 0) required += 4 + lens[k][r];
+            }
+        } else if (kinds[k] == 1) {
+            required += static_cast<int64_t>(n) * 7;
+        } else {
+            required += static_cast<int64_t>(n) * prefix_lens[k];
+        }
+    }
+    if (required > out_capacity) return -required;
+
+    char* cursor = out;
+    record_offset[0] = 0;
+    const uint16_t unmapped_bin = 4680;
+    for (int32_t r = 0; r < n; ++r) {
+        char* block_start = cursor;
+        cursor += 4;  // block_size, backfilled below
+        int32_t minus_one = -1;
+        std::memcpy(cursor, &minus_one, 4); cursor += 4;  // refID
+        std::memcpy(cursor, &minus_one, 4); cursor += 4;  // pos
+        int64_t name_length = name_offset[r + 1] - name_offset[r];
+        *cursor++ = static_cast<char>(name_length + 1);   // l_read_name
+        *cursor++ = 0;                                    // mapq
+        std::memcpy(cursor, &unmapped_bin, 2); cursor += 2;
+        uint16_t n_cigar = 0;
+        std::memcpy(cursor, &n_cigar, 2); cursor += 2;
+        uint16_t flag16 = static_cast<uint16_t>(flag[r]);
+        std::memcpy(cursor, &flag16, 2); cursor += 2;
+        int32_t l = length[r] > width ? width : length[r];
+        if (l < 0) l = 0;
+        std::memcpy(cursor, &l, 4); cursor += 4;          // l_seq
+        std::memcpy(cursor, &minus_one, 4); cursor += 4;  // next_refID
+        std::memcpy(cursor, &minus_one, 4); cursor += 4;  // next_pos
+        int32_t zero = 0;
+        std::memcpy(cursor, &zero, 4); cursor += 4;       // tlen
+        std::memcpy(cursor, names + name_offset[r], name_length);
+        cursor += name_length;
+        *cursor++ = 0;
+        const uint8_t* code_row = code + static_cast<int64_t>(r) * width;
+        const uint8_t* qual_row = qual + static_cast<int64_t>(r) * width;
+        for (int32_t i = 0; i + 1 < l; i += 2) {
+            *cursor++ = static_cast<char>(
+                ((code_row[i] & 0xF) << 4) | (code_row[i + 1] & 0xF));
+        }
+        if (l & 1) {
+            *cursor++ = static_cast<char>((code_row[l - 1] & 0xF) << 4);
+        }
+        std::memcpy(cursor, qual_row, l);
+        cursor += l;
+        for (int32_t k = 0; k < n_columns; ++k) {
+            switch (kinds[k]) {
+                case 0: {
+                    int32_t span = lens[k][r];
+                    if (span > 0) {
+                        *cursor++ = prefixes[k][0];
+                        *cursor++ = prefixes[k][1];
+                        *cursor++ = 'Z';
+                        std::memcpy(cursor, buffers[k] + starts[k][r], span);
+                        cursor += span;
+                        *cursor++ = 0;
+                    }
+                    break;
+                }
+                case 1: {
+                    if (masks[k][r]) {
+                        *cursor++ = prefixes[k][0];
+                        *cursor++ = prefixes[k][1];
+                        *cursor++ = 'f';
+                        float value = floats[k][r];
+                        std::memcpy(cursor, &value, 4);
+                        cursor += 4;
+                    }
+                    break;
+                }
+                default: {
+                    std::memcpy(cursor, prefixes[k], prefix_lens[k]);
+                    cursor += prefix_lens[k];
+                    break;
+                }
+            }
+        }
+        int32_t block_size = static_cast<int32_t>(cursor - block_start - 4);
+        std::memcpy(block_start, &block_size, 4);
+        record_offset[r + 1] = cursor - out;
+    }
+    return cursor - out;
+}
+
 // Concatenate spans from up to 255 arenas into `out` in piece order.
 // Returns bytes written, or -(bytes required) when capacity is too small.
 int64_t pq_concat_spans(

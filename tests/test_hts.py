@@ -206,3 +206,42 @@ def test_mapped_bam_record_bin_field(tmp_path):
     # reference span: 20 M + 5 D + 12 M = 37 bases from pos 9999
     assert bins[0] == reg2bin(9999, 9999 + 37)
     assert bins[1] == 4680
+
+
+def test_columnar_bam_output_byte_identical_to_per_record(
+    reference_root, tmp_path, monkeypatch
+):
+    """The native columnar BAM render (bam_format_full through
+    _route_and_write_columns) must produce byte-for-byte the per-record
+    AuxTags fallback's output on the BDGGG demux."""
+    import gzip
+    import subprocess
+    import sys
+
+    out = tmp_path / "out.bam"
+
+    def run(env_extra):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.update(env_extra)
+        subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config",
+                os.path.join(reference_root, "test/BDGGG/BDGGG_annotated.json"),
+                "--precision", "15", "--threads", "1",
+                "--output", str(out),
+                "--report", str(tmp_path / "report.json"),
+            ],
+            cwd=str(reference_root),
+            check=True,
+            capture_output=True,
+            env=env,
+        )
+        return gzip.decompress(out.read_bytes())
+
+    columnar = run({})
+    fallback = run({"PHENIQS_BAM_COLUMNS": "0"})
+    assert columnar == fallback
+    assert len(columnar) > 100000
