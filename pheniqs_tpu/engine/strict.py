@@ -825,10 +825,26 @@ class StrictEngine:
         if not routed:
             return None
         formats = {f.format for c in routed for f in c.feeds}
-        if formats not in ({"sam"}, {"bam"}, {"fastq"}):
+        if formats not in ({"sam"}, {"bam"}, {"cram"}, {"fastq"}):
             return None
-        if formats == {"bam"} and os.environ.get("PHENIQS_BAM_COLUMNS") == "0":
+        if (
+            formats in ({"bam"}, {"cram"})
+            and os.environ.get("PHENIQS_BAM_COLUMNS") == "0"
+        ):
             return None  # diagnostic: force the per-record fallback
+        if formats == {"cram"}:
+            # the columnar CRAM route needs real parent-side CramWriters
+            # (worker feeds render per record); all-dev-null runs have no
+            # writers and take the cheap fallback
+            from .feeds import OutputFeed
+
+            if not all(
+                isinstance(f, OutputFeed)
+                for c in routed
+                for f in c.feeds
+            ):
+                return None
+            return "cram"
         from ..native import load as native_load
 
         if native_load() is None:
@@ -1218,6 +1234,207 @@ class StrictEngine:
             if pieces:
                 feed.write_records(b"".join(pieces))
 
+    def _route_and_write_cram(
+        self, batch, output_segments, qcfail, channel_index, flags,
+        columns, sample_decoded=None,
+    ):
+        """Columnar CRAM render: convert the span/float tag columns into
+        CramWriter.write_batch's masked column form (multi-TD slices) and
+        write whole interleaved-record blocks per feed — replacing the
+        per-read AuxTags intake that made `--output x.cram` the slowest
+        output path."""
+        n = batch.size
+        cardinality = len(output_segments)
+        fail_flags = qcfail.astype(np.int64) * FLAG_QCFAIL
+
+        keep = np.zeros(n, dtype=bool)
+        channel_by_index = {}
+        for index, channel in enumerate(self.channels):
+            if not channel.feeds:
+                continue
+            channel_by_index[index] = channel
+            selected = channel_index == index
+            if channel.filter_outgoing_qc_fail:
+                selected = selected & ~qcfail
+            keep |= selected
+        rows = np.flatnonzero(keep)
+        if rows.size == 0:
+            return
+
+        # span/float columns -> (key2, type, full-N values, mask) form;
+        # RG is skipped (it rides the dedicated CRAM RG series)
+        cram_columns = []
+        rg_decoded = None
+        for column in columns:
+            key2 = bytes(column.prefix[:2])
+            typechar = chr(column.prefix[3])
+            if column.kind == 1:
+                cram_columns.append(
+                    (key2, "f", column.values, column.mask.astype(bool))
+                )
+                continue
+            if key2 == b"RG":
+                rg_decoded = column  # table-indexed span column
+                continue
+            lens = column.lens
+            present = lens > 0
+            buffer = column.buffer
+            if isinstance(buffer, np.ndarray):
+                buffer_arr = buffer
+            else:
+                buffer_arr = np.frombuffer(buffer, dtype=np.uint8)
+            present_lens = lens[present]
+            if present_lens.size and (
+                present_lens == present_lens[0]
+            ).all():
+                w = int(present_lens[0])
+                starts = np.where(present, column.starts, 0)
+                matrix = buffer_arr[
+                    starts[:, None] + np.arange(w, dtype=np.int64)[None, :]
+                ]
+                cram_columns.append((key2, typechar, matrix, present))
+            else:
+                values = [
+                    (
+                        buffer_arr[
+                            column.starts[i] : column.starts[i] + lens[i]
+                        ].tobytes()
+                        if present[i]
+                        else b""
+                    )
+                    for i in range(n)
+                ]
+                cram_columns.append((key2, typechar, values, present))
+
+        feed_routes: dict[int, tuple] = {}
+        for index, channel in channel_by_index.items():
+            for s, feed in enumerate(channel.feeds):
+                entry = feed_routes.setdefault(id(feed), (feed, {}))
+                entry[1].setdefault(index, []).append(s)
+
+        names = batch.names
+        flag_arr = np.asarray(flags, dtype=np.int64)
+        for feed, by_channel in feed_routes.values():
+            writer = getattr(feed, "bam", None)
+            if writer is None:
+                continue  # dev-null
+            member = np.isin(
+                channel_index[rows], np.fromiter(by_channel, dtype=np.int64)
+            )
+            feed_rows = rows[member]
+            if feed_rows.size == 0:
+                continue
+            segment_lists = {tuple(v) for v in by_channel.values()}
+            if len(segment_lists) != 1:
+                # mixed per-channel segment subsets on one feed: rare
+                # config; emit per read through the writer's record API
+                for i in feed_rows:
+                    for s in by_channel[int(channel_index[i])]:
+                        self._emit_cram_row(
+                            writer, batch, output_segments, i, s,
+                            int(flag_arr[s] | fail_flags[i]), cram_columns,
+                            rg_decoded, sample_decoded,
+                        )
+                continue
+            segs = list(segment_lists.pop())
+            k = len(segs)
+            r = feed_rows.size
+            rec_names = [names[i] for i in feed_rows for _ in range(k)]
+            rec_flags = (
+                fail_flags[feed_rows][:, None] + flag_arr[segs][None, :]
+            ).reshape(-1)
+            width = max(
+                max(output_segments[s].code.shape[1] for s in segs), 1
+            )
+            rec_codes = np.zeros((r * k, width), dtype=np.uint8)
+            rec_quals = np.zeros((r * k, width), dtype=np.uint8)
+            rec_lens = np.zeros(r * k, dtype=np.int64)
+            for position, s in enumerate(segs):
+                segment = output_segments[s]
+                w = segment.code.shape[1]
+                rec_codes[position::k, :w] = segment.code[feed_rows]
+                rec_quals[position::k, :w] = segment.quality[feed_rows]
+                rec_lens[position::k] = np.clip(
+                    segment.length[feed_rows], 0, w
+                )
+            if rg_decoded is not None and sample_decoded is not None:
+                table_index = self._cram_rg_table(writer, sample_decoded)
+                rec_rg = np.repeat(table_index[feed_rows], k)
+            else:
+                rec_rg = np.full(r * k, -1, dtype=np.int64)
+
+            rec_columns = []
+            if cardinality > 2:
+                rec_columns.append(
+                    (
+                        b"FI", "i",
+                        np.tile(
+                            np.asarray(segs, dtype=np.int32) + 1, r
+                        ),
+                    )
+                )
+                rec_columns.append(
+                    (
+                        b"TC", "i",
+                        np.full(r * k, cardinality, dtype=np.int32),
+                    )
+                )
+            for key2, typechar, values, mask in cram_columns:
+                if isinstance(values, np.ndarray):
+                    rec_values = np.repeat(values[feed_rows], k, axis=0)
+                else:
+                    rec_values = [
+                        values[i] for i in feed_rows for _ in range(k)
+                    ]
+                rec_mask = np.repeat(mask[feed_rows], k)
+                rec_columns.append((key2, typechar, rec_values, rec_mask))
+            writer.write_batch(
+                rec_names, rec_flags, rec_codes, rec_quals, rec_lens,
+                rec_rg, rec_columns,
+            )
+
+    def _cram_rg_table(self, writer, sample_decoded):
+        """decoded sample barcode -> CRAM read-group index, via the
+        writer's header RG registry (row 0 = undetermined)."""
+        table = self.sample.spec.rg_by_barcode_index
+        return np.fromiter(
+            (writer.rg_index.get(name, -1) for name in table),
+            dtype=np.int64,
+            count=len(table),
+        )[sample_decoded]
+
+    def _emit_cram_row(
+        self, writer, batch, output_segments, i, s, flag, cram_columns,
+        rg_decoded, sample_decoded,
+    ):
+        """Single-record fallback for mixed-segment feed routing."""
+        from ..io.sam import AuxTags
+
+        segment = output_segments[s]
+        tags = AuxTags()
+        if rg_decoded is not None and sample_decoded is not None:
+            tags.RG = self.sample.spec.rg_by_barcode_index[
+                int(sample_decoded[i])
+            ]
+        for key2, _typechar, values, mask in cram_columns:
+            if not mask[i]:
+                continue
+            value = (
+                values[i].tobytes()
+                if isinstance(values, np.ndarray)
+                else values[i]
+            )
+            if isinstance(value, bytes):
+                value = value.decode("latin-1")
+            name = key2.decode()
+            if hasattr(tags, name):
+                setattr(tags, name, value)
+        writer.write_record(
+            batch.names[i].decode(), flag, segment.code[i],
+            segment.quality[i],
+            int(min(segment.length[i], segment.code.shape[1])), tags,
+        )
+
     def _route_and_write_fastq(
         self, batch, output_segments, qcfail, channel_index, bc_span
     ):
@@ -1338,7 +1555,7 @@ class StrictEngine:
             flags.append(flag)
 
         mode = self._native_mode()
-        if mode in ("sam", "bam"):
+        if mode in ("sam", "bam", "cram"):
             columns = self._tag_columns(
                 n,
                 sample_result,
@@ -1348,10 +1565,21 @@ class StrictEngine:
                 cellular_results,
                 cellular_conf,
             )
-            self._route_and_write_columns(
-                batch, output_segments, qcfail, channel_index, flags,
-                columns, container=mode,
-            )
+            if mode == "cram":
+                self._route_and_write_cram(
+                    batch, output_segments, qcfail, channel_index, flags,
+                    columns,
+                    sample_decoded=(
+                        sample_result.decoded
+                        if sample_result is not None
+                        else None
+                    ),
+                )
+            else:
+                self._route_and_write_columns(
+                    batch, output_segments, qcfail, channel_index, flags,
+                    columns, container=mode,
+                )
             return
         if mode == "fastq":
             bc_span = None

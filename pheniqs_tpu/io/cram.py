@@ -662,9 +662,14 @@ class CramWriter:
         ``names``: list[bytes] (no NULs); ``flags``/``lengths``/``rg``:
         (N,) int arrays (rg -1 = none); ``codes``/``quals``: (N, W) uint8
         BAM nucleotide codes / Phred scores. ``tag_columns``: list of
-        (key2: bytes, typechar: str, values) applied to every record in
-        order — 'Z' values are a list[bytes] or an (N, L) uint8 matrix,
-        'f' an (N,) float32 array, 'i' an (N,) int32 array.
+        (key2: bytes, typechar: str, values[, mask]) applied in order —
+        'Z' values are a list[bytes] or an (N, L) uint8 matrix, 'f' an
+        (N,) float32 array, 'i' an (N,) int32 array. The optional (N,)
+        bool ``mask`` marks which records carry the tag: records then
+        index one of several TD tag-dictionary lines (one per distinct
+        presence combination, in first-occurrence order), exactly the
+        multi-layout slices the per-record path produces for optional
+        tags.
         """
         if self.pending:
             self.flush()
@@ -675,13 +680,44 @@ class CramWriter:
         codes = np.asarray(codes, dtype=np.uint8)
         quals = np.asarray(quals, dtype=np.uint8)
 
-        td = bytearray()
+        columns = []
+        for column in tag_columns:
+            key2, typechar, values = column[0], column[1], column[2]
+            mask = column[3] if len(column) > 3 else None
+            if mask is not None:
+                mask = np.asarray(mask, dtype=bool)
+                if mask.all():
+                    mask = None
+            columns.append((bytes(key2), typechar, values, mask))
+
+        keys = [key2 + typechar.encode() for key2, typechar, _, _ in columns]
         tag_cids: dict[bytes, int] = {}
-        for key2, typechar, _values in tag_columns:
-            key = bytes(key2) + typechar.encode()
+        for key in keys:
             tag_cids[key] = TAG_CID_BASE + len(tag_cids)
-            td += key
-        td += b"\x00"
+
+        td = bytearray()
+        if all(mask is None for _, _, _, mask in columns):
+            for key in keys:
+                td += key
+            td += b"\x00"
+            tl_all = None  # every record rides line 0
+        else:
+            presence = np.ones((n_total, len(columns)), dtype=bool)
+            for j, (_, _, _, mask) in enumerate(columns):
+                if mask is not None:
+                    presence[:, j] = mask
+            _, first, inverse = np.unique(
+                presence, axis=0, return_index=True, return_inverse=True
+            )
+            order = np.argsort(first, kind="stable")
+            rank = np.empty(order.shape[0], dtype=np.int64)
+            rank[order] = np.arange(order.shape[0])
+            tl_all = rank[inverse.reshape(-1)]
+            for line_of in first[order]:
+                for j, key in enumerate(keys):
+                    if presence[line_of, j]:
+                        td += key
+                td += b"\x00"
 
         cf = itf8_put(CF_QUALITY | CF_DETACHED)
         ns = itf8_put(-1)
@@ -712,18 +748,26 @@ class CramWriter:
             streams[CID["NS"]] = ns * n
             streams[CID["NP"]] = ap * n
             streams[CID["TS"]] = ap * n
-            streams[CID["TL"]] = b"\x00" * n
+            streams[CID["TL"]] = (
+                b"\x00" * n
+                if tl_all is None
+                else itf8_vec(tl_all[start:stop])
+            )
             streams[CID["BA"]] = BAM_TO_ASCII[
                 codes[start:stop] & 0xF
             ][mask].tobytes()
             streams[CID["QS"]] = quals[start:stop][mask].tobytes()
 
-            for key2, typechar, values in tag_columns:
-                key = bytes(key2) + typechar.encode()
+            for key2, typechar, values, tag_mask in columns:
+                key = key2 + typechar.encode()
                 cid = tag_cids[key]
+                sel = tag_mask[start:stop] if tag_mask is not None else None
                 if typechar == "Z":
                     vals = values[start:stop]
                     if isinstance(vals, np.ndarray):
+                        if sel is not None:
+                            vals = vals[sel]
+                        rows = vals.shape[0]
                         length = vals.shape[1] + 1  # + NUL
                         # every row shares one length, so its ITF-8
                         # encoding (1 byte below 128, more above) is a
@@ -732,24 +776,33 @@ class CramWriter:
                             itf8_put(length), dtype=np.uint8
                         )
                         p = prefix.shape[0]
-                        block = np.zeros((n, p + length), np.uint8)
+                        block = np.zeros((rows, p + length), np.uint8)
                         block[:, :p] = prefix
                         block[:, p:-1] = vals
                         streams[cid] = block.tobytes()
                     else:
                         parts = bytearray()
-                        for value in vals:
+                        if sel is None:
+                            present = range(len(vals))
+                        else:
+                            present = np.flatnonzero(sel)
+                        for row in present:
+                            value = vals[row]
                             parts += itf8_put(len(value) + 1)
                             parts += value
                             parts += b"\x00"
                         streams[cid] = bytes(parts)
                 elif typechar in "if":
                     dtype = np.int32 if typechar == "i" else np.float32
-                    block = np.zeros((n, 5), np.uint8)
+                    vals = np.asarray(values[start:stop], dtype=dtype)
+                    if sel is not None:
+                        vals = vals[sel]
+                    rows = vals.shape[0]
+                    block = np.zeros((rows, 5), np.uint8)
                     block[:, 0] = 4
-                    block[:, 1:] = np.ascontiguousarray(
-                        np.asarray(values[start:stop], dtype=dtype)
-                    ).view(np.uint8).reshape(n, 4)
+                    block[:, 1:] = np.ascontiguousarray(vals).view(
+                        np.uint8
+                    ).reshape(rows, 4)
                     streams[cid] = block.tobytes()
                 else:
                     raise UnsupportedError(

@@ -619,3 +619,64 @@ def test_read_cram_header_beyond_probe_size(tmp_path):
     assert len(references) == 4000
     assert references[0] == ("scaffold_000000", 1000)
     assert references[-1] == ("scaffold_003999", 4999)
+
+
+def test_write_batch_masked_tags_byte_identical_to_per_record(tmp_path):
+    """Optional tags (per-column presence masks) must produce the same
+    multi-line TD dictionary and per-record TL indices as the per-record
+    path — byte for byte — and round-trip through the reader."""
+    import io
+
+    n = 4000
+    rng = np.random.default_rng(13)
+    w = 36
+    lengths = np.full(n, w, dtype=np.int64)
+    alphabet = np.array([1, 2, 4, 8], dtype=np.uint8)
+    codes = alphabet[rng.integers(len(alphabet), size=(n, w))]
+    quals = rng.integers(2, 42, size=(n, w)).astype(np.uint8)
+    names = [b"r%06d" % i for i in range(n)]
+    flags = np.full(n, 0x4D, dtype=np.int64)
+    rg = np.zeros(n, dtype=np.int64)
+    bc = np.frombuffer(b"AGGCATG" * n, dtype=np.uint8).reshape(n, 7).copy()
+    xb = (rng.random(n) * 0.5).astype(np.float32)
+    # three layouts: both tags, only BC, neither
+    has_bc = (np.arange(n) % 3) != 2
+    has_xb = (np.arange(n) % 3) == 0
+
+    ref = io.BytesIO()
+    writer = CramWriter(ref, HEADER, 5)
+    for i in range(n):
+        tags = AuxTags()
+        tags.RG = "BDGGG:1:AGGCATG"
+        if has_bc[i]:
+            tags.BC = "AGGCATG"
+        if has_xb[i]:
+            tags.XB = float(xb[i])
+        writer.write_record(
+            names[i].decode(), int(flags[i]), codes[i], quals[i],
+            int(lengths[i]), tags,
+        )
+    writer.close()
+
+    got = io.BytesIO()
+    writer = CramWriter(got, HEADER, 5)
+    writer.write_batch(
+        names, flags, codes, quals, lengths, rg,
+        [
+            (b"BC", "Z", bc, has_bc),
+            (b"XB", "f", xb, has_xb),
+        ],
+    )
+    writer.close()
+    assert got.getvalue() == ref.getvalue()
+
+    path = tmp_path / "masked.cram"
+    path.write_bytes(got.getvalue())
+    back = list(read_cram(str(path)))
+    assert len(back) == n
+    for i in (0, 1, 2, 3998, 3999):
+        aux = back[i].aux
+        assert ("BC" in aux) == bool(has_bc[i])
+        assert ("XB" in aux) == bool(has_xb[i])
+        if has_xb[i]:
+            assert abs(aux["XB"] - float(xb[i])) < 1e-7
