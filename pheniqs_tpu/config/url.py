@@ -227,7 +227,16 @@ class URL:
         if self.format_type is not None:
             query.append(("format", self.format_type))
             if self.format_type == "sam":
-                query.append(("compression", "none"))
+                compression = self.compression
+                if compression in ("gz", "bgzf"):
+                    # x.sam.gz writes gzip-compressed SAM, as the
+                    # reference does through htslib's 'z' mode
+                    # (reference url.cpp extension inference + hts.cpp)
+                    query.append(("compression", compression))
+                    if self.compression_level is not None:
+                        query.append(("level", self.compression_level))
+                else:
+                    query.append(("compression", "none"))
             elif self.format_type in ("fastq", "bam"):
                 compression = self.compression
                 if compression == "none":

@@ -61,6 +61,12 @@ class OutputFeed:
         if self.stream is not None:
             if self.format == "sam" and header is not None:
                 self.stream.write(header.encode())
+                # a compressing stream buffers: force the header block out
+                # NOW so worker-rendered chunks appended raw by write_raw
+                # land after it, not before
+                flush_block = getattr(self.stream, "flush_block", None)
+                if flush_block is not None:
+                    flush_block()
             elif self.format == "bam":
                 from ..io.hts import BamWriter
 
@@ -71,6 +77,9 @@ class OutputFeed:
                     level,
                     threads=self.compression_threads,
                 )
+                # same ordering rule: the BGZF-buffered BAM header must
+                # reach the file before any worker chunk
+                self.bam.bgzf.flush_block()
             elif self.format == "cram":
                 from ..io.cram import CramWriter
 

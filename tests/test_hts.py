@@ -245,3 +245,62 @@ def test_columnar_bam_output_byte_identical_to_per_record(
     fallback = run({"PHENIQS_BAM_COLUMNS": "0"})
     assert columnar == fallback
     assert len(columnar) > 100000
+
+
+def test_streamed_compressed_outputs_parse_and_match_serial(
+    reference_root, tmp_path
+):
+    """--threads N with --output x.bam / x.sam.gz must produce readable
+    files whose records equal the serial run's (regression: the parent's
+    BGZF-buffered header used to flush AFTER the worker chunks, and the
+    URL model silently dropped .sam.gz compression entirely)."""
+    import gzip
+    import subprocess
+    import sys
+
+    def run(threads, out):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config",
+                os.path.join(reference_root, "test/BDGGG/BDGGG_annotated.json"),
+                "--precision", "15", "--threads", str(threads),
+                "--output", str(out), "--report", "/dev/null",
+            ],
+            cwd=str(reference_root), check=True, capture_output=True, env=env,
+        )
+
+    for suffix, parse in (
+        (
+            "bam",
+            lambda p: [
+                (r.name, r.flag, r.code.tobytes(), sorted(r.aux.items()))
+                for r in read_bam(str(p))
+            ],
+        ),
+        (
+            "sam.gz",
+            lambda p: [
+                line
+                for line in gzip.decompress(p.read_bytes())
+                .decode()
+                .splitlines()
+                if not line.startswith("@")
+            ],
+        ),
+    ):
+        serial = tmp_path / f"serial.{suffix}"
+        streamed = tmp_path / f"streamed.{suffix}"
+        run(1, serial)
+        run(4, streamed)
+        records = parse(streamed)
+        assert records == parse(serial)
+        assert len(records) > 400
+    # the gzip file must lead with the compressed header block
+    raw = (tmp_path / "streamed.sam.gz").read_bytes()
+    assert raw[:2] == b"\x1f\x8b"
+    first = gzip.decompress(raw).decode().splitlines()[0]
+    assert first.startswith("@HD")
