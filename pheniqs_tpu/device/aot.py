@@ -72,7 +72,8 @@ def _cpu_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as stream:
             for line in stream:
-                if line.startswith("flags"):
+                # x86 spells it "flags", aarch64 "Features"
+                if line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:

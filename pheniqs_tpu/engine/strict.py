@@ -1116,6 +1116,33 @@ class StrictEngine:
         )
         return columns
 
+    def _routed_rows(self, qcfail, channel_index):
+        """(rows, channel_by_index): reads surviving channel existence +
+        per-channel outgoing-qcfail filters (shared by every output
+        route)."""
+        n = qcfail.shape[0]
+        keep = np.zeros(n, dtype=bool)
+        channel_by_index = {}
+        for index, channel in enumerate(self.channels):
+            if not channel.feeds:
+                continue
+            channel_by_index[index] = channel
+            selected = channel_index == index
+            if channel.filter_outgoing_qc_fail:
+                selected = selected & ~qcfail
+            keep |= selected
+        return np.flatnonzero(keep), channel_by_index
+
+    @staticmethod
+    def _feed_routes(channel_by_index):
+        """feed -> (feed, {channel index: [segment slots]}) groupings."""
+        routes: dict[int, tuple] = {}
+        for index, channel in channel_by_index.items():
+            for s, feed in enumerate(channel.feeds):
+                entry = routes.setdefault(id(feed), (feed, {}))
+                entry[1].setdefault(index, []).append(s)
+        return routes
+
     def _route_and_write_columns(
         self, batch, output_segments, qcfail, channel_index, flags,
         columns, container: str = "sam",
@@ -1135,17 +1162,7 @@ class StrictEngine:
         cardinality = len(output_segments)
         fail_flags = qcfail.astype(np.int32) * FLAG_QCFAIL
 
-        keep = np.zeros(n, dtype=bool)
-        channel_by_index = {}
-        for index, channel in enumerate(self.channels):
-            if not channel.feeds:
-                continue
-            channel_by_index[index] = channel
-            selected = channel_index == index
-            if channel.filter_outgoing_qc_fail:
-                selected = selected & ~qcfail
-            keep |= selected
-        rows = np.flatnonzero(keep)
+        rows, channel_by_index = self._routed_rows(qcfail, channel_index)
         if rows.size == 0:
             return
 
@@ -1180,11 +1197,7 @@ class StrictEngine:
                 )
             )
 
-        feed_routes: dict[int, tuple] = {}
-        for index, channel in channel_by_index.items():
-            for s, feed in enumerate(channel.feeds):
-                entry = feed_routes.setdefault(id(feed), (feed, {}))
-                entry[1].setdefault(index, []).append(s)
+        feed_routes = self._feed_routes(channel_by_index)
 
         from ..native import concat_spans
 
@@ -1247,17 +1260,7 @@ class StrictEngine:
         cardinality = len(output_segments)
         fail_flags = qcfail.astype(np.int64) * FLAG_QCFAIL
 
-        keep = np.zeros(n, dtype=bool)
-        channel_by_index = {}
-        for index, channel in enumerate(self.channels):
-            if not channel.feeds:
-                continue
-            channel_by_index[index] = channel
-            selected = channel_index == index
-            if channel.filter_outgoing_qc_fail:
-                selected = selected & ~qcfail
-            keep |= selected
-        rows = np.flatnonzero(keep)
+        rows, channel_by_index = self._routed_rows(qcfail, channel_index)
         if rows.size == 0:
             return
 
@@ -1306,11 +1309,7 @@ class StrictEngine:
                 ]
                 cram_columns.append((key2, typechar, values, present))
 
-        feed_routes: dict[int, tuple] = {}
-        for index, channel in channel_by_index.items():
-            for s, feed in enumerate(channel.feeds):
-                entry = feed_routes.setdefault(id(feed), (feed, {}))
-                entry[1].setdefault(index, []).append(s)
+        feed_routes = self._feed_routes(channel_by_index)
 
         names = batch.names
         flag_arr = np.asarray(flags, dtype=np.int64)
@@ -1411,13 +1410,23 @@ class StrictEngine:
         from ..io.sam import AuxTags
 
         segment = output_segments[s]
+        cardinality = len(output_segments)
         tags = AuxTags()
+        if cardinality > 2:
+            tags.FI = s + 1
+            tags.TC = cardinality
         if rg_decoded is not None and sample_decoded is not None:
             tags.RG = self.sample.spec.rg_by_barcode_index[
                 int(sample_decoded[i])
             ]
-        for key2, _typechar, values, mask in cram_columns:
+        for key2, typechar, values, mask in cram_columns:
             if not mask[i]:
+                continue
+            name = key2.decode()
+            if not hasattr(tags, name):
+                continue
+            if typechar == "f":
+                setattr(tags, name, float(values[i]))
                 continue
             value = (
                 values[i].tobytes()
@@ -1426,9 +1435,7 @@ class StrictEngine:
             )
             if isinstance(value, bytes):
                 value = value.decode("latin-1")
-            name = key2.decode()
-            if hasattr(tags, name):
-                setattr(tags, name, value)
+            setattr(tags, name, value)
         writer.write_record(
             batch.names[i].decode(), flag, segment.code[i],
             segment.quality[i],
@@ -1447,17 +1454,7 @@ class StrictEngine:
         platform = str(self.ontology.get("platform", "ILLUMINA"))
         with_comment = platform in ("ILLUMINA", "ELEMENT")
 
-        keep = np.zeros(n, dtype=bool)
-        channel_by_index = {}
-        for index, channel in enumerate(self.channels):
-            if not channel.feeds:
-                continue
-            channel_by_index[index] = channel
-            selected = channel_index == index
-            if channel.filter_outgoing_qc_fail:
-                selected = selected & ~qcfail
-            keep |= selected
-        rows = np.flatnonzero(keep)
+        rows, channel_by_index = self._routed_rows(qcfail, channel_index)
         if rows.size == 0:
             return
 
@@ -1478,11 +1475,7 @@ class StrictEngine:
                 )
             )
 
-        feed_routes: dict[int, tuple] = {}
-        for index, channel in channel_by_index.items():
-            for s, feed in enumerate(channel.feeds):
-                entry = feed_routes.setdefault(id(feed), (feed, {}))
-                entry[1].setdefault(index, []).append(s)
+        feed_routes = self._feed_routes(channel_by_index)
         for feed, by_channel in feed_routes.values():
             segment_lists = {tuple(v) for v in by_channel.values()}
             segs = sorted({s for v in by_channel.values() for s in v})
@@ -1664,18 +1657,7 @@ class StrictEngine:
         cardinality = len(output_segments)
         fail_flags = qcfail.astype(np.int32) * FLAG_QCFAIL
 
-        # per-read keep mask after channel existence + outgoing filters
-        keep = np.zeros(n, dtype=bool)
-        channel_by_index = {}
-        for index, channel in enumerate(self.channels):
-            if not channel.feeds:
-                continue
-            channel_by_index[index] = channel
-            selected = channel_index == index
-            if channel.filter_outgoing_qc_fail:
-                selected = selected & ~qcfail
-            keep |= selected
-        rows = np.flatnonzero(keep)
+        rows, channel_by_index = self._routed_rows(qcfail, channel_index)
         if rows.size == 0:
             return
 

@@ -667,9 +667,11 @@ class CramWriter:
         (N,) float32 array, 'i' an (N,) int32 array. The optional (N,)
         bool ``mask`` marks which records carry the tag: records then
         index one of several TD tag-dictionary lines (one per distinct
-        presence combination, in first-occurrence order), exactly the
-        multi-layout slices the per-record path produces for optional
-        tags.
+        presence combination, in slice-local first-occurrence order),
+        exactly the multi-layout slices the per-record path produces for
+        optional tags. Byte-identical to the per-record path when call
+        boundaries align with slice boundaries (content-identical
+        otherwise — container framing may differ).
         """
         if self.pending:
             self.flush()
@@ -688,36 +690,49 @@ class CramWriter:
                 mask = np.asarray(mask, dtype=bool)
                 if mask.all():
                     mask = None
+                elif not mask.any():
+                    continue  # never present: no key, no TD entry
             columns.append((bytes(key2), typechar, values, mask))
 
         keys = [key2 + typechar.encode() for key2, typechar, _, _ in columns]
-        tag_cids: dict[bytes, int] = {}
-        for key in keys:
-            tag_cids[key] = TAG_CID_BASE + len(tag_cids)
-
-        td = bytearray()
-        if all(mask is None for _, _, _, mask in columns):
-            for key in keys:
-                td += key
-            td += b"\x00"
-            tl_all = None  # every record rides line 0
-        else:
-            presence = np.ones((n_total, len(columns)), dtype=bool)
+        uniform = all(mask is None for _, _, _, mask in columns)
+        if not uniform:
+            presence_all = np.ones((n_total, len(columns)), dtype=bool)
             for j, (_, _, _, mask) in enumerate(columns):
                 if mask is not None:
-                    presence[:, j] = mask
+                    presence_all[:, j] = mask
+
+        def slice_layout(start: int, stop: int):
+            """(td, tag_cids, tl) for one slice, replicating the
+            per-record path: TD lines in slice-local first-occurrence
+            order, tag CIDs in order of first appearance across lines,
+            and only keys this slice actually carries."""
+            if uniform:
+                td = bytearray()
+                cids: dict[bytes, int] = {}
+                for key in keys:
+                    cids[key] = TAG_CID_BASE + len(cids)
+                    td += key
+                td += b"\x00"
+                return td, cids, None
+            presence = presence_all[start:stop]
             _, first, inverse = np.unique(
                 presence, axis=0, return_index=True, return_inverse=True
             )
             order = np.argsort(first, kind="stable")
             rank = np.empty(order.shape[0], dtype=np.int64)
             rank[order] = np.arange(order.shape[0])
-            tl_all = rank[inverse.reshape(-1)]
+            tl = rank[inverse.reshape(-1)]
+            td = bytearray()
+            cids = {}
             for line_of in first[order]:
                 for j, key in enumerate(keys):
                     if presence[line_of, j]:
                         td += key
+                        if key not in cids:
+                            cids[key] = TAG_CID_BASE + len(cids)
                 td += b"\x00"
+            return td, cids, tl
 
         cf = itf8_put(CF_QUALITY | CF_DETACHED)
         ns = itf8_put(-1)
@@ -748,10 +763,9 @@ class CramWriter:
             streams[CID["NS"]] = ns * n
             streams[CID["NP"]] = ap * n
             streams[CID["TS"]] = ap * n
+            td, tag_cids, tl = slice_layout(start, stop)
             streams[CID["TL"]] = (
-                b"\x00" * n
-                if tl_all is None
-                else itf8_vec(tl_all[start:stop])
+                b"\x00" * n if tl is None else itf8_vec(tl)
             )
             streams[CID["BA"]] = BAM_TO_ASCII[
                 codes[start:stop] & 0xF
@@ -760,7 +774,9 @@ class CramWriter:
 
             for key2, typechar, values, tag_mask in columns:
                 key = key2 + typechar.encode()
-                cid = tag_cids[key]
+                cid = tag_cids.get(key)
+                if cid is None:
+                    continue  # this slice never carries the tag
                 sel = tag_mask[start:stop] if tag_mask is not None else None
                 if typechar == "Z":
                     vals = values[start:stop]

@@ -657,6 +657,16 @@ def bam_format_full(
     lib = load()
     if lib is None:
         return None
+    # BAM stores l_read_name in one byte: a 255+ char name must fail
+    # loudly here (the per-record path's struct.pack('<B') does), not
+    # wrap modulo 256 into a silently corrupt record
+    name_lengths = np.diff(np.asarray(name_offsets, dtype=np.int64))
+    if name_lengths.size and int(name_lengths.max()) > 254:
+        from ..errors import SequenceError
+
+        raise SequenceError(
+            "read name exceeds the BAM 254-character limit"
+        )
     return _format_full(
         lib.pq_bam_format_full,
         names_blob, name_offsets, flags, code, quality, length,

@@ -680,3 +680,34 @@ def test_write_batch_masked_tags_byte_identical_to_per_record(tmp_path):
         assert ("XB" in aux) == bool(has_xb[i])
         if has_xb[i]:
             assert abs(aux["XB"] - float(xb[i])) < 1e-7
+
+
+def test_columnar_cram_demux_byte_identical_to_per_record(
+    reference_root, tmp_path
+):
+    """On a slice-aligned run (250 BDGGG reads = one engine batch = one
+    slice) the columnar CRAM route must reproduce the per-record path's
+    bytes exactly — multi-line TD dictionary, slice-local tag CIDs,
+    per-record TL indices and all."""
+    out = tmp_path / "out.cram"
+
+    def run(env_extra):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env.update(env_extra)
+        subprocess.run(
+            [
+                sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+                "--config",
+                os.path.join(reference_root, "test/BDGGG/BDGGG_annotated.json"),
+                "--precision", "15", "--threads", "1",
+                "--output", str(out), "--report", "/dev/null",
+            ],
+            cwd=str(reference_root), check=True, capture_output=True, env=env,
+        )
+        return out.read_bytes()
+
+    columnar = run({})
+    fallback = run({"PHENIQS_BAM_COLUMNS": "0"})
+    assert columnar == fallback
+    assert len(list(read_cram(str(out)))) == 496
