@@ -711,3 +711,55 @@ def test_columnar_cram_demux_byte_identical_to_per_record(
     fallback = run({"PHENIQS_BAM_COLUMNS": "0"})
     assert columnar == fallback
     assert len(list(read_cram(str(out)))) == 496
+
+
+def test_write_batch_masked_multislice_round_trip(tmp_path):
+    """Random per-column masks across multiple slices (10k records >
+    RECORDS_PER_SLICE): per-slice TD dictionaries must decode every
+    record's tag presence and values exactly, including slices where a
+    layout or a whole tag never occurs."""
+    import io
+
+    n = 10000
+    rng = np.random.default_rng(29)
+    w = 24
+    lengths = np.full(n, w, dtype=np.int64)
+    alphabet = np.array([1, 2, 4, 8], dtype=np.uint8)
+    codes = alphabet[rng.integers(len(alphabet), size=(n, w))]
+    quals = rng.integers(2, 42, size=(n, w)).astype(np.uint8)
+    names = [b"q%06d" % i for i in range(n)]
+    flags = np.full(n, 0x4D, dtype=np.int64)
+    rg = np.full(n, -1, dtype=np.int64)
+    bc = np.frombuffer(b"TGCAGAT" * n, dtype=np.uint8).reshape(n, 7).copy()
+    xb = (rng.random(n) * 0.5 + 0.25).astype(np.float32)
+    fi = rng.integers(1, 4, size=n).astype(np.int32)
+    has_bc = rng.random(n) < 0.8
+    has_xb = rng.random(n) < 0.5
+    # confine XB to the first slice so later slices lack the key entirely
+    has_xb[4096:] = False
+
+    out = io.BytesIO()
+    writer = CramWriter(out, HEADER, 5)
+    writer.write_batch(
+        names, flags, codes, quals, lengths, rg,
+        [
+            (b"FI", "i", fi),
+            (b"BC", "Z", bc, has_bc),
+            (b"XB", "f", xb, has_xb),
+        ],
+    )
+    writer.close()
+    path = tmp_path / "multislice.cram"
+    path.write_bytes(out.getvalue())
+    back = list(read_cram(str(path)))
+    assert len(back) == n
+    check = list(range(0, 40)) + [4095, 4096, 4097, 8191, 8192, n - 1]
+    for i in check:
+        aux = back[i].aux
+        assert aux["FI"] == int(fi[i])
+        assert ("BC" in aux) == bool(has_bc[i])
+        assert ("XB" in aux) == bool(has_xb[i])
+        if has_bc[i]:
+            assert aux["BC"] == "TGCAGAT"
+        if has_xb[i]:
+            assert abs(aux["XB"] - float(xb[i])) < 1e-7
