@@ -98,7 +98,18 @@ class OutputFeed:
     def write_raw(self, payload: bytes):
         """Write bytes already in this feed's on-disk encoding (worker-
         rendered BGZF blocks or text), bypassing any parent-side
-        compressor so the payload is not compressed twice."""
+        compressor so the payload is not compressed twice. CRAM worker
+        chunks are pickled pre-compressed slice parts: the parent's
+        CramWriter stamps them with the file's sequential record counter
+        (io/cram.py CramPartBuilder)."""
+        if self.format == "cram":
+            if self.bam is not None and len(payload):
+                import pickle
+
+                if not isinstance(payload, (bytes, bytearray, memoryview)):
+                    payload = bytes(payload)
+                self.bam.emit_parts(pickle.loads(payload))
+            return
         if self._raw is not None:
             self._raw.write(payload)
         elif self.stream is not None:

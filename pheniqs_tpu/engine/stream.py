@@ -122,11 +122,19 @@ class WorkerFeed:
         # OutputFeed.emit skips when stream is None (dev-null)
         self.stream = None if self._devnull else self
 
-    def initiate(self):
+    def initiate(self, header_text: str | None = None):
         if self._devnull:
             return
         if self.format == "bam":
             self.bam = _HeaderlessBam(_BufferSink(self.buffer))
+        elif self.format == "cram":
+            # same intake surface as the parent's CramWriter, but slices
+            # become pre-compressed parts the parent stamps with the
+            # sequential record counter (io/cram.py CramPartBuilder)
+            from ..io.cram import CramPartBuilder
+
+            level = int(self.url.compression_level or 5)
+            self.bam = CramPartBuilder(header_text or "", level)
         elif self.url.compression in ("gz", "bgzf"):
             from ..io.hts import BgzfWriter
 
@@ -163,6 +171,11 @@ class WorkerFeed:
         OutputFeed.emit(self, name, flag, code, quality, length, tags, segment_index)
 
     def take(self):
+        if self.format == "cram":
+            if self.bam is None:
+                return b""
+            parts = self.bam.take_parts()
+            return pickle.dumps(parts) if parts else b""
         if self.bam is not None:
             self.bam.flush_block()
         if self._bgzf is not None:
@@ -191,8 +204,20 @@ def _build_worker_engine(ontology_blob: bytes) -> StrictEngine:
     }
     for channel in engine.channels:
         channel.feeds = [engine.feeds_by_url[url] for url in channel.output_urls]
+    header_text = None
+    if any(
+        feed.format == "cram" for feed in engine.feeds_by_url.values()
+    ):
+        # CRAM part builders resolve RG indices against the same header
+        # the parent's CramWriter was initiated with (same ontology ->
+        # identical @RG registry)
+        from ..io.sam import SamHeader
+
+        header_text = (
+            SamHeader(ontology, ontology.get("program")).encode().decode()
+        )
     for feed in engine.feeds_by_url.values():
-        feed.initiate()
+        feed.initiate(header_text)
     return engine
 
 

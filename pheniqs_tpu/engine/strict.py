@@ -833,13 +833,12 @@ class StrictEngine:
         ):
             return None  # diagnostic: force the per-record fallback
         if formats == {"cram"}:
-            # the columnar CRAM route needs real parent-side CramWriters
-            # (worker feeds render per record); all-dev-null runs have no
-            # writers and take the cheap fallback
-            from .feeds import OutputFeed
-
-            if not all(
-                isinstance(f, OutputFeed)
+            # the columnar CRAM route needs an initiated CRAM writer per
+            # feed — the parent's CramWriter (serial) or a worker-side
+            # CramPartBuilder (streamed); all-dev-null runs have none and
+            # take the cheap per-record fallback
+            if not any(
+                getattr(f, "bam", None) is not None
                 for c in routed
                 for f in c.feeds
             ):

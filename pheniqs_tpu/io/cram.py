@@ -828,7 +828,6 @@ class CramWriter:
                 streams, tag_cids, td, n,
                 int(l_slice.sum()), False,
             )
-            self.record_counter += n
 
     def write_hts_record(self, record: "HtsRecord"):
         """Full-record intake for BAM->CRAM transcoding: mapped records
@@ -971,7 +970,6 @@ class CramWriter:
         self._emit_slice(
             streams, tag_cids, td, n, int(l_seq.sum()), False
         )
-        self.record_counter += n
 
     def _flush_general(self, records):
         # mixed/mapped slices use the multi-reference layout (slice ref
@@ -1060,12 +1058,25 @@ class CramWriter:
         self._emit_slice(
             streams, tag_cids, td, len(records), base_count, has_mapped
         )
-        self.record_counter += len(records)
 
     def _emit_slice(self, streams, tag_cids, td, n_records, base_count,
                     has_mapped):
         """Compress the per-series byte streams and emit one
         container(compression header + slice) (CRAMv3 §8-9)."""
+        self._emit_built(
+            self._build_slice(
+                streams, tag_cids, td, n_records, base_count, has_mapped
+            )
+        )
+
+    def _build_slice(self, streams, tag_cids, td, n_records, base_count,
+                     has_mapped):
+        """Everything in a slice-container that does NOT depend on the
+        file's sequential record counter: compression header + compressed
+        data blocks. The split lets render workers compress slices in
+        parallel while the single writer stamps counters in raw batch
+        order (_emit_built) — the CRAM analog of the worker-side BGZF
+        chunks the BAM path streams (engine/stream.py WorkerFeed)."""
         # compression header
         preservation = _sized_map(
             [
@@ -1149,6 +1160,22 @@ class CramWriter:
             for cid in external_ids
         ]
         slice_ref = -2 if has_mapped else -1
+        return (
+            slice_ref,
+            n_records,
+            base_count,
+            compression_block,
+            data_blocks,
+            external_ids,
+        )
+
+    def _emit_built(self, part):
+        """Stamp one built slice with the current record counter and write
+        its container; the counter advances by the slice's record count
+        (CRAMv3 §7: both the container header and the slice header carry
+        the absolute record counter, so emission order IS record order)."""
+        (slice_ref, n_records, base_count, compression_block, data_blocks,
+         external_ids) = part
         slice_header = (
             itf8_put(slice_ref)               # -1 unmapped, -2 multi-ref
             + itf8_put(0)                     # alignment start
@@ -1168,11 +1195,61 @@ class CramWriter:
             slice_ref, n_records, base_count, blocks,
             [len(compression_block)],
         )
+        self.record_counter += n_records
+
+    def emit_parts(self, parts):
+        """Write worker-built slice parts (see _build_slice) in order."""
+        for part in parts:
+            self._emit_built(part)
 
     def close(self):
         self.flush()
         self.stream.write(EOF_CONTAINER)
         self.stream.flush()
+
+
+class CramPartBuilder(CramWriter):
+    """Worker-side CramWriter with the same intake surface (write_record /
+    write_batch / flush) that BUILDS compressed slice parts instead of
+    writing containers: the file preamble, the sequential record counters
+    and the EOF container belong to the parent's real CramWriter, which
+    stamps and emits the parts in raw batch order (emit_parts). This is
+    what lets `--output x.cram` ride the multiprocess render pool — the
+    reference gets the same effect from htslib's threaded CRAM codec pool
+    (reference transcode.cpp:1599-1605)."""
+
+    def __init__(self, header_text: str, level: int = 5,
+                 reference: str | None = None):
+        self.parts: list[tuple] = []
+        super().__init__(None, header_text, level=level, reference=reference)
+
+    def _write_file_definition(self):
+        pass  # parent-owned
+
+    def _write_header_container(self, header_text: str):
+        pass  # parent-owned
+
+    def _emit_slice(self, streams, tag_cids, td, n_records, base_count,
+                    has_mapped):
+        self.parts.append(
+            self._build_slice(
+                streams, tag_cids, td, n_records, base_count, has_mapped
+            )
+        )
+
+    def take_parts(self) -> list[tuple]:
+        """Flush pending intake and hand over the built parts: every chunk
+        a worker ships must be self-contained (batches are rendered out of
+        order across workers), so per-record intake slices at chunk
+        boundaries — content-identical to the serial path, container
+        framing may differ; the columnar write_batch path slices
+        identically to serial and stays byte-identical."""
+        self.flush()
+        parts, self.parts = self.parts, []
+        return parts
+
+    def close(self):
+        pass  # nothing owned
 
 
 # --- reader ----------------------------------------------------------------

@@ -93,13 +93,9 @@ class TranscodeJob:
         threads = int(explicit or self.ontology.get("threads") or 1)
         # more workers than cores oversubscribes the host
         threads = min(threads, os_mod.cpu_count() or threads)
-        # render workers stream CRAM containers independently, which would
-        # break the format's sequential record counter — CRAM output stays
-        # on the serial render path
-        cram_output = any(
-            URL(str(proxy.get("url", ""))).format_type == "cram"
-            for proxy in self.ontology.get("feed", {}).get("output feed", []) or []
-        )
+        # CRAM output streams too: workers build compressed slice parts,
+        # the parent stamps the format's sequential record counters in raw
+        # batch order (io/cram.py CramPartBuilder)
         # device modes: the parent owns ingest+classify+stats and the rest
         # of the thread budget renders; strict mode: autonomous workers own
         # the whole pipeline, so they get the full budget (reference
@@ -107,7 +103,7 @@ class TranscodeJob:
         # io and decoding threads)
         workers = max(1, threads - 1)
         if fidelity in ("strict", "exact", None):
-            if threads > 1 and not cram_output:
+            if threads > 1:
                 from .engine.stream import StreamedStrictEngine
 
                 self.engine = StreamedStrictEngine(self.ontology, threads)
@@ -116,14 +112,14 @@ class TranscodeJob:
         elif fidelity in ("fast", "device"):
             from .engine.device import DeviceEngine, StreamedDeviceEngine
 
-            if threads > 1 and not cram_output:
+            if threads > 1:
                 self.engine = StreamedDeviceEngine(self.ontology, workers=workers)
             else:
                 self.engine = DeviceEngine(self.ontology)
         elif fidelity == "hybrid":
             from .engine.device import DeviceEngine, StreamedDeviceEngine
 
-            if threads > 1 and not cram_output:
+            if threads > 1:
                 self.engine = StreamedDeviceEngine(
                     self.ontology, hybrid=True, workers=workers
                 )

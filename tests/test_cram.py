@@ -165,6 +165,78 @@ def test_demux_cram_output_and_input(reference_root, tmp_path):
     assert len(lines) == len(got)
 
 
+def test_streamed_cram_output_byte_identical_to_serial(
+    reference_root, tmp_path
+):
+    """`--output x.cram --threads 3` streams slice parts from render
+    workers and must produce the SAME BYTES as the serial run: the
+    columnar route slices per engine batch in both topologies and the
+    parent stamps the sequential record counters in raw batch order
+    (io/cram.py CramPartBuilder; the reference reaches the same effect
+    through htslib's threaded codec pool, transcode.cpp:1599-1605)."""
+    serial = tmp_path / "serial.cram"
+    streamed = tmp_path / "streamed.cram"
+    for out, threads in ((serial, "1"), (streamed, "3")):
+        result = run_mux(
+            reference_root,
+            ["--config", "test/BDGGG/BDGGG_annotated.json",
+             "--precision", "15", "--batch-size", "64",
+             "--threads", threads,
+             "--output", str(out), "--report", "/dev/null"],
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+
+    def record_containers(path):
+        """Bytes past the header container (whose @PG CL line legitimately
+        differs between the two command lines)."""
+        from pheniqs_tpu.io.cram import _parse_container_header
+
+        buf = path.read_bytes()
+        offset = 26  # magic + version + file id
+        _ref, _n, _blocks, length, offset = _parse_container_header(
+            buf, offset
+        )
+        return buf[offset + length:]
+
+    tail = record_containers(serial)
+    assert tail and tail == record_containers(streamed)
+
+
+def test_streamed_cram_per_record_route_content_identical(
+    reference_root, tmp_path
+):
+    """The per-record CRAM fallback (PHENIQS_BAM_COLUMNS=0) flushes its
+    pending slice at every worker chunk, so container framing may differ
+    from serial — the decoded records must not."""
+    serial = tmp_path / "serial.cram"
+    streamed = tmp_path / "streamed.cram"
+    for out, threads in ((serial, "1"), (streamed, "3")):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PHENIQS_BAM_COLUMNS"] = "0"
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", "test/BDGGG/BDGGG_annotated.json",
+             "--precision", "15", "--batch-size", "64",
+             "--threads", threads,
+             "--output", str(out), "--report", "/dev/null"],
+            cwd=reference_root, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+    got = list(read_cram(str(streamed)))
+    want = list(read_cram(str(serial)))
+    assert len(got) == len(want) > 0
+    for mine, theirs in zip(got, want):
+        assert mine.name == theirs.name
+        assert mine.flag == theirs.flag
+        np.testing.assert_array_equal(mine.code, theirs.code)
+        np.testing.assert_array_equal(mine.quality, theirs.quality)
+        assert mine.aux == theirs.aux
+
+
 # --- rANS 4x8 --------------------------------------------------------------
 
 from pheniqs_tpu.io.rans import rans_compress, rans_uncompress
