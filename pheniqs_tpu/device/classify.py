@@ -85,6 +85,25 @@ def _gamma(k: float) -> float:
     ku = k * _U32
     return ku / (1.0 - ku)
 
+def _distance_by_gather() -> bool:
+    """Pick the decoded-barcode distance algorithm per backend: dynamic
+    row gathers lower poorly on TPU (+75 ms per 131k batch,
+    tools/profile_step.py), so the TPU program uses the one-hot match
+    contraction — but on CPU XLA that contraction is the single most
+    expensive op in the step (149 ms vs 0.6 ms for the gather at
+    N=131k, B=384, measured), so the CPU program gathers the decoded
+    panel row and compares directly. Both are integer-exact: decisions
+    are identical either way (pinned by the CPU-vs-oracle suites).
+    PHENIQS_DISTANCE_PATH=gather|contraction overrides (tests use it to
+    cover the TPU-shaped path on the CPU backend)."""
+    import os
+
+    forced = os.environ.get("PHENIQS_DISTANCE_PATH")
+    if forced in ("gather", "contraction"):
+        return forced == "gather"
+    return jax.default_backend() == "cpu"
+
+
 def _second_max(p: jnp.ndarray, best0: jnp.ndarray) -> jnp.ndarray:
     """Runner-up value per row given its argmax column: mask the winning
     column and re-max. Two VPU passes instead of ``lax.top_k``'s sort path
@@ -506,7 +525,11 @@ def pamld_classify_device(
     # lower poorly on TPU, tools/profile_step.py). Chunked/sharded panels
     # keep the row gather: (N, B) never materializes there.
     need_hq = dec.high_quality_distance_threshold > 0
-    if panel_shard is None and dec.barcode_count <= LARGE_PANEL_B:
+    if (
+        panel_shard is None
+        and dec.barcode_count <= LARGE_PANEL_B
+        and not _distance_by_gather()
+    ):
         onehot_o = jax.nn.one_hot(obs_code, 16, dtype=jnp.float32)
         match = jnp.dot(
             onehot_o.reshape(n, w * 16),

@@ -346,6 +346,41 @@ def test_high_quality_distance_filter_matches_oracle():
     np.testing.assert_array_equal(np.asarray(device["qcfail"]), oracle.qcfail)
 
 
+def test_distance_paths_identical(monkeypatch):
+    """The decoded-barcode distance has two integer-exact algorithms —
+    the TPU-shaped one-hot match contraction and the CPU row-gather
+    (classify.py _distance_by_gather) — selected by backend at trace
+    time. Both must produce identical distances and hq-filter decisions
+    (the CPU backend otherwise never covers the contraction path)."""
+    rng = np.random.default_rng(61)
+    panel = random_panel(rng, 12, 10)
+    ontology = make_pamld_ontology(panel, noise=0.02, confidence=0.9)
+    ontology["high quality distance threshold"] = 1
+    ontology["high quality threshold"] = 20
+    code, qual, length = simulate_reads(rng, panel, 1024, error_rate=0.15)
+    qcfail = np.zeros(code.shape[0], dtype=bool)
+    instrument = compile_instrument(
+        {"sample": ontology, "input segment cardinality": 1}
+    )
+
+    outputs = {}
+    for path in ("contraction", "gather"):
+        monkeypatch.setenv("PHENIQS_DISTANCE_PATH", path)
+        outputs[path] = pamld_classify_device(
+            instrument,
+            instrument.decoders[0],
+            jnp.asarray(code.astype(np.int32)),
+            jnp.asarray(qual.astype(np.int32)),
+            jnp.asarray(qcfail),
+        )
+    for key in ("decoded", "distance", "qcfail", "branch", "argmax"):
+        np.testing.assert_array_equal(
+            np.asarray(outputs["contraction"][key]),
+            np.asarray(outputs["gather"][key]),
+            err_msg=key,
+        )
+
+
 def test_100k_barcode_panel_smoke():
     """The SURVEY-scale regime: a 100k-barcode 16nt panel classifies
     through the chunked online-logsumexp path and matches the f64 oracle's
