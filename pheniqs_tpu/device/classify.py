@@ -28,7 +28,9 @@ from .instrument import (
     DeviceDecoder,
     DeviceInstrument,
     UNIFORM_BASE_QUALITY,
+    _distance_by_gather,
     analytic_tpq,
+    match16_from_codes,
 )
 
 # TPU MXU contractions truncate f32 operands to bfloat16 at DEFAULT
@@ -84,25 +86,6 @@ _TERM_BOUND = 13.74  # 2 * max(TPQ(1)=6.8677, UNIFORM=6.0206)
 def _gamma(k: float) -> float:
     ku = k * _U32
     return ku / (1.0 - ku)
-
-def _distance_by_gather() -> bool:
-    """Pick the decoded-barcode distance algorithm per backend: dynamic
-    row gathers lower poorly on TPU (+75 ms per 131k batch,
-    tools/profile_step.py), so the TPU program uses the one-hot match
-    contraction — but on CPU XLA that contraction is the single most
-    expensive op in the step (149 ms vs 0.6 ms for the gather at
-    N=131k, B=384, measured), so the CPU program gathers the decoded
-    panel row and compares directly. Both are integer-exact: decisions
-    are identical either way (pinned by the CPU-vs-oracle suites).
-    PHENIQS_DISTANCE_PATH=gather|contraction overrides (tests use it to
-    cover the TPU-shaped path on the CPU backend)."""
-    import os
-
-    forced = os.environ.get("PHENIQS_DISTANCE_PATH")
-    if forced in ("gather", "contraction"):
-        return forced == "gather"
-    return jax.default_backend() == "cpu"
-
 
 def _second_max(p: jnp.ndarray, best0: jnp.ndarray) -> jnp.ndarray:
     """Runner-up value per row given its argmax column: mask the winning
@@ -530,10 +513,15 @@ def pamld_classify_device(
         and dec.barcode_count <= LARGE_PANEL_B
         and not _distance_by_gather()
     ):
+        match16 = dec.panel_match16
+        if match16 is None:
+            # forced to the contraction path after an instrument compile
+            # that skipped the matrix (CPU default): rebuild it here
+            match16 = match16_from_codes(np.asarray(dec.panel_codes))
         onehot_o = jax.nn.one_hot(obs_code, 16, dtype=jnp.float32)
         match = jnp.dot(
             onehot_o.reshape(n, w * 16),
-            dec.panel_match16,
+            match16,
             preferred_element_type=jnp.float32,
         )  # (N, B) per-position match counts
         match_best = jnp.take_along_axis(match, best0[:, None], axis=1)[:, 0]
@@ -544,7 +532,7 @@ def pamld_classify_device(
             )
             hq_match = jnp.dot(
                 (onehot_o * hq_mask[..., None]).reshape(n, w * 16),
-                dec.panel_match16,
+                match16,
                 preferred_element_type=jnp.float32,
             )
             hq_best = jnp.take_along_axis(

@@ -229,6 +229,39 @@ def _plans_from_rule(spec: DecoderSpec) -> tuple[list[TokenPlan], list[int]]:
     return plans, widths
 
 
+def _distance_by_gather() -> bool:
+    """Pick the decoded-barcode distance algorithm per backend: dynamic
+    row gathers lower poorly on TPU (+75 ms per 131k batch,
+    tools/profile_step.py), so the TPU program uses the one-hot match
+    contraction — but on CPU XLA that contraction is the single most
+    expensive op in the step (149 ms vs 0.6 ms for the gather at
+    N=131k, B=384, measured), so the CPU program gathers the decoded
+    panel row and compares directly. Both are integer-exact: decisions
+    are identical either way (pinned by the CPU-vs-oracle suites).
+    PHENIQS_DISTANCE_PATH=gather|contraction overrides (tests use it to
+    cover the TPU-shaped path on the CPU backend)."""
+    forced = os.environ.get("PHENIQS_DISTANCE_PATH")
+    if forced:
+        if forced not in ("gather", "contraction"):
+            raise ConfigurationError(
+                f"PHENIQS_DISTANCE_PATH={forced!r}: expected"
+                " gather or contraction"
+            )
+        return forced == "gather"
+    return jax.default_backend() == "cpu"
+
+
+def match16_from_codes(codes: np.ndarray) -> jnp.ndarray:
+    """(B, W) BAM codes -> the (16W, B) one-hot match-contraction matrix
+    (per-position match counts = onehot(obs) @ this)."""
+    b, w = codes.shape
+    onehot16 = np.zeros((b, w, 16), dtype=np.float32)
+    np.put_along_axis(
+        onehot16, codes[:, :, None].astype(np.int64), 1.0, axis=2
+    )
+    return jnp.asarray(np.ascontiguousarray(onehot16.reshape(b, w * 16).T))
+
+
 def _panel_matrices(spec: DecoderSpec):
     """Build the (5W, B) likelihood contraction matrix G and companions."""
     codes = spec.panel.codes.astype(np.int64)  # (B, W)
@@ -240,15 +273,13 @@ def _panel_matrices(spec: DecoderSpec):
     g = np.concatenate([onehot4, strict[:, :, None]], axis=2)  # (B, W, 5)
     g = g.reshape(b, w * 5).T  # (5W, B) — contraction layout
     match16 = None
-    if b <= LARGE_PANEL_B:
-        # only the monolithic posterior consumes the match contraction;
-        # chunked/sharded panels keep the row gather (a (16W, B) matrix
-        # for a 1M-barcode whitelist would cost ~1 GB of HBM for nothing)
-        onehot16 = np.zeros((b, w, 16), dtype=np.float32)
-        np.put_along_axis(onehot16, codes[:, :, None], 1.0, axis=2)
-        match16 = jnp.asarray(
-            np.ascontiguousarray(onehot16.reshape(b, w * 16).T)
-        )
+    if b <= LARGE_PANEL_B and not _distance_by_gather():
+        # only the monolithic TPU posterior consumes the match
+        # contraction; the CPU backend and chunked/sharded panels keep
+        # the row gather (a (16W, B) matrix for a 1M-barcode whitelist
+        # would cost ~1 GB of HBM for nothing; classify rebuilds it
+        # lazily if the path is forced to contraction after compile)
+        match16 = match16_from_codes(codes)
     return (
         jnp.asarray(codes.astype(np.int32)),
         jnp.asarray(strict),

@@ -536,6 +536,15 @@ class StreamRunner:
         self._writer_error: list = []
         self._states: list = []
         self._pool = None  # shm.SlotPool: reusable segments + backpressure
+        # autonomous workers self-drive from fork, so their first chunk can
+        # race the parent's _initiate_feeds (write_raw on an un-initiated
+        # feed silently drops bytes); the writer waits for this gate, which
+        # the engine sets right after initiating. Every other transport
+        # only produces chunks after the parent submits (post-initiate),
+        # so the gate opens at start(). Initiating BEFORE the fork instead
+        # would be worse: children inherit the parent's buffered streams
+        # and flush stdout copies at exit (duplicate headers).
+        self.feeds_ready = threading.Event()
         self._slot_by_index: dict[int, int] = {}
         self._worker_failure: tuple | None = None
         # stage-time reserve for the decision arrays appended at submit;
@@ -676,6 +685,8 @@ class StreamRunner:
         self._collector.start()
         self._writer = threading.Thread(target=self._writer_loop, daemon=True)
         self._writer.start()
+        if self.transport != "autonomous":
+            self.feeds_ready.set()
 
     def submit(self, batch, results: list[ClassifyResult]):
         index = batch.raw_index
@@ -810,6 +821,7 @@ class StreamRunner:
 
     def _writer_loop(self):
         """Sequence worker chunks in raw batch order and stream them out."""
+        self.feeds_ready.wait()
         feeds_by_url = self.engine.feeds_by_url
         pending: dict[int, dict] = {}
         next_write = 0
@@ -861,6 +873,7 @@ class StreamRunner:
         """Tear the pool down after a parent-side failure: kill workers,
         unblock the writer, and reclaim the tmpfs segments. Never raises."""
         try:
+            self.feeds_ready.set()  # unblock a gated writer before joining
             if self._task_queue is not None:
                 self._task_queue.cancel_join_thread()
             for process in self._processes:
@@ -887,6 +900,7 @@ class StreamRunner:
                 self._pool.close()
 
     def finish(self):
+        self.feeds_ready.set()  # feeds are initiated by every caller here
         if self._task_queue is not None:
             for _ in self._processes:
                 self._task_queue.put(None)
@@ -976,6 +990,7 @@ class StreamedStrictEngine(StrictEngine):
                 # workers own the whole per-read pipeline including the
                 # parse; the parent waits for the ordered writer + merge
                 self._initiate_feeds()
+                self._runner.feeds_ready.set()
                 start = time.perf_counter()
                 self._close_feeds()
                 self._trace_summary(start)

@@ -112,11 +112,13 @@ def test_cram_round_trip_matches_bam(tmp_path):
         assert mine.aux == theirs.aux
 
 
-def run_mux(cwd, args):
+def run_mux(cwd, args, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux", *args],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
@@ -211,19 +213,13 @@ def test_streamed_cram_per_record_route_content_identical(
     serial = tmp_path / "serial.cram"
     streamed = tmp_path / "streamed.cram"
     for out, threads in ((serial, "1"), (streamed, "3")):
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PHENIQS_BAM_COLUMNS"] = "0"
-        result = subprocess.run(
-            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
-             "--config", "test/BDGGG/BDGGG_annotated.json",
+        result = run_mux(
+            reference_root,
+            ["--config", "test/BDGGG/BDGGG_annotated.json",
              "--precision", "15", "--batch-size", "64",
              "--threads", threads,
              "--output", str(out), "--report", "/dev/null"],
-            cwd=reference_root, env=env, capture_output=True, text=True,
-            timeout=600,
+            extra_env={"PHENIQS_BAM_COLUMNS": "0"},
         )
         assert result.returncode == 0, result.stderr[-2000:]
     got = list(read_cram(str(streamed)))
