@@ -233,6 +233,51 @@ def test_streamed_cram_per_record_route_content_identical(
         assert mine.aux == theirs.aux
 
 
+def test_streamed_mixed_cram_and_sam_outputs(reference_root, tmp_path):
+    """One CRAM feed and one SAM feed on the same streamed run: mixed
+    formats take the per-record route, whose worker chunks carry pickled
+    slice parts for the CRAM feed and plain text for the SAM feed —
+    both must match their serial-run content."""
+    outs = {}
+    for threads in ("1", "3"):
+        cram = tmp_path / f"t{threads}.cram"
+        sam = tmp_path / f"t{threads}.sam"
+        config = {
+            "input": [
+                str(os.path.join(
+                    reference_root, "test/BDGGG", f"BDGGG_s0{s}.fastq"
+                ))
+                for s in (1, 2, 3)
+            ],
+            "template": {"transform": {"token": ["0::", "2::"]}},
+            "output": [str(cram), str(sam)],
+            "report url": "/dev/null",
+        }
+        path = tmp_path / f"job{threads}.json"
+        path.write_text(json.dumps(config))
+        result = run_mux(
+            str(tmp_path),
+            ["--config", str(path), "--batch-size", "64",
+             "--threads", threads],
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        sam_lines = [
+            line for line in sam.read_text().splitlines()
+            if not line.startswith("@")
+        ]
+        outs[threads] = (list(read_cram(str(cram))), sam_lines)
+
+    serial_cram, serial_sam = outs["1"]
+    streamed_cram, streamed_sam = outs["3"]
+    assert serial_sam == streamed_sam and len(serial_sam) > 0
+    assert len(serial_cram) == len(streamed_cram) > 0
+    for mine, theirs in zip(streamed_cram, serial_cram):
+        assert mine.name == theirs.name
+        assert mine.flag == theirs.flag
+        np.testing.assert_array_equal(mine.code, theirs.code)
+        assert mine.aux == theirs.aux
+
+
 # --- rANS 4x8 --------------------------------------------------------------
 
 from pheniqs_tpu.io.rans import rans_compress, rans_uncompress
