@@ -80,6 +80,12 @@ def _probe_accelerator() -> str:
 
 
 def main_e2e():
+    # pin the benchmark to the MEASURED wire lane (v3 sensed quality
+    # codebook, 510k steady over 20M reads — BASELINE.md): `auto` would
+    # pick the narrower joint-4-bit lane, which is committed but still
+    # unmeasured on the real chip (tunnel outage). Explicit
+    # PHENIQS_QUAL_WIRE wins, so the j4 A/B run just sets it.
+    os.environ.setdefault("PHENIQS_QUAL_WIRE", "2")
     try:
         platform = _probe_accelerator()
     except Exception:
