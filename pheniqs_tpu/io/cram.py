@@ -866,9 +866,13 @@ class CramWriter:
             self.flush()
 
     @staticmethod
-    def _split_aux(aux: bytes):
+    def _split_aux(aux):
         """BAM aux block -> [(key3, value_bytes)], RG excluded (it rides
-        the dedicated RG data series, CRAMv3 §8.4)."""
+        the dedicated RG data series, CRAMv3 §8.4). A list passes through
+        untouched (the raw transcode intake pre-splits during its RG
+        walk, bam_to_cram)."""
+        if isinstance(aux, list):
+            return aux
         out = []
         offset = 0
         while offset + 3 <= len(aux):
@@ -1830,23 +1834,119 @@ def read_cram_header(path: str):
     return header_text, references
 
 
+_AUX_ZH = (0x5A, 0x48)  # 'Z', 'H'
+_AUX_WIDTH = {
+    0x41: 1, 0x63: 1, 0x43: 1,           # 'A', 'c', 'C'
+    0x73: 2, 0x53: 2,                    # 's', 'S'
+    0x69: 4, 0x49: 4, 0x66: 4,           # 'i', 'I', 'f'
+}
+
+
+#: packed BAM nibble byte -> its two ASCII bases, for the raw transcode path
+_PAIR_ASCII = None
+
+
+def _pair_ascii():
+    global _PAIR_ASCII
+    if _PAIR_ASCII is None:
+        pair = np.empty((256, 2), dtype=np.uint8)
+        pair[:, 0] = BAM_TO_ASCII[np.arange(256) >> 4]
+        pair[:, 1] = BAM_TO_ASCII[np.arange(256) & 0xF]
+        _PAIR_ASCII = pair
+    return _PAIR_ASCII
+
+
 def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
                 level: int = 5) -> int:
     """Transcode any BAM (mapped or unmapped) to CRAM 3.0; mapped records
     store read features against `reference` (the workflow the reference
     runs through htslib, reference hts.cpp:160-240). Returns the record
-    count."""
-    from .hts import read_bam, read_bam_header
+    count.
+
+    Unmapped records (the demux shape) take a raw intake: the BAM aux
+    block is kept verbatim for the slice tag series instead of being
+    decoded to a dict and re-encoded — which also preserves the original
+    integer tag widths — and the packed sequence nibbles expand through
+    a byte-pair ASCII table. Mapped or array-tagged records fall back to
+    the full HtsRecord path."""
+    from .hts import (
+        iter_bam_record_bodies,
+        read_bam_header,
+        record_from_bam_body,
+    )
 
     header_text, _references = read_bam_header(bam_path)
+    pair = _pair_ascii()
     count = 0
     with open(cram_path, "wb") as stream:
         writer = CramWriter(stream, header_text, level, reference=reference)
-        for record in read_bam(bam_path):
-            writer.write_hts_record(record)
+        rg_index = writer.rg_index
+        for body in iter_bam_record_bodies(bam_path):
+            (
+                ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+                l_seq, next_ref, next_pos, tlen,
+            ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
             count += 1
+            if not flag & FLAG_UNMAPPED or n_cigar or ref_id >= 0:
+                writer.write_hts_record(record_from_bam_body(body))
+                continue
+            offset = 32
+            name = body[offset : offset + l_read_name - 1]
+            offset += l_read_name
+            nibbles = (l_seq + 1) // 2
+            packed = np.frombuffer(
+                body, dtype=np.uint8, count=nibbles, offset=offset
+            )
+            bases = pair[packed].reshape(-1)[:l_seq].tobytes()
+            offset += nibbles
+            quals = body[offset : offset + l_seq]
+            if l_seq and quals[0] == 0xFF:
+                quals = bytes(l_seq)  # BAM missing-quality sentinel
+            offset += l_seq
+
+            # one walk over the raw aux: find RG, split the tag series
+            # once (flush reuses the list), reject layouts the raw path
+            # cannot carry (B arrays — _split_aux has no decoder)
+            aux = body[offset:]
+            rg = -1
+            tags = []
+            supported = True
+            o = 0
+            size = len(aux)
+            while o + 3 <= size:
+                kind = aux[o + 2]
+                if kind in _AUX_ZH:
+                    end = aux.index(0, o + 3)
+                    if kind == 0x5A and aux[o] == 0x52 and aux[o + 1] == 0x47:
+                        rg = rg_index.get(
+                            aux[o + 3 : end].decode("latin-1"), -1
+                        )
+                    else:
+                        tags.append((aux[o : o + 3], aux[o + 3 : end + 1]))
+                    o = end + 1
+                else:
+                    width = _AUX_WIDTH.get(kind)
+                    if width is None:
+                        supported = False
+                        break
+                    if aux[o] != 0x52 or aux[o + 1] != 0x47:
+                        tags.append(
+                            (aux[o : o + 3], aux[o + 3 : o + 3 + width])
+                        )
+                    o += 3 + width
+            if not supported:
+                writer.write_hts_record(record_from_bam_body(body))
+                continue
+            # writer.pending is rebound by flush(): no local alias
+            writer.pending.append((
+                bytes(name), flag, l_seq, bases, bytes(quals),
+                tags, rg, -1, -1, 0, None, next_ref, next_pos, tlen,
+            ))
+            if len(writer.pending) >= writer.RECORDS_PER_SLICE:
+                writer.flush()
         writer.close()
     return count
+
 
 
 def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,

@@ -471,12 +471,12 @@ _HI = np.arange(256, dtype=np.uint8) >> 4
 _LO = np.arange(256, dtype=np.uint8) & 0xF
 
 
-def read_bam(path: str):
-    """Yield HtsRecord from a BAM file.
-
-    Decompression runs on the native parallel BGZF block pool when the
-    host library is built (the ingest analog of the reference's htslib
-    thread pool, reference transcode.cpp:1599-1605); serial gzip
+def iter_bam_record_bodies(path: str):
+    """Yield the raw body bytes of each BAM alignment record (everything
+    after the 4-byte block_size), skipping the header and reference
+    directory. Decompression runs on the native parallel BGZF block pool
+    when the host library is built (the ingest analog of the reference's
+    htslib thread pool, reference transcode.cpp:1599-1605); serial gzip
     otherwise (plain gzip handles BGZF members transparently)."""
     from ..native import open_bgzf
 
@@ -488,54 +488,78 @@ def read_bam(path: str):
         if magic != b"BAM\x01":
             raise IOError_(f"{path} is not a BAM file")
         (l_text,) = struct.unpack("<i", stream.read(4))
-        header_text = stream.read(l_text)  # noqa: F841 - kept for future use
+        stream.read(l_text)
         (n_ref,) = struct.unpack("<i", stream.read(4))
         for _ in range(n_ref):
             (l_name,) = struct.unpack("<i", stream.read(4))
             stream.read(l_name + 4)
+        # buffered record framing: per-record stream.read pairs cost ~2 us
+        # each through the BGZF pool wrapper; reading 1 MB windows and
+        # slicing bodies out of them halves the per-record overhead
+        buffer = b""
+        position = 0
         while True:
-            size_bytes = stream.read(4)
-            if len(size_bytes) < 4:
-                return
-            (block_size,) = struct.unpack("<i", size_bytes)
-            body = stream.read(block_size)
-            if len(body) < block_size:
-                raise IOError_(f"truncated BAM record in {path}")
-            (
-                ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
-                l_seq, next_ref, next_pos, tlen,
-            ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
-            offset = 32
-            name = body[offset : offset + l_read_name - 1]
-            offset += l_read_name
-            cigar = None
-            if n_cigar:
-                packed_cigar = struct.unpack_from(f"<{n_cigar}I", body, offset)
-                cigar = [
-                    ("MIDNSHP=X"[op & 0xF], op >> 4) for op in packed_cigar
-                ]
-            offset += 4 * n_cigar
-            packed = np.frombuffer(
-                body, dtype=np.uint8, count=(l_seq + 1) // 2, offset=offset
-            )
-            code = np.empty(l_seq, dtype=np.uint8)
-            code[0::2] = _HI[packed][: (l_seq + 1) // 2]
-            code[1::2] = _LO[packed][: l_seq // 2]
-            offset += (l_seq + 1) // 2
-            quality = np.frombuffer(
-                body, dtype=np.uint8, count=l_seq, offset=offset
-            ).copy()
-            if l_seq and quality[0] == 0xFF:
-                quality = np.zeros(l_seq, dtype=np.uint8)
-            offset += l_seq
-            aux = _parse_bam_aux(body[offset:])
-            yield HtsRecord(
-                bytes(name), flag, code, quality, aux,
-                ref_id=ref_id, pos=pos, mapq=mapq, cigar=cigar,
-                next_ref=next_ref, next_pos=next_pos, tlen=tlen,
-            )
+            while len(buffer) - position < 4:
+                chunk = stream.read(1 << 20)
+                if not chunk:
+                    return  # EOF (a trailing partial length word included)
+                buffer = buffer[position:] + chunk
+                position = 0
+            (block_size,) = struct.unpack_from("<i", buffer, position)
+            while len(buffer) - position - 4 < block_size:
+                chunk = stream.read(max(1 << 20, block_size))
+                if not chunk:
+                    raise IOError_(f"truncated BAM record in {path}")
+                buffer = buffer[position:] + chunk
+                position = 0
+            yield buffer[position + 4 : position + 4 + block_size]
+            position += 4 + block_size
     finally:
         stream.close()
+
+
+def record_from_bam_body(body: bytes) -> HtsRecord:
+    """Parse one raw BAM record body into an HtsRecord."""
+    (
+        ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag,
+        l_seq, next_ref, next_pos, tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    offset = 32
+    name = body[offset : offset + l_read_name - 1]
+    offset += l_read_name
+    cigar = None
+    if n_cigar:
+        packed_cigar = struct.unpack_from(f"<{n_cigar}I", body, offset)
+        cigar = [
+            ("MIDNSHP=X"[op & 0xF], op >> 4) for op in packed_cigar
+        ]
+    offset += 4 * n_cigar
+    packed = np.frombuffer(
+        body, dtype=np.uint8, count=(l_seq + 1) // 2, offset=offset
+    )
+    code = np.empty(l_seq, dtype=np.uint8)
+    code[0::2] = _HI[packed][: (l_seq + 1) // 2]
+    code[1::2] = _LO[packed][: l_seq // 2]
+    offset += (l_seq + 1) // 2
+    quality = np.frombuffer(
+        body, dtype=np.uint8, count=l_seq, offset=offset
+    ).copy()
+    if l_seq and quality[0] == 0xFF:
+        quality = np.zeros(l_seq, dtype=np.uint8)
+    offset += l_seq
+    aux = _parse_bam_aux(body[offset:])
+    return HtsRecord(
+        bytes(name), flag, code, quality, aux,
+        ref_id=ref_id, pos=pos, mapq=mapq, cigar=cigar,
+        next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+    )
+
+
+def read_bam(path: str):
+    """Yield HtsRecord from a BAM file (see iter_bam_record_bodies for
+    the decompression path)."""
+    for body in iter_bam_record_bodies(path):
+        yield record_from_bam_body(body)
 
 
 def read_sam(path: str):
