@@ -233,6 +233,33 @@ def test_streamed_cram_per_record_route_content_identical(
         assert mine.aux == theirs.aux
 
 
+def test_fast_fidelity_streamed_cram_matches_serial(reference_root, tmp_path):
+    """Device-mode render workers (fast fidelity) carry the CRAM part
+    route too: `--fidelity fast --threads 3` output must match the
+    fast serial run byte-for-byte past the header container."""
+    serial = tmp_path / "serial.cram"
+    streamed = tmp_path / "streamed.cram"
+    for out, threads in ((serial, "1"), (streamed, "3")):
+        result = run_mux(
+            reference_root,
+            ["--config", "test/BDGGG/BDGGG_annotated.json",
+             "--precision", "15", "--batch-size", "64",
+             "--threads", threads, "--fidelity", "fast",
+             "--output", str(out), "--report", "/dev/null"],
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+
+    from pheniqs_tpu.io.cram import _parse_container_header
+
+    def record_containers(path):
+        buf = path.read_bytes()
+        _ref, _n, _blocks, length, offset = _parse_container_header(buf, 26)
+        return buf[offset + length:]
+
+    tail = record_containers(serial)
+    assert tail and tail == record_containers(streamed)
+
+
 def test_streamed_mixed_cram_and_sam_outputs(reference_root, tmp_path):
     """One CRAM feed and one SAM feed on the same streamed run: mixed
     formats take the per-record route, whose worker chunks carry pickled

@@ -203,6 +203,43 @@ def test_cram_bitflip_detected(tmp_path):
     assert detected >= 18  # CRCs catch essentially every flip
 
 
+def test_bam_truncated_mid_record_fails_typed(tmp_path):
+    """A BAM whose last record body is cut short must raise a typed
+    IOError through the buffered per-record reader (a trailing partial
+    length word alone is EOF, matching htslib's tolerance)."""
+    import struct
+
+    import numpy as np
+
+    from pheniqs_tpu.errors import IOError_
+    from pheniqs_tpu.io.hts import BamWriter, read_bam
+
+    path = tmp_path / "whole.bam"
+    with open(path, "wb") as stream:
+        writer = BamWriter(stream, "@HD\tVN:1.0\n", 5)
+        from pheniqs_tpu.io.sam import AuxTags
+
+        for i in range(50):
+            writer.write_record(
+                f"r{i}", 0x4, np.full(30, 1, np.uint8),
+                np.full(30, 30, np.uint8), 30, AuxTags(),
+            )
+        writer.close()
+    import gzip as gzip_mod
+
+    raw = gzip_mod.open(path, "rb").read()
+    # cut inside the last record's body (past its length word)
+    truncated = tmp_path / "cut.bam"
+    with open(truncated, "wb") as out:
+        from pheniqs_tpu.io.hts import BgzfWriter
+
+        writer = BgzfWriter(out, 5)
+        writer.write(raw[:-20])
+        writer.close()
+    with pytest.raises(IOError_):
+        list(read_bam(str(truncated)))
+
+
 def test_native_bam_garbage_fails_typed(tmp_path):
     """Crafted/corrupt BAM through the native batch reader must fail typed
     (negative l_seq, truncated bodies) — never read out of bounds."""
