@@ -34,7 +34,7 @@ import zlib
 
 import numpy as np
 
-from ..errors import IOError_
+from ..errors import CorruptAuxiliaryError, IOError_
 
 #: unsupported CRAM structures are I/O errors (exit 6), matching the
 #: reference's htslib failure surface
@@ -880,7 +880,12 @@ class CramWriter:
             kind = chr(aux[offset + 2])
             offset += 3
             if kind in "ZH":
-                end = aux.index(0, offset)
+                end = aux.find(0, offset)
+                if end < 0:
+                    raise CorruptAuxiliaryError(
+                        f"unterminated {kind} tag {key[:2].decode('latin-1')}"
+                        " in BAM auxiliary block"
+                    )
                 value = aux[offset : end + 1]
                 offset = end + 1
             elif kind == "A" or kind in "cC":
@@ -1916,7 +1921,12 @@ def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
             while o + 3 <= size:
                 kind = aux[o + 2]
                 if kind in _AUX_ZH:
-                    end = aux.index(0, o + 3)
+                    end = aux.find(0, o + 3)
+                    if end < 0:
+                        raise CorruptAuxiliaryError(
+                            "unterminated string tag in BAM auxiliary"
+                            f" block of record {bytes(name).decode('latin-1')}"
+                        )
                     if kind == 0x5A and aux[o] == 0x52 and aux[o + 1] == 0x47:
                         rg = rg_index.get(
                             aux[o + 3 : end].decode("latin-1"), -1
