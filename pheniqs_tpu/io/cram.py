@@ -1801,6 +1801,407 @@ def _decode_tag_value(kind: str, raw: bytes):
     raise UnsupportedError(f"CRAM tag type {kind}")
 
 
+# --- vectorized stream decoding (the CRAM->BAM transcode fast path) ---------
+
+
+def _itf8_scan(buf: bytes):
+    """(ln, val) int64 arrays giving, at EVERY byte position, the token
+    length and decoded value of an ITF-8 integer starting there (garbage
+    at positions that are not real token starts — callers index by known
+    starts). The buffer is virtually padded with zeros so trailing
+    positions stay in bounds."""
+    b = np.frombuffer(buf, np.uint8).astype(np.int64)
+    b = np.concatenate([b, np.zeros(4, np.int64)])
+    size = b.shape[0] - 4
+    b0 = b[:size]
+    ln = np.ones(size, np.int64)
+    ln[b0 >= 0x80] = 2
+    ln[b0 >= 0xC0] = 3
+    ln[b0 >= 0xE0] = 4
+    ln[b0 >= 0xF0] = 5
+    b1, b2, b3, b4 = b[1 : size + 1], b[2 : size + 2], b[3 : size + 3], b[4 : size + 4]
+    val = b0.copy()
+    m = ln == 2
+    val[m] = ((b0[m] & 0x3F) << 8) | b1[m]
+    m = ln == 3
+    val[m] = ((b0[m] & 0x1F) << 16) | (b1[m] << 8) | b2[m]
+    m = ln == 4
+    val[m] = ((b0[m] & 0x0F) << 24) | (b1[m] << 16) | (b2[m] << 8) | b3[m]
+    m = ln == 5
+    val[m] = (
+        ((b0[m] & 0x0F) << 28)
+        | (b1[m] << 20)
+        | (b2[m] << 12)
+        | (b3[m] << 4)
+        | (b4[m] & 0x0F)
+    )
+    val[val > 0x7FFFFFFF] -= 1 << 32
+    return ln, val
+
+
+def _chain_starts(jump: np.ndarray, n: int, size: int):
+    """Enumerate n token start positions given jump[i] = position after
+    the token starting at i (clipped to `size`; jump[size] must be the
+    sticky sentinel `size`). Pointer-jumping doubles the known prefix per
+    pass, so a variable-length stream decodes in O(size log n) instead
+    of a Python loop. Returns None if the chain runs past the end."""
+    starts = np.zeros(1, np.int64)
+    hop = jump
+    while starts.shape[0] < n:
+        starts = np.concatenate([starts, hop[starts]])[: max(n, 1)]
+        if starts.shape[0] < n:
+            hop = hop[hop]
+    if n and int(starts[-1]) >= size:
+        return None
+    return starts
+
+
+def itf8_decode_vec(buf: bytes, n: int):
+    """Decode exactly n ITF-8 values from the head of buf (vectorized).
+    Returns (values int64 (n,), consumed_bytes); raises IOError_ on a
+    truncated stream."""
+    if n == 0:
+        return np.zeros(0, np.int64), 0
+    ln, val = _itf8_scan(buf)
+    size = ln.shape[0]
+    if size == 0:
+        raise IOError_("CRAM: empty ITF-8 stream")
+    jump = np.minimum(np.arange(size, dtype=np.int64) + ln, size)
+    jump = np.append(jump, size)
+    starts = _chain_starts(jump, n, size)
+    if starts is None or int(starts[-1] + ln[starts[-1]]) > size:
+        raise IOError_("CRAM: truncated ITF-8 stream")
+    return val[starts], int(starts[-1] + ln[starts[-1]])
+
+
+def _byte_array_len_spans(stream: bytes, k: int):
+    """Decode k same-stream BYTE_ARRAY_LEN items ([ITF-8 length][payload]
+    interleaved): (starts, lens) of the payload spans. None on overrun."""
+    if k == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ln, val = _itf8_scan(stream)
+    size = ln.shape[0]
+    if size == 0:
+        return None
+    jump = np.arange(size, dtype=np.int64) + ln + np.maximum(val, 0)
+    # a negative decoded "length" at a non-start position is garbage;
+    # clip the composite so the sentinel stays sticky
+    jump = np.minimum(np.maximum(jump, 0), size)
+    jump = np.append(jump, size)
+    heads = _chain_starts(jump, k, size)
+    if heads is None:
+        return None
+    lens = val[heads]
+    starts = heads + ln[heads]
+    if (lens < 0).any() or int(starts[-1] + lens[-1]) > size:
+        return None
+    return starts, lens
+
+
+def _copy_spans(dst: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
+                src_off: np.ndarray, lens: np.ndarray):
+    """Scatter variable-length spans: dst[dst_off[i] : +lens[i]] =
+    src[src_off[i] : +lens[i]] for all i, without a Python loop."""
+    lens = np.asarray(lens, np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return
+    ends = np.cumsum(lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    dst[np.repeat(np.asarray(dst_off, np.int64), lens) + within] = src[
+        np.repeat(np.asarray(src_off, np.int64), lens) + within
+    ]
+
+
+def _series_values(decoder, streams_raw, n):
+    """Whole-series int values for one fixed CRAM series: EXTERNAL ITF-8
+    streams decode vectorized, constant-Huffman series broadcast. None ->
+    caller falls back to the per-record decoder."""
+    if decoder is None:
+        return None
+    if decoder.codec == E_HUFFMAN and getattr(decoder, "symbol", None) is not None:
+        return np.full(n, decoder.symbol, np.int64)
+    if decoder.codec == E_EXTERNAL:
+        raw = streams_raw.get(decoder.content_id)
+        if raw is None:
+            return None
+        values, _ = itf8_decode_vec(raw, n)
+        return values
+    return None
+
+
+def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
+                       rg_blob, rg_starts, rg_lens):
+    """Assemble one detached-unmapped CRAM slice directly into a blob of
+    binary BAM records (vectorized; the transcode fast path). Returns
+    None when the slice does not match the demux layout — the caller
+    then uses the per-record decoder. `rg_*` describe pre-encoded
+    `RGZ<name>\\0` aux blocks per read-group index."""
+    if slice_ref != -1 or core.buf or compression["td"] is None:
+        return None
+    if compression["ap_delta"] or not compression["rn_preserved"]:
+        return None
+    series = compression["series"]
+    n = n_records
+
+    # distinct content ids only: sharing a stream between series would
+    # interleave their tokens, which the whole-series decode cannot see
+    consumed_ids = []
+    for decoder in list(series.values()) + list(
+        compression["tag_decoders"].values()
+    ):
+        for leaf in (
+            (decoder,) if decoder.codec != E_BYTE_ARRAY_LEN
+            else (decoder.len_decoder, decoder.val_decoder)
+        ):
+            cid = getattr(leaf, "content_id", None)
+            if cid is not None:
+                consumed_ids.append(cid)
+    tag_ids = set()
+    for decoder in compression["tag_decoders"].values():
+        for leaf in (decoder,) if decoder.codec != E_BYTE_ARRAY_LEN else (
+            decoder.len_decoder, decoder.val_decoder
+        ):
+            cid = getattr(leaf, "content_id", None)
+            if cid is not None:
+                tag_ids.add(cid)
+    fixed_ids = [cid for cid in consumed_ids if cid not in tag_ids]
+    if len(set(fixed_ids)) != len(fixed_ids):
+        return None
+
+    try:
+        bf = _series_values(series.get(b"BF"), streams_raw, n)
+        cf = _series_values(series.get(b"CF"), streams_raw, n)
+        rl = _series_values(series.get(b"RL"), streams_raw, n)
+        rg = _series_values(series.get(b"RG"), streams_raw, n)
+        mf = _series_values(series.get(b"MF"), streams_raw, n)
+        ns = _series_values(series.get(b"NS"), streams_raw, n)
+        np_ = _series_values(series.get(b"NP"), streams_raw, n)
+        ts = _series_values(series.get(b"TS"), streams_raw, n)
+        tl = _series_values(series.get(b"TL"), streams_raw, n)
+        # AP is consumed per record but unused for unmapped output; it
+        # still must decode (stream presence) unless constant
+        ap = _series_values(series.get(b"AP"), streams_raw, n)
+    except IOError_:
+        return None
+    columns = (bf, cf, rl, rg, mf, ns, np_, ts, tl, ap)
+    if any(column is None for column in columns):
+        return None
+    required = CF_QUALITY | CF_DETACHED
+    if ((cf & required) != required).any() or (cf & CF_NO_SEQ).any():
+        return None
+    if (~bf & FLAG_UNMAPPED).any():
+        return None
+    if (rl < 0).any():
+        return None
+
+    # names: BYTE_ARRAY_STOP on NUL
+    rn = series.get(b"RN")
+    if rn is None or rn.codec != E_BYTE_ARRAY_STOP or rn.stop != 0:
+        return None
+    names_raw = streams_raw.get(rn.content_id)
+    ba = series.get(b"BA")
+    qs = series.get(b"QS")
+    if (
+        names_raw is None
+        or ba is None or ba.codec != E_EXTERNAL
+        or qs is None or qs.codec != E_EXTERNAL
+    ):
+        return None
+    bases_raw = streams_raw.get(ba.content_id)
+    quals_raw = streams_raw.get(qs.content_id)
+    base_total = int(rl.sum())
+    if (
+        bases_raw is None or quals_raw is None
+        or len(bases_raw) < base_total or len(quals_raw) < base_total
+    ):
+        return None
+    names = np.frombuffer(names_raw, np.uint8)
+    nuls = np.flatnonzero(names == 0)
+    if nuls.shape[0] < n:
+        return None
+    name_ends = nuls[:n].astype(np.int64)
+    name_starts = np.concatenate(
+        [np.zeros(1, np.int64), name_ends[:-1] + 1]
+    )
+    name_lens = name_ends - name_starts
+
+    # tag occurrences per TD line membership
+    td = compression["td"]
+    if (tl < 0).any() or (tl >= len(td)).any():
+        return None
+    tag_keys = []  # (key3 bytes, spans per occurrence, occurrence rank)
+    line_sets = [list(line) for line in td]
+    all_keys = []
+    for line in line_sets:
+        for key in line:
+            if key not in all_keys:
+                all_keys.append(key)
+    has_tag = {}
+    for key in all_keys:
+        member_lines = np.array(
+            [key in line for line in line_sets], bool
+        )
+        has_tag[key] = member_lines[tl]
+    occ = {}
+    for key in all_keys:
+        decoder = compression["tag_decoders"].get(
+            (key[0] << 16) | (key[1] << 8) | key[2]
+        )
+        if decoder is None or decoder.codec != E_BYTE_ARRAY_LEN:
+            return None
+        val_dec = decoder.val_decoder
+        len_dec = decoder.len_decoder
+        if val_dec.codec != E_EXTERNAL:
+            return None
+        raw = streams_raw.get(val_dec.content_id)
+        if raw is None:
+            return None
+        rows = np.flatnonzero(has_tag[key])
+        k = rows.shape[0]
+        if (
+            len_dec.codec == E_HUFFMAN
+            and getattr(len_dec, "symbol", None) is not None
+        ):
+            lens = np.full(k, len_dec.symbol, np.int64)
+            starts = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(lens)[:-1]]
+            )
+            if k and int(starts[-1] + lens[-1]) > len(raw):
+                return None
+        elif (
+            len_dec.codec == E_EXTERNAL
+            and len_dec.content_id == val_dec.content_id
+        ):
+            spans = _byte_array_len_spans(raw, k)
+            if spans is None:
+                return None
+            starts, lens = spans
+        elif len_dec.codec == E_EXTERNAL:
+            len_raw = streams_raw.get(len_dec.content_id)
+            if len_raw is None:
+                return None
+            try:
+                lens, _ = itf8_decode_vec(len_raw, k)
+            except IOError_:
+                return None
+            if (lens < 0).any():
+                return None
+            starts = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(lens)[:-1]]
+            )
+            if k and int(starts[-1] + lens[-1]) > len(raw):
+                return None
+        else:
+            return None
+        rank = np.zeros(n, np.int64)
+        rank[rows] = np.arange(k, dtype=np.int64)
+        occ[key] = (np.frombuffer(raw, np.uint8), starts, lens, rank)
+
+    # per-record aux size: line tags (3 + payload) then the RG block
+    aux_lens = np.zeros(n, np.int64)
+    for key in all_keys:
+        _, _, lens, rank = occ[key]
+        rows = np.flatnonzero(has_tag[key])
+        aux_lens[rows] += 3 + lens[rank[rows]]
+    rg_valid = (rg >= 0) & (rg < rg_starts.shape[0])
+    rg_index = np.where(rg_valid, rg, 0)
+    aux_lens += np.where(rg_valid, rg_lens[rg_index], 0)
+
+    # record framing
+    nib_lens = (rl + 1) // 2
+    body_lens = 32 + (name_lens + 1) + nib_lens + rl + aux_lens
+    rec_starts = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(4 + body_lens)[:-1]]
+    )
+    blob = np.zeros(int((4 + body_lens).sum()), np.uint8)
+
+    flags = bf.copy()
+    flags |= np.where(mf & 1, FLAG_MATE_REVERSED, 0)
+    flags |= np.where(mf & 2, FLAG_MATE_UNMAPPED, 0)
+
+    # fixed 32-byte headers via a structured view at rec_starts
+    head = np.zeros(
+        n,
+        dtype=np.dtype(
+            [
+                ("block_size", "<i4"), ("ref_id", "<i4"), ("pos", "<i4"),
+                ("l_read_name", "u1"), ("mapq", "u1"), ("bin", "<u2"),
+                ("n_cigar", "<u2"), ("flag", "<u2"), ("l_seq", "<i4"),
+                ("next_ref", "<i4"), ("next_pos", "<i4"), ("tlen", "<i4"),
+            ]
+        ),
+    )
+    head["block_size"] = body_lens
+    head["ref_id"] = -1
+    head["pos"] = -1
+    head["l_read_name"] = name_lens + 1
+    head["bin"] = 4680  # hts UNMAPPED_BIN
+    head["flag"] = flags
+    head["l_seq"] = rl
+    head["next_ref"] = ns
+    head["next_pos"] = np_ - 1
+    head["tlen"] = ts
+    head_bytes = np.frombuffer(head.tobytes(), np.uint8).reshape(n, 36)
+    idx36 = rec_starts[:, None] + np.arange(36, dtype=np.int64)[None, :]
+    blob[idx36.reshape(-1)] = head_bytes.reshape(-1)
+
+    # names (+ NUL already zero-initialized)
+    name_dst = rec_starts + 36
+    _copy_spans(blob, name_dst, names, name_starts, name_lens)
+
+    # sequence nibbles: flat ASCII bases -> BAM codes -> packed pairs
+    base_starts = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(rl)[:-1]]
+    )
+    codes_flat = ASCII_TO_BAM[
+        np.frombuffer(bases_raw, np.uint8, count=base_total)
+    ].astype(np.uint8)
+    nib_total = int(nib_lens.sum())
+    rec_of = np.repeat(np.arange(n, dtype=np.int64), nib_lens)
+    nib_ends = np.cumsum(nib_lens)
+    within = (
+        np.arange(nib_total, dtype=np.int64)
+        - np.repeat(nib_ends - nib_lens, nib_lens)
+    )
+    hi_idx = base_starts[rec_of] + 2 * within
+    hi = codes_flat[hi_idx].astype(np.uint8)
+    has_lo = 2 * within + 1 < rl[rec_of]
+    lo = np.where(has_lo, codes_flat[np.minimum(hi_idx + 1, base_total - 1)], 0)
+    nib = (hi << 4) | lo.astype(np.uint8)
+    seq_dst_base = name_dst + name_lens + 1
+    nib_dst = np.repeat(seq_dst_base, nib_lens) + within
+    blob[nib_dst] = nib
+
+    # qualities (raw phred bytes)
+    qual_dst = seq_dst_base + nib_lens
+    quals_flat = np.frombuffer(quals_raw, np.uint8, count=base_total)
+    _copy_spans(blob, qual_dst, quals_flat, base_starts, rl)
+
+    # aux: TD line tags in line order, then the RG block
+    running = qual_dst + rl
+    for line_index, line in enumerate(line_sets):
+        rows = np.flatnonzero(tl == line_index)
+        if rows.shape[0] == 0:
+            continue
+        for key in line:
+            stream_arr, starts, lens, rank = occ[key]
+            j = rank[rows]
+            key_arr = np.frombuffer(key, np.uint8)
+            dst = running[rows]
+            idx3 = dst[:, None] + np.arange(3, dtype=np.int64)[None, :]
+            blob[idx3.reshape(-1)] = np.tile(key_arr, rows.shape[0])
+            _copy_spans(blob, dst + 3, stream_arr, starts[j], lens[j])
+            running[rows] = dst + 3 + lens[j]
+    rg_rows = np.flatnonzero(rg_valid)
+    if rg_rows.shape[0]:
+        j = rg_index[rg_rows]
+        _copy_spans(
+            blob, running[rg_rows], rg_blob, rg_starts[j], rg_lens[j]
+        )
+    return blob.tobytes()
+
+
 # --- transcoding ------------------------------------------------------------
 
 
@@ -1960,20 +2361,143 @@ def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
 
 
 def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
-                level: int = 5) -> int:
-    """Transcode a CRAM back to BAM, preserving alignment placement."""
+                level: int = 5, threads: int = 1) -> int:
+    """Transcode a CRAM back to BAM, preserving alignment placement.
+
+    Detached-unmapped slices in the common demux layout (EXTERNAL /
+    constant series, NUL-stopped names, BYTE_ARRAY_LEN tags) assemble
+    whole blobs of binary BAM records vectorized (_slice_to_bam_blob:
+    pointer-jump ITF-8 decoding + span scatter); anything else — mapped
+    records, core bit codecs, shared streams — falls back to the
+    per-record decoder for that slice."""
     from .hts import BamWriter
 
-    header_text, references = read_cram_header(cram_path)
+    with open(cram_path, "rb") as stream:
+        buf = stream.read()
+    if buf[:4] != CRAM_MAGIC:
+        raise IOError_(f"{cram_path} is not a CRAM file")
+    if buf[4] != 3:
+        raise UnsupportedError(f"CRAM major version {buf[4]} not supported")
+    if reference is None:
+        reference = os.environ.get("PHENIQS_CRAM_REFERENCE")
+
+    offset = 26
+    rg_ids: list[str] = []
+    sq_names: list[str] = []
+    ref_source: _ReferenceSource | None = None
+    rg_blob = np.zeros(0, np.uint8)
+    rg_starts = np.zeros(0, np.int64)
+    rg_lens = np.zeros(0, np.int64)
+    first = True
     count = 0
-    with open(bam_path, "wb") as stream:
-        writer = BamWriter(
-            stream, header_text, level, references=references
-        )
-        for record in read_cram(cram_path, reference=reference):
-            writer.write_hts_record(record)
-            count += 1
-        writer.close()
+    writer = None
+    out = open(bam_path, "wb")
+    try:
+        while offset < len(buf):
+            _ref, n_records, _blocks, length, offset = (
+                _parse_container_header(buf, offset)
+            )
+            container_end = offset + length
+            if first:
+                content_type, _, raw, offset = read_block(buf, offset)
+                if content_type != FILE_HEADER:
+                    raise IOError_("CRAM: first block is not the SAM header")
+                (l_text,) = struct.unpack_from("<i", raw, 0)
+                header_text = raw[4 : 4 + l_text].decode()
+                references = []
+                for line in header_text.splitlines():
+                    if line.startswith("@RG"):
+                        for field in line.split("\t")[1:]:
+                            if field.startswith("ID:"):
+                                rg_ids.append(field[3:])
+                    elif line.startswith("@SQ"):
+                        name = None
+                        ln = 0
+                        for field in line.split("\t")[1:]:
+                            if field.startswith("SN:"):
+                                name = field[3:]
+                            elif field.startswith("LN:"):
+                                ln = int(field[3:])
+                        if name is not None:
+                            sq_names.append(name)
+                            references.append((name, ln))
+                ref_source = _ReferenceSource(reference, sq_names)
+                writer = BamWriter(
+                    out, header_text, level, threads=threads,
+                    references=references,
+                )
+                # pre-encoded `RGZ<name>\0` aux blocks per RG index
+                blocks = [
+                    b"RGZ" + name.encode() + b"\x00" for name in rg_ids
+                ]
+                rg_lens = np.array(
+                    [len(block) for block in blocks], np.int64
+                )
+                rg_starts = np.concatenate(
+                    [np.zeros(1, np.int64), np.cumsum(rg_lens)[:-1]]
+                ) if blocks else np.zeros(0, np.int64)
+                rg_blob = np.frombuffer(b"".join(blocks), np.uint8)
+                offset = container_end
+                first = False
+                continue
+            if n_records == 0:
+                offset = container_end
+                continue
+
+            content_type, _, raw, offset = read_block(buf, offset)
+            if content_type != COMPRESSION_HEADER:
+                raise IOError_("CRAM: expected compression header block")
+            compression_raw = raw
+
+            remaining = n_records
+            while remaining > 0 and offset < container_end:
+                content_type, _, raw, offset = read_block(buf, offset)
+                if content_type != SLICE_HEADER:
+                    raise IOError_("CRAM: expected slice header block")
+                (
+                    slice_ref, slice_start, slice_records, slice_blocks,
+                    embedded_ref_id,
+                ) = _parse_slice_header(raw)
+                raw_streams: dict[int, bytes] = {}
+                core = CoreBitReader()
+                for _ in range(slice_blocks):
+                    content_type, cid, raw2, offset = read_block(buf, offset)
+                    if content_type == EXTERNAL:
+                        raw_streams[cid] = raw2
+                    elif content_type == CORE:
+                        core = CoreBitReader(raw2)
+                # fresh decoder state per attempt: the fast path never
+                # mutates, the fallback consumes stateful stream offsets
+                compression = _parse_compression_header(compression_raw)
+                blob = _slice_to_bam_blob(
+                    compression, raw_streams, core, slice_records,
+                    slice_ref, rg_blob, rg_starts, rg_lens,
+                )
+                if blob is not None:
+                    writer.bgzf.write(blob)
+                else:
+                    embedded_reference = None
+                    if embedded_ref_id >= 0 and embedded_ref_id in raw_streams:
+                        embedded_reference = (
+                            slice_start,
+                            bytes(raw_streams[embedded_ref_id]),
+                        )
+                    streams = {
+                        cid: [raw2, 0] for cid, raw2 in raw_streams.items()
+                    }
+                    for record in _decode_slice(
+                        compression, streams, core, slice_records,
+                        slice_ref, slice_start, rg_ids, ref_source,
+                        embedded_reference,
+                    ):
+                        writer.write_hts_record(record)
+                count += slice_records
+                remaining -= slice_records
+            offset = container_end
+        if writer is not None:
+            writer.close()  # BGZF EOF + flush; the file closes below
+    finally:
+        out.close()
     return count
 
 

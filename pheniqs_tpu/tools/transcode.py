@@ -28,10 +28,17 @@ def main(argv=None) -> int:
         " $PHENIQS_CRAM_REFERENCE)",
     )
     parser.add_argument("--level", type=int, default=5)
+    parser.add_argument(
+        "--threads", type=int, default=None,
+        help="BGZF deflate workers for BAM output (default: core count)",
+    )
     arguments = parser.parse_args(argv)
+
+    import os
 
     from ..io.cram import bam_to_cram, cram_to_bam
 
+    threads = arguments.threads or os.cpu_count() or 1
     source = arguments.input.lower()
     target = arguments.output.lower()
     if source.endswith(".bam") and target.endswith(".cram"):
@@ -42,7 +49,7 @@ def main(argv=None) -> int:
     elif source.endswith(".cram") and target.endswith(".bam"):
         count = cram_to_bam(
             arguments.input, arguments.output, arguments.reference,
-            arguments.level,
+            arguments.level, threads=threads,
         )
     else:
         parser.error("expected in.bam out.cram or in.cram out.bam")

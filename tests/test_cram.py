@@ -305,6 +305,88 @@ def test_streamed_mixed_cram_and_sam_outputs(reference_root, tmp_path):
         assert mine.aux == theirs.aux
 
 
+def test_itf8_decode_vec_matches_scalar():
+    """The pointer-jump vectorized ITF-8 decoder must agree with itf8_get
+    across every length class, including negatives and 5-byte forms."""
+    from pheniqs_tpu.io.cram import itf8_decode_vec
+
+    rng = np.random.default_rng(17)
+    values = np.concatenate([
+        rng.integers(0, 0x80, 200),
+        rng.integers(0x80, 0x4000, 200),
+        rng.integers(0x4000, 0x200000, 200),
+        rng.integers(0x200000, 0x10000000, 200),
+        rng.integers(0x10000000, 0x7FFFFFFF, 200),
+        np.array([-1, -2, 0, 1, 0x7FFFFFFF, -2147483648]),
+    ])
+    rng.shuffle(values)
+    stream = b"".join(itf8_put(int(v)) for v in values)
+    decoded, consumed = itf8_decode_vec(stream, values.shape[0])
+    np.testing.assert_array_equal(decoded, values)
+    assert consumed == len(stream)
+
+
+def test_cram_to_bam_fast_path_matches_fallback(tmp_path, monkeypatch):
+    """The vectorized slice->BAM-blob assembly must produce record-level
+    identical output to the per-record fallback, on a CRAM with masked
+    multi-TD tags, rg=-1 rows, empty reads and odd lengths."""
+    from pheniqs_tpu.io import cram as cram_mod
+    from pheniqs_tpu.io.cram import CramWriter, cram_to_bam
+    from pheniqs_tpu.io.hts import read_bam
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    codes = np.array([1, 2, 4, 8, 15], np.uint8)
+    lengths = rng.integers(0, 61, n).astype(np.int64)
+    lengths[::97] = 0
+    w = 61
+    code = codes[rng.integers(5, size=(n, w))].astype(np.uint8)
+    qual = rng.integers(2, 42, (n, w)).astype(np.uint8)
+    names = [f"q{i}".encode() for i in range(n)]
+    flags = np.where(rng.random(n) < 0.5, 0x4D, 0x8E).astype(np.int64)
+    rg = np.where(rng.random(n) < 0.3, -1, rng.integers(0, 2, n))
+    xb = rng.random(n).astype(np.float32)
+    bc = np.frombuffer(b"ACGTACG" * n, np.uint8)[: n * 7].reshape(n, 7)
+    bc_mask = rng.random(n) < 0.7
+    fi = rng.integers(1, 4, n).astype(np.int32)
+    fi_mask = rng.random(n) < 0.4
+
+    path = tmp_path / "x.cram"
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, HEADER, level=4)
+        writer.write_batch(
+            names, flags, code, qual, lengths, rg,
+            [
+                (b"BC", "Z", bc, bc_mask),
+                (b"XB", "f", xb, None),
+                (b"FI", "i", fi, fi_mask),
+            ],
+        )
+        writer.close()
+
+    fast = tmp_path / "fast.bam"
+    assert cram_to_bam(str(path), str(fast)) == n
+    slow = tmp_path / "slow.bam"
+    monkeypatch.setattr(
+        cram_mod, "_slice_to_bam_blob",
+        lambda *args, **kwargs: None,
+    )
+    assert cram_to_bam(str(path), str(slow)) == n
+
+    got = list(read_bam(str(fast)))
+    want = list(read_bam(str(slow)))
+    assert len(got) == len(want) == n
+    for a, b in zip(got, want):
+        assert a.name == b.name
+        assert a.flag == b.flag
+        assert a.aux == b.aux
+        np.testing.assert_array_equal(a.code, b.code)
+        np.testing.assert_array_equal(a.quality, b.quality)
+        assert (a.ref_id, a.pos, a.next_ref, a.next_pos, a.tlen) == (
+            b.ref_id, b.pos, b.next_ref, b.next_pos, b.tlen
+        )
+
+
 # --- rANS 4x8 --------------------------------------------------------------
 
 from pheniqs_tpu.io.rans import rans_compress, rans_uncompress
