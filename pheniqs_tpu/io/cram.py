@@ -1930,13 +1930,13 @@ def _series_values(decoder, streams_raw, n):
     return None
 
 
-def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
-                       rg_blob, rg_starts, rg_lens):
-    """Assemble one detached-unmapped CRAM slice directly into a blob of
-    binary BAM records (vectorized; the transcode fast path). Returns
-    None when the slice does not match the demux layout — the caller
-    then uses the per-record decoder. `rg_*` describe pre-encoded
-    `RGZ<name>\\0` aux blocks per read-group index."""
+def _decode_detached_columns(compression, streams_raw, core, n_records,
+                             slice_ref, want_tags=True):
+    """Decode one detached-unmapped CRAM slice into whole-series columns
+    (vectorized: pointer-jump ITF-8 + span arithmetic). Returns None when
+    the slice does not match the demux layout — callers then use the
+    per-record decoder. With want_tags=False the tag series are skipped
+    (the ingest path never reads them)."""
     if slice_ref != -1 or core.buf or compression["td"] is None:
         return None
     if compression["ap_delta"] or not compression["rn_preserved"]:
@@ -2026,11 +2026,21 @@ def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
     )
     name_lens = name_ends - name_starts
 
+    columns = {
+        "bf": bf, "cf": cf, "rl": rl, "rg": rg, "mf": mf, "ns": ns,
+        "np": np_, "ts": ts, "tl": tl,
+        "name_starts": name_starts, "name_lens": name_lens,
+        "names": names,
+        "bases_raw": bases_raw, "quals_raw": quals_raw,
+        "base_total": base_total,
+    }
+
     # tag occurrences per TD line membership
     td = compression["td"]
     if (tl < 0).any() or (tl >= len(td)).any():
         return None
-    tag_keys = []  # (key3 bytes, spans per occurrence, occurrence rank)
+    if not want_tags:
+        return columns
     line_sets = [list(line) for line in td]
     all_keys = []
     for line in line_sets:
@@ -2097,6 +2107,36 @@ def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
         rank = np.zeros(n, np.int64)
         rank[rows] = np.arange(k, dtype=np.int64)
         occ[key] = (np.frombuffer(raw, np.uint8), starts, lens, rank)
+    columns["line_sets"] = line_sets
+    columns["all_keys"] = all_keys
+    columns["has_tag"] = has_tag
+    columns["occ"] = occ
+    return columns
+
+
+def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
+                       rg_blob, rg_starts, rg_lens):
+    """Assemble one detached-unmapped CRAM slice directly into a blob of
+    binary BAM records (vectorized; the transcode fast path). Returns
+    None when the slice does not match the demux layout. `rg_*` describe
+    pre-encoded `RGZ<name>\\0` aux blocks per read-group index."""
+    columns = _decode_detached_columns(
+        compression, streams_raw, core, n_records, slice_ref
+    )
+    if columns is None:
+        return None
+    n = n_records
+    bf, rl, rg = columns["bf"], columns["rl"], columns["rg"]
+    mf, ns, np_, ts, tl = (
+        columns["mf"], columns["ns"], columns["np"], columns["ts"],
+        columns["tl"],
+    )
+    names = columns["names"]
+    name_starts, name_lens = columns["name_starts"], columns["name_lens"]
+    bases_raw, quals_raw = columns["bases_raw"], columns["quals_raw"]
+    base_total = columns["base_total"]
+    line_sets, all_keys = columns["line_sets"], columns["all_keys"]
+    has_tag, occ = columns["has_tag"], columns["occ"]
 
     # per-record aux size: line tags (3 + payload) then the RG block
     aux_lens = np.zeros(n, np.int64)
@@ -2520,9 +2560,10 @@ class NativeCramReader:
     def __init__(self, path: str, phred_offset: int = 33, max_length: int = 512):
         from ..native import load
 
+        # lib-optional: without the C++ decoder every slice takes the
+        # Python path, which itself fast-paths the demux layout through
+        # the vectorized column decoder (_decode_detached_columns)
         self._lib = load()
-        if self._lib is None:
-            raise RuntimeError("native host library unavailable")
         self.max_length = max_length
         self._adapted = False
         with open(path, "rb") as stream:
@@ -2545,6 +2586,8 @@ class NativeCramReader:
         """Decode one slice natively; None -> caller uses the Python path."""
         import numpy as np
 
+        if self._lib is None:
+            return None
         if core.buf:  # core bit codecs -> python path
             return None
         series = compression["series"]
@@ -2686,6 +2729,47 @@ class NativeCramReader:
     def _python_slice(self, compression, streams, core, n_records,
                       slice_ref, slice_start):
         import numpy as np
+
+        columns = _decode_detached_columns(
+            compression,
+            {cid: entry[0] for cid, entry in streams.items()},
+            core, n_records, slice_ref, want_tags=False,
+        )
+        if columns is not None:
+            rl = columns["rl"]
+            n = n_records
+            w = max(int(rl.max(initial=1)), 1)
+            self.max_length = max(self.max_length, w)
+            code = np.zeros((n, w), dtype=np.uint8)
+            qual = np.zeros((n, w), dtype=np.uint8)
+            flat_codes = ASCII_TO_BAM[
+                np.frombuffer(
+                    columns["bases_raw"], np.uint8,
+                    count=columns["base_total"],
+                )
+            ]
+            flat_quals = np.frombuffer(
+                columns["quals_raw"], np.uint8, count=columns["base_total"]
+            )
+            base_starts = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(rl)[:-1]]
+            )
+            row_starts = np.arange(n, dtype=np.int64) * w
+            _copy_spans(code.reshape(-1), row_starts, flat_codes,
+                        base_starts, rl)
+            _copy_spans(qual.reshape(-1), row_starts, flat_quals,
+                        base_starts, rl)
+            name_lens = columns["name_lens"]
+            blob_arr = np.zeros(int(name_lens.sum()), np.uint8)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(name_lens, out=offsets[1:])
+            _copy_spans(blob_arr, offsets[:-1], columns["names"],
+                        columns["name_starts"], name_lens)
+            return (
+                code, qual, rl.astype(np.int32),
+                (columns["bf"] & 0x200) != 0,
+                blob_arr.tobytes(), offsets,
+            )
 
         records = list(
             _decode_slice(

@@ -441,21 +441,26 @@ def test_native_batch_reader_matches_read_cram(tmp_path):
         writer.close()
 
     expected = list(read_cram(str(path)))
-    reader = NativeCramReader(str(path))
-    position = 0
-    while True:
-        batch = reader.read_batch(1024)
-        if batch is None:
-            break
-        code, qual, length, qcfail, blob, offsets = batch
-        for i in range(code.shape[0]):
-            record = expected[position + i]
-            assert blob[offsets[i] : offsets[i + 1]] == record.name
-            n = int(length[i])
-            assert n == record.code.shape[0]
-            np.testing.assert_array_equal(code[i, :n], record.code)
-            np.testing.assert_array_equal(qual[i, :n], record.quality)
-            assert bool(qcfail[i]) == bool(record.flag & 0x200)
-        position += code.shape[0]
-    assert position == len(expected)
-    reader.close()
+    for force_python in (False, True):
+        reader = NativeCramReader(str(path))
+        if force_python:
+            # lib-optional mode: the vectorized Python column decoder
+            # (_decode_detached_columns) must match the C++ slice decoder
+            reader._lib = None
+        position = 0
+        while True:
+            batch = reader.read_batch(1024)
+            if batch is None:
+                break
+            code, qual, length, qcfail, blob, offsets = batch
+            for i in range(code.shape[0]):
+                record = expected[position + i]
+                assert blob[offsets[i] : offsets[i + 1]] == record.name
+                n = int(length[i])
+                assert n == record.code.shape[0]
+                np.testing.assert_array_equal(code[i, :n], record.code)
+                np.testing.assert_array_equal(qual[i, :n], record.quality)
+                assert bool(qcfail[i]) == bool(record.flag & 0x200)
+            position += code.shape[0]
+        assert position == len(expected)
+        reader.close()
