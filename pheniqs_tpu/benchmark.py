@@ -64,7 +64,7 @@ def synthesize_fastq_input(
         qcfail = np.zeros(n, dtype=np.uint8)
         for s, stream in enumerate(streams):
             code, qual, length = batch["segments"][s]
-            arena, _rec = fastq_format_batch(
+            rendered = fastq_format_batch(
                 names,
                 offsets,
                 qcfail,
@@ -75,7 +75,22 @@ def synthesize_fastq_input(
                 33,
                 None,
             )
-            stream.write(arena)
+            if rendered is not None:
+                stream.write(rendered[0])
+            else:
+                # native library unavailable (PHENIQS_NATIVE=0): render
+                # in Python — synthesis only, speed immaterial
+                from .iupac import BAM_TO_ASCII
+
+                seqs = BAM_TO_ASCII[code.astype(np.uint8) & 0xF]
+                phred = (qual.astype(np.uint8) + 33).astype(np.uint8)
+                out = bytearray()
+                for i in range(n):
+                    l = int(length[i])
+                    out += b"@" + name_list[i] + b"\n"
+                    out += seqs[i, :l].tobytes() + b"\n+\n"
+                    out += phred[i, :l].tobytes() + b"\n"
+                stream.write(bytes(out))
         written += n
         part += 1
     for stream in streams:
