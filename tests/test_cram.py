@@ -305,6 +305,80 @@ def test_streamed_mixed_cram_and_sam_outputs(reference_root, tmp_path):
         assert mine.aux == theirs.aux
 
 
+def test_streamed_split_cram_outputs_match_serial(tmp_path):
+    """Per-barcode split `.cram` outputs (one feed per channel) through
+    the streamed engine: every file must be byte-identical to the serial
+    run past its header container."""
+    rng = np.random.default_rng(31)
+    bases = "ACGT"
+    panel = []
+    while len(panel) < 4:
+        word = "".join(rng.choice(list(bases), size=8))
+        if word not in panel:
+            panel.append(word)
+    reads = tmp_path / "reads.fastq"
+    with open(reads, "w") as stream:
+        for i in range(3000):
+            word = list(panel[rng.integers(len(panel))]) + list(
+                rng.choice(list(bases), size=12)
+            )
+            for position in range(20):
+                if rng.random() < 0.02:
+                    word[position] = bases[rng.integers(4)]
+            qual = "".join(chr(int(q) + 33) for q in rng.integers(20, 40, 20))
+            stream.write(f"@r{i}\n{''.join(word)}\n+\n{qual}\n")
+
+    def run(threads, tag):
+        codec = {
+            f"@{w}": {
+                "barcode": [w],
+                "output": [str(tmp_path / f"{tag}_{w}.cram")],
+            }
+            for w in panel
+        }
+        config = {
+            "input": [str(reads)],
+            "template": {"transform": {"token": ["0::"]}},
+            "sample": {
+                "algorithm": "pamld",
+                "confidence threshold": 0.9,
+                "transform": {"token": ["0::8"]},
+                "codec": codec,
+                "undetermined": {
+                    "output": [str(tmp_path / f"{tag}_undet.cram")]
+                },
+            },
+            "output": [str(tmp_path / f"{tag}_undet.cram")],
+            "report url": "/dev/null",
+        }
+        path = tmp_path / f"{tag}.json"
+        path.write_text(json.dumps(config))
+        result = run_mux(
+            str(tmp_path),
+            ["--config", str(path), "--batch-size", "512",
+             "--threads", threads],
+        )
+        assert result.returncode == 0, result.stderr[-2000:]
+        return [f"{tag}_{w}.cram" for w in panel] + [f"{tag}_undet.cram"]
+
+    serial = run("1", "s")
+    streamed = run("3", "t")
+
+    from pheniqs_tpu.io.cram import _parse_container_header
+
+    def record_containers(path):
+        buf = (tmp_path / path).read_bytes()
+        _ref, _n, _blocks, length, offset = _parse_container_header(buf, 26)
+        return buf[offset + length:]
+
+    total = 0
+    for a, b in zip(serial, streamed):
+        ta, tb = record_containers(a), record_containers(b)
+        assert ta == tb, (a, b)
+        total += len(ta)
+    assert total > 0
+
+
 def test_itf8_decode_vec_matches_scalar():
     """The pointer-jump vectorized ITF-8 decoder must agree with itf8_get
     across every length class, including negatives and 5-byte forms."""
