@@ -1944,30 +1944,36 @@ def _decode_detached_columns(compression, streams_raw, core, n_records,
     series = compression["series"]
     n = n_records
 
-    # distinct content ids only: sharing a stream between series would
-    # interleave their tokens, which the whole-series decode cannot see
-    consumed_ids = []
-    for decoder in list(series.values()) + list(
-        compression["tag_decoders"].values()
-    ):
-        for leaf in (
-            (decoder,) if decoder.codec != E_BYTE_ARRAY_LEN
-            else (decoder.len_decoder, decoder.val_decoder)
-        ):
-            cid = getattr(leaf, "content_id", None)
-            if cid is not None:
-                consumed_ids.append(cid)
-    tag_ids = set()
+    # every consumed stream must belong to exactly one consumer: sharing
+    # a stream between series (or between two tags) would interleave
+    # their tokens, which the whole-series decode cannot see. The one
+    # supported interleave is a tag whose length and value ride the SAME
+    # stream (_byte_array_len_spans decodes that pairing).
+    seen_ids = set()
+
+    def claim(cid) -> bool:
+        if cid is None:
+            return True
+        if cid in seen_ids:
+            return False
+        seen_ids.add(cid)
+        return True
+
+    for decoder in series.values():
+        if not claim(getattr(decoder, "content_id", None)):
+            return None
     for decoder in compression["tag_decoders"].values():
-        for leaf in (decoder,) if decoder.codec != E_BYTE_ARRAY_LEN else (
-            decoder.len_decoder, decoder.val_decoder
-        ):
-            cid = getattr(leaf, "content_id", None)
-            if cid is not None:
-                tag_ids.add(cid)
-    fixed_ids = [cid for cid in consumed_ids if cid not in tag_ids]
-    if len(set(fixed_ids)) != len(fixed_ids):
-        return None
+        if decoder.codec != E_BYTE_ARRAY_LEN:
+            if not claim(getattr(decoder, "content_id", None)):
+                return None
+            continue
+        ids = {
+            getattr(decoder.len_decoder, "content_id", None),
+            getattr(decoder.val_decoder, "content_id", None),
+        } - {None}
+        for cid in ids:
+            if not claim(cid):
+                return None
 
     try:
         bf = _series_values(series.get(b"BF"), streams_raw, n)
@@ -2487,7 +2493,10 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
             content_type, _, raw, offset = read_block(buf, offset)
             if content_type != COMPRESSION_HEADER:
                 raise IOError_("CRAM: expected compression header block")
-            compression_raw = raw
+            # decoders are stateless (stream offsets live in the per-slice
+            # `streams` dicts), so one parse serves every slice and both
+            # decode paths
+            compression = _parse_compression_header(raw)
 
             remaining = n_records
             while remaining > 0 and offset < container_end:
@@ -2506,9 +2515,6 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
                         raw_streams[cid] = raw2
                     elif content_type == CORE:
                         core = CoreBitReader(raw2)
-                # fresh decoder state per attempt: the fast path never
-                # mutates, the fallback consumes stateful stream offsets
-                compression = _parse_compression_header(compression_raw)
                 blob = _slice_to_bam_blob(
                     compression, raw_streams, core, slice_records,
                     slice_ref, rg_blob, rg_starts, rg_lens,

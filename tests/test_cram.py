@@ -167,6 +167,17 @@ def test_demux_cram_output_and_input(reference_root, tmp_path):
     assert len(lines) == len(got)
 
 
+
+def record_containers(path):
+    """Bytes past a CRAM's header container (whose @PG CL line — or the
+    absence of one — legitimately differs between command lines)."""
+    from pheniqs_tpu.io.cram import _parse_container_header
+
+    buf = path.read_bytes() if hasattr(path, "read_bytes") else open(path, "rb").read()
+    _ref, _n, _blocks, length, offset = _parse_container_header(buf, 26)
+    return buf[offset + length:]
+
+
 def test_streamed_cram_output_byte_identical_to_serial(
     reference_root, tmp_path
 ):
@@ -187,18 +198,6 @@ def test_streamed_cram_output_byte_identical_to_serial(
              "--output", str(out), "--report", "/dev/null"],
         )
         assert result.returncode == 0, result.stderr[-2000:]
-
-    def record_containers(path):
-        """Bytes past the header container (whose @PG CL line legitimately
-        differs between the two command lines)."""
-        from pheniqs_tpu.io.cram import _parse_container_header
-
-        buf = path.read_bytes()
-        offset = 26  # magic + version + file id
-        _ref, _n, _blocks, length, offset = _parse_container_header(
-            buf, offset
-        )
-        return buf[offset + length:]
 
     tail = record_containers(serial)
     assert tail and tail == record_containers(streamed)
@@ -248,13 +247,6 @@ def test_fast_fidelity_streamed_cram_matches_serial(reference_root, tmp_path):
              "--output", str(out), "--report", "/dev/null"],
         )
         assert result.returncode == 0, result.stderr[-2000:]
-
-    from pheniqs_tpu.io.cram import _parse_container_header
-
-    def record_containers(path):
-        buf = path.read_bytes()
-        _ref, _n, _blocks, length, offset = _parse_container_header(buf, 26)
-        return buf[offset + length:]
 
     tail = record_containers(serial)
     assert tail and tail == record_containers(streamed)
@@ -364,16 +356,9 @@ def test_streamed_split_cram_outputs_match_serial(tmp_path):
     serial = run("1", "s")
     streamed = run("3", "t")
 
-    from pheniqs_tpu.io.cram import _parse_container_header
-
-    def record_containers(path):
-        buf = (tmp_path / path).read_bytes()
-        _ref, _n, _blocks, length, offset = _parse_container_header(buf, 26)
-        return buf[offset + length:]
-
     total = 0
     for a, b in zip(serial, streamed):
-        ta, tb = record_containers(a), record_containers(b)
+        ta, tb = record_containers(tmp_path / a), record_containers(tmp_path / b)
         assert ta == tb, (a, b)
         total += len(ta)
     assert total > 0

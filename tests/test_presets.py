@@ -19,9 +19,11 @@ def preset_cases():
             yield name, decoder_name
 
 
+CASES = list(preset_cases())
+
+
 @pytest.mark.parametrize(
-    "preset,decoder", list(preset_cases()),
-    ids=[f"{p}:{d}" for p, d in preset_cases()],
+    "preset,decoder", CASES, ids=[f"{p}:{d}" for p, d in CASES],
 )
 def test_preset_decoder_compiles_as_base(tmp_path, preset, decoder):
     from pheniqs_tpu.config.compiler import InstructionCompiler
