@@ -841,13 +841,30 @@ class CramWriter:
             np.asarray(record.code, dtype=np.uint8) & 0xF
         ].tobytes()
         quals = np.asarray(record.quality, dtype=np.uint8).tobytes()
-        aux = {k: v for k, v in record.aux.items() if k != "RG"}
+        if record.raw_tags is not None:
+            # verbatim pre-split tags (original types/widths, 'B' arrays
+            # intact); _split_aux passes lists through untouched
+            aux_payload = record.raw_tags
+        else:
+            aux_payload = encode_aux_dict(
+                {k: v for k, v in record.aux.items() if k != "RG"}
+            )
         rg = self.rg_index.get(record.aux.get("RG", ""), -1)
-        mapped = (
-            not record.flag & FLAG_UNMAPPED
-            and record.ref_id >= 0
-            and record.pos >= 0
-        )
+        # one predicate, shared with the reader (_decode_slice branches on
+        # FLAG_UNMAPPED alone): a record the flag calls mapped but whose
+        # coordinates say otherwise cannot be represented — the reader
+        # would expect a feature series — so it fails typed instead of
+        # desyncing the streams. Placed-unmapped records (FLAG_UNMAPPED
+        # set, ref_id/pos valid — standard unmapped mates in
+        # coordinate-sorted BAMs) keep their coordinates via the RI/AP
+        # series, as htslib does; their mapq is dropped (the MQ series
+        # only exists for mapped records — htslib drops it the same way).
+        mapped = not record.flag & FLAG_UNMAPPED
+        if mapped and (record.ref_id < 0 or record.pos < 0):
+            raise IOError_(
+                "BAM record flagged as mapped has no coordinates"
+                f" (ref_id={record.ref_id}, pos={record.pos})"
+            )
         features = None
         if mapped:
             features = _mapped_features(
@@ -856,9 +873,8 @@ class CramWriter:
             )
         self.pending.append((
             bytes(record.name), record.flag, l_seq, bases, quals,
-            encode_aux_dict(aux), rg,
-            record.ref_id if mapped else -1,
-            record.pos if mapped else -1,
+            aux_payload, rg,
+            record.ref_id, record.pos,
             record.mapq, features,
             record.next_ref, record.next_pos, record.tlen,
         ))
@@ -983,8 +999,11 @@ class CramWriter:
     def _flush_general(self, records):
         # mixed/mapped slices use the multi-reference layout (slice ref
         # -2 + an RI series per record); pure-unmapped slices keep the
-        # demux layout
+        # demux layout. Placed-unmapped records (ref_id >= 0 with
+        # FLAG_UNMAPPED) force the multi-ref layout so RI/AP carry their
+        # coordinates, but the feature series stay absent.
         has_mapped = any(entry[10] is not None for entry in records)
+        multi_ref = has_mapped or any(entry[7] >= 0 for entry in records)
 
         streams: dict[int, bytearray] = {cid: bytearray() for cid in CID.values()}
         tag_cids: dict[bytes, int] = {}
@@ -1015,10 +1034,10 @@ class CramWriter:
             mapped = features is not None
             streams[CID["BF"]] += itf8_put(flag)
             streams[CID["CF"]] += itf8_put(CF_QUALITY | CF_DETACHED)
-            if has_mapped:
+            if multi_ref:
                 streams[CID["RI"]] += itf8_put(ref_id)
             streams[CID["RL"]] += itf8_put(l_seq)
-            streams[CID["AP"]] += itf8_put(pos + 1 if mapped else 0)
+            streams[CID["AP"]] += itf8_put(pos + 1)
             streams[CID["RG"]] += itf8_put(rg)
             streams[CID["RN"]] += name + b"\x00"
             mf = (1 if flag & FLAG_MATE_REVERSED else 0) | (
@@ -1065,27 +1084,31 @@ class CramWriter:
                 streams[CID["QS"]] += quals
 
         self._emit_slice(
-            streams, tag_cids, td, len(records), base_count, has_mapped
+            streams, tag_cids, td, len(records), base_count, has_mapped,
+            multi_ref,
         )
 
     def _emit_slice(self, streams, tag_cids, td, n_records, base_count,
-                    has_mapped):
+                    has_mapped, multi_ref=None):
         """Compress the per-series byte streams and emit one
         container(compression header + slice) (CRAMv3 §8-9)."""
         self._emit_built(
             self._build_slice(
-                streams, tag_cids, td, n_records, base_count, has_mapped
+                streams, tag_cids, td, n_records, base_count, has_mapped,
+                multi_ref,
             )
         )
 
     def _build_slice(self, streams, tag_cids, td, n_records, base_count,
-                     has_mapped):
+                     has_mapped, multi_ref=None):
         """Everything in a slice-container that does NOT depend on the
         file's sequential record counter: compression header + compressed
         data blocks. The split lets render workers compress slices in
         parallel while the single writer stamps counters in raw batch
         order (_emit_built) — the CRAM analog of the worker-side BGZF
         chunks the BAM path streams (engine/stream.py WorkerFeed)."""
+        if multi_ref is None:
+            multi_ref = has_mapped
         # compression header
         preservation = _sized_map(
             [
@@ -1112,9 +1135,10 @@ class CramWriter:
             (b"BA", _external(CID["BA"])),
             (b"QS", _external(CID["QS"])),
         ]
+        if multi_ref:
+            series += [(b"RI", _external(CID["RI"]))]
         if has_mapped:
             series += [
-                (b"RI", _external(CID["RI"])),
                 (b"MQ", _external(CID["MQ"])),
                 (b"FN", _external(CID["FN"])),
                 (b"FC", _external(CID["FC"])),
@@ -1168,7 +1192,7 @@ class CramWriter:
             )
             for cid in external_ids
         ]
-        slice_ref = -2 if has_mapped else -1
+        slice_ref = -2 if multi_ref else -1
         return (
             slice_ref,
             n_records,
@@ -1239,10 +1263,11 @@ class CramPartBuilder(CramWriter):
         pass  # parent-owned
 
     def _emit_slice(self, streams, tag_cids, td, n_records, base_count,
-                    has_mapped):
+                    has_mapped, multi_ref=None):
         self.parts.append(
             self._build_slice(
-                streams, tag_cids, td, n_records, base_count, has_mapped
+                streams, tag_cids, td, n_records, base_count, has_mapped,
+                multi_ref,
             )
         )
 
@@ -1283,6 +1308,40 @@ def _parse_container_header(buf, offset):
         raise IOError_("CRAM container header CRC mismatch")
     offset += 4
     return ref_id, n_records, n_blocks, length, offset
+
+
+def _iter_containers(stream):
+    """Yield (ref_id, n_records, body_bytes) per CRAM container, reading
+    the stream incrementally so only one container is resident at a time
+    (production CRAMs run to tens of GB; the container framing is
+    sequential: parse one header, read exactly its length, repeat)."""
+    carry = b""
+    while True:
+        window = carry
+        header = None
+        while header is None:
+            try:
+                header = _parse_container_header(window, 0)
+            except (struct.error, IndexError):
+                chunk = stream.read(1 << 16)
+                if not chunk:
+                    if window:
+                        raise IOError_("truncated CRAM container header")
+                    return
+                window += chunk
+        ref_id, n_records, _n_blocks, length, body_start = header
+        body = window[body_start:]
+        missing = length - len(body)
+        if missing > 0:
+            rest = stream.read(missing)
+            if len(rest) < missing:
+                raise IOError_("truncated CRAM container")
+            body += rest
+            carry = b""
+        else:
+            carry = body[length:]
+            body = body[:length]
+        yield ref_id, n_records, body
 
 
 def _parse_map(buf):
@@ -1698,11 +1757,13 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
             read_int(b"NF")
         tl = read_int(b"TL")
         aux: dict = {}
+        raw_tags: list = []
         for key in td[tl]:
             raw_value = tag_decoders[
                 (key[0] << 16) | (key[1] << 8) | key[2]
             ].read_array(streams, core)
             aux[key[:2].decode()] = _decode_tag_value(chr(key[2]), raw_value)
+            raw_tags.append((bytes(key), bytes(raw_value)))
         if 0 <= rg < len(rg_ids):
             aux["RG"] = rg_ids[rg]
         if not bf & FLAG_UNMAPPED:
@@ -1759,6 +1820,7 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
                 ref_id=record_ref, pos=position - 1, mapq=mapq,
                 cigar=_cigar_from_features(rl, features),
                 next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+                raw_tags=raw_tags,
             )
             continue
         if cf & CF_NO_SEQ:
@@ -1773,9 +1835,15 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
                 ).copy()
             else:
                 quality = np.zeros(rl, dtype=np.uint8)
+        # placed-unmapped records (multi-ref slices) carry their
+        # coordinates through RI/AP; plain detached-unmapped slices have
+        # record_ref == -1 and AP == 0, which lands back on (-1, -1)
         yield HtsRecord(
             bytes(name), bf, code, quality, aux,
+            ref_id=record_ref if record_ref >= 0 else -1,
+            pos=position - 1 if record_ref >= 0 else -1,
             next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+            raw_tags=raw_tags,
         )
 
 
@@ -1798,6 +1866,11 @@ def _decode_tag_value(kind: str, raw: bytes):
         return struct.unpack("<I", raw)[0]
     if kind == "f":
         return struct.unpack("<f", raw)[0]
+    if kind == "B":
+        # array tags ride HtsRecord.raw_tags verbatim (subtype + count +
+        # data bytes, the BAM layout htslib stores in the series too);
+        # the lookup dict mirrors _parse_bam_aux and carries None
+        return None
     raise UnsupportedError(f"CRAM tag type {kind}")
 
 
@@ -2351,9 +2424,9 @@ def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
             )
             bases = pair[packed].reshape(-1)[:l_seq].tobytes()
             offset += nibbles
+            # missing-quality sentinel (all 0xFF) rides the QS series
+            # verbatim so the BAM->CRAM->BAM round trip stays faithful
             quals = body[offset : offset + l_seq]
-            if l_seq and quals[0] == 0xFF:
-                quals = bytes(l_seq)  # BAM missing-quality sentinel
             offset += l_seq
 
             # one walk over the raw aux: find RG, split the tag series
@@ -2381,6 +2454,15 @@ def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
                     else:
                         tags.append((aux[o : o + 3], aux[o + 3 : end + 1]))
                     o = end + 1
+                elif kind == 0x42:  # 'B' array: subtype + count + data
+                    sub_width = _AUX_WIDTH.get(aux[o + 3])
+                    if sub_width is None or aux[o + 3] == 0x41:
+                        supported = False
+                        break
+                    (n_items,) = struct.unpack_from("<I", aux, o + 4)
+                    width = 5 + sub_width * n_items
+                    tags.append((aux[o : o + 3], aux[o + 3 : o + 3 + width]))
+                    o += 3 + width
                 else:
                     width = _AUX_WIDTH.get(kind)
                     if width is None:
@@ -2418,16 +2500,19 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
     per-record decoder for that slice."""
     from .hts import BamWriter
 
-    with open(cram_path, "rb") as stream:
-        buf = stream.read()
-    if buf[:4] != CRAM_MAGIC:
+    stream = open(cram_path, "rb")
+    definition = stream.read(26)  # magic + version + file id
+    if definition[:4] != CRAM_MAGIC:
+        stream.close()
         raise IOError_(f"{cram_path} is not a CRAM file")
-    if buf[4] != 3:
-        raise UnsupportedError(f"CRAM major version {buf[4]} not supported")
+    if definition[4] != 3:
+        stream.close()
+        raise UnsupportedError(
+            f"CRAM major version {definition[4]} not supported"
+        )
     if reference is None:
         reference = os.environ.get("PHENIQS_CRAM_REFERENCE")
 
-    offset = 26
     rg_ids: list[str] = []
     sq_names: list[str] = []
     ref_source: _ReferenceSource | None = None
@@ -2439,11 +2524,9 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
     writer = None
     out = open(bam_path, "wb")
     try:
-        while offset < len(buf):
-            _ref, n_records, _blocks, length, offset = (
-                _parse_container_header(buf, offset)
-            )
-            container_end = offset + length
+        for _ref, n_records, buf in _iter_containers(stream):
+            offset = 0
+            container_end = len(buf)
             if first:
                 content_type, _, raw, offset = read_block(buf, offset)
                 if content_type != FILE_HEADER:
@@ -2483,11 +2566,9 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
                     [np.zeros(1, np.int64), np.cumsum(rg_lens)[:-1]]
                 ) if blocks else np.zeros(0, np.int64)
                 rg_blob = np.frombuffer(b"".join(blocks), np.uint8)
-                offset = container_end
                 first = False
                 continue
             if n_records == 0:
-                offset = container_end
                 continue
 
             content_type, _, raw, offset = read_block(buf, offset)
@@ -2539,10 +2620,10 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
                         writer.write_hts_record(record)
                 count += slice_records
                 remaining -= slice_records
-            offset = container_end
         if writer is not None:
             writer.close()  # BGZF EOF + flush; the file closes below
     finally:
+        stream.close()
         out.close()
     return count
 

@@ -209,7 +209,7 @@ class BamWriter:
             + packed_cigar
             + packed
             + qual
-            + encode_aux_dict(record.aux)
+            + encode_hts_aux(record)
         )
         self.bgzf.write(struct.pack("<i", len(body)) + body)
 
@@ -281,6 +281,24 @@ def encode_aux_dict(aux: dict) -> bytes:
             out.append(ord("Z"))
             out.extend(str(value).encode())
             out.append(0)
+    return bytes(out)
+
+
+def encode_hts_aux(record) -> bytes:
+    """The BAM aux block of an HtsRecord: the verbatim raw split when the
+    record carries one (plus RG from the dict — RG rides a dedicated CRAM
+    series, so transcoders re-add it here), else the dict re-encode."""
+    if record.raw_tags is None:
+        return encode_aux_dict(record.aux)
+    out = bytearray()
+    for key, value in record.raw_tags:
+        out.extend(key)
+        out.extend(value)
+    rg = record.aux.get("RG")
+    if rg is not None:
+        out.extend(b"RGZ")
+        out.extend(str(rg).encode())
+        out.append(0)
     return bytes(out)
 
 
@@ -393,12 +411,12 @@ class HtsRecord:
     __slots__ = (
         "name", "flag", "code", "quality", "aux",
         "ref_id", "pos", "mapq", "cigar",
-        "next_ref", "next_pos", "tlen",
+        "next_ref", "next_pos", "tlen", "raw_tags",
     )
 
     def __init__(self, name, flag, code, quality, aux,
                  ref_id=-1, pos=-1, mapq=0, cigar=None,
-                 next_ref=-1, next_pos=-1, tlen=0):
+                 next_ref=-1, next_pos=-1, tlen=0, raw_tags=None):
         self.name = name  # bytes
         self.flag = flag
         self.code = code  # np.uint8 BAM nibble codes
@@ -411,6 +429,10 @@ class HtsRecord:
         self.next_ref = next_ref
         self.next_pos = next_pos
         self.tlen = tlen
+        # verbatim aux split [(key3, value_bytes)], RG excluded;
+        # authoritative for re-encoding when present (the dict is lossy:
+        # 'B' arrays, 'A' chars and small-int widths do not survive it)
+        self.raw_tags = raw_tags
 
     @property
     def qcfail(self) -> bool:
@@ -428,42 +450,65 @@ class HtsRecord:
         return 1
 
 
-def _parse_bam_aux(buffer: bytes) -> dict:
+def _parse_bam_aux(buffer: bytes) -> tuple[dict, list]:
+    """One walk over a raw BAM aux block -> (lookup dict, raw tag split).
+
+    The dict carries decoded values for consumers that look tags up
+    (RG/TC/BC…; 'B' array tags decode to None there). The raw split is
+    [(key3, value_bytes)] with RG excluded and every value verbatim —
+    original integer widths, 'A' vs 'Z' types, and 'B' arrays intact — so
+    transcoders re-emit the block faithfully instead of re-deriving it
+    from the lossy dict (the reference keeps the whole bam1_t blob,
+    hts.h:42-299)."""
     aux = {}
+    raw: list = []
     offset = 0
     size = len(buffer)
     while offset + 3 <= size:
-        tag = buffer[offset : offset + 2].decode()
-        kind = chr(buffer[offset + 2])
+        key = buffer[offset : offset + 3]
+        tag = key[:2].decode()
+        kind = chr(key[2])
         offset += 3
         if kind == "Z" or kind == "H":
             end = buffer.index(0, offset)
             aux[tag] = buffer[offset:end].decode()
+            value = buffer[offset : end + 1]
             offset = end + 1
         elif kind == "A":
             aux[tag] = chr(buffer[offset])
+            value = buffer[offset : offset + 1]
             offset += 1
         elif kind in "cC":
             aux[tag] = struct.unpack_from("<b" if kind == "c" else "<B", buffer, offset)[0]
+            value = buffer[offset : offset + 1]
             offset += 1
         elif kind in "sS":
             aux[tag] = struct.unpack_from("<h" if kind == "s" else "<H", buffer, offset)[0]
+            value = buffer[offset : offset + 2]
             offset += 2
         elif kind in "iI":
             aux[tag] = struct.unpack_from("<i" if kind == "i" else "<I", buffer, offset)[0]
+            value = buffer[offset : offset + 4]
             offset += 4
         elif kind == "f":
             aux[tag] = struct.unpack_from("<f", buffer, offset)[0]
+            value = buffer[offset : offset + 4]
             offset += 4
         elif kind == "B":
             sub = chr(buffer[offset])
             count = struct.unpack_from("<I", buffer, offset + 1)[0]
             widths = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
-            offset += 5 + widths[sub] * count
-            aux[tag] = None  # array tags not needed downstream
+            width = widths.get(sub)
+            if width is None:
+                raise IOError_(f"unsupported BAM aux array subtype {sub}")
+            value = buffer[offset : offset + 5 + width * count]
+            offset += 5 + width * count
+            aux[tag] = None  # array tags ride raw_tags, not the dict
         else:
             raise IOError_(f"unsupported BAM aux type {kind}")
-    return aux
+        if tag != "RG":
+            raw.append((bytes(key), bytes(value)))
+    return aux, raw
 
 
 #: BAM seq nibble -> code for the high/low halves, vectorized unpack tables
@@ -506,6 +551,13 @@ def iter_bam_record_bodies(path: str):
                 buffer = buffer[position:] + chunk
                 position = 0
             (block_size,) = struct.unpack_from("<i", buffer, position)
+            # mirror the native reader's plausibility gate: a corrupt or
+            # negative size must fail typed, not walk backwards or buffer
+            # unbounded memory (fixed record prefix is 32 bytes)
+            if block_size < 32 or block_size > 1 << 28:
+                raise IOError_(
+                    f"implausible BAM record size {block_size} in {path}"
+                )
             while len(buffer) - position - 4 < block_size:
                 chunk = stream.read(max(1 << 20, block_size))
                 if not chunk:
@@ -541,17 +593,20 @@ def record_from_bam_body(body: bytes) -> HtsRecord:
     code[0::2] = _HI[packed][: (l_seq + 1) // 2]
     code[1::2] = _LO[packed][: l_seq // 2]
     offset += (l_seq + 1) // 2
+    # the BAM missing-quality sentinel (all bytes 0xFF) passes through
+    # verbatim: transcoders re-emit it so BAM->CRAM->BAM preserves '*'
+    # qualities (htslib keeps the sentinel the same way); rewriting to
+    # zeros here would silently turn missing into phred 0
     quality = np.frombuffer(
         body, dtype=np.uint8, count=l_seq, offset=offset
     ).copy()
-    if l_seq and quality[0] == 0xFF:
-        quality = np.zeros(l_seq, dtype=np.uint8)
     offset += l_seq
-    aux = _parse_bam_aux(body[offset:])
+    aux, raw_tags = _parse_bam_aux(body[offset:])
     return HtsRecord(
         bytes(name), flag, code, quality, aux,
         ref_id=ref_id, pos=pos, mapq=mapq, cigar=cigar,
         next_ref=next_ref, next_pos=next_pos, tlen=tlen,
+        raw_tags=raw_tags,
     )
 
 

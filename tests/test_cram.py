@@ -1044,3 +1044,141 @@ def test_write_batch_masked_multislice_round_trip(tmp_path):
             assert aux["BC"] == "TGCAGAT"
         if has_xb[i]:
             assert abs(aux["XB"] - float(xb[i])) < 1e-7
+
+
+def _aux_block_of(body: bytes) -> bytes:
+    """The raw aux bytes of a BAM record body."""
+    (
+        _ref, _pos, l_read_name, _mapq, _bin, n_cigar, _flag,
+        l_seq, _nref, _npos, _tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    offset = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    return body[offset:]
+
+
+def test_transcode_preserves_aux_types_and_arrays(tmp_path):
+    """BAM->CRAM->BAM keeps the aux block byte-identical: 'B' arrays,
+    'A' chars, small-int widths ('c'/'s'/'S'), floats, and missing
+    qualities (all-0xFF) all survive (ADVICE r3: the dict re-encode
+    dropped arrays, retyped 'A' as 'Z' and widened ints)."""
+    from pheniqs_tpu.io.cram import bam_to_cram, cram_to_bam
+    from pheniqs_tpu.io.hts import HtsRecord, iter_bam_record_bodies
+
+    raw_tags = [
+        (b"XAA", b"Q"),                                   # char
+        (b"XBB", b"c" + struct.pack("<I", 3) + b"\x01\xfe\x7f"),  # array
+        (b"XCc", struct.pack("<b", -5)),                  # int8
+        (b"XSs", struct.pack("<h", -300)),                # int16
+        (b"XUS", struct.pack("<H", 40000)),               # uint16
+        (b"XFf", struct.pack("<f", 0.25)),                # float
+        (b"XZZ", b"hello\x00"),                           # string
+        (b"XIB", b"I" + struct.pack("<I", 2)
+         + struct.pack("<II", 7, 1 << 31)),               # uint32 array
+    ]
+    code = np.array([1, 2, 4, 8], dtype=np.uint8)
+    records = [
+        HtsRecord(b"r0", 0x4, code, np.array([30, 31, 32, 33], np.uint8),
+                  {"RG": "BDGGG:1:AGGCATG"}, raw_tags=raw_tags),
+        # missing-quality sentinel: all 0xFF must round-trip
+        HtsRecord(b"r1", 0x4, code, np.full(4, 0xFF, np.uint8),
+                  {}, raw_tags=[(b"NMi", struct.pack("<i", 2))]),
+    ]
+    bam1 = tmp_path / "in.bam"
+    with open(bam1, "wb") as stream:
+        writer = BamWriter(stream, HEADER, 5)
+        for record in records:
+            writer.write_hts_record(record)
+        writer.close()
+    cram = tmp_path / "mid.cram"
+    assert bam_to_cram(str(bam1), str(cram)) == 2
+    bam2 = tmp_path / "out.bam"
+    assert cram_to_bam(str(cram), str(bam2)) == 2
+
+    first = list(iter_bam_record_bodies(str(bam1)))
+    second = list(iter_bam_record_bodies(str(bam2)))
+    assert len(first) == len(second) == 2
+    for a, b in zip(first, second):
+        assert _aux_block_of(bytes(a)) == _aux_block_of(bytes(b))
+    # and the quality sentinel survived verbatim
+    back = list(read_bam(str(bam2)))
+    np.testing.assert_array_equal(
+        back[1].quality, np.full(4, 0xFF, np.uint8)
+    )
+
+
+def test_transcode_preserves_placed_unmapped(tmp_path):
+    """Placed-unmapped records (FLAG_UNMAPPED with valid coordinates —
+    unmapped mates in coordinate-sorted BAMs) keep ref_id/pos through
+    BAM->CRAM->BAM via the multi-ref RI/AP series (ADVICE r3: the old
+    gate silently dropped them to -1/-1)."""
+    from pheniqs_tpu.io.cram import bam_to_cram, cram_to_bam, read_cram
+
+    header = (
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chr1\tLN:1000\n"
+    )
+    from pheniqs_tpu.io.hts import HtsRecord
+
+    code = np.array([1, 2, 4, 8], dtype=np.uint8)
+    qual = np.array([30, 31, 32, 33], dtype=np.uint8)
+    placed = HtsRecord(
+        b"placed", 0x1 | 0x4 | 0x40, code, qual, {},
+        ref_id=0, pos=141, next_ref=0, next_pos=141, tlen=0,
+    )
+    plain = HtsRecord(b"plain", 0x4, code, qual, {})
+    bam1 = tmp_path / "in.bam"
+    with open(bam1, "wb") as stream:
+        writer = BamWriter(
+            stream, header, references=[("chr1", 1000)]
+        )
+        writer.write_hts_record(placed)
+        writer.write_hts_record(plain)
+        writer.close()
+    cram = tmp_path / "mid.cram"
+    assert bam_to_cram(str(bam1), str(cram)) == 2
+    got = list(read_cram(str(cram)))
+    assert got[0].ref_id == 0 and got[0].pos == 141
+    assert got[0].flag & 0x4
+    assert got[1].ref_id == -1 and got[1].pos == -1
+    bam2 = tmp_path / "out.bam"
+    assert cram_to_bam(str(cram), str(bam2)) == 2
+    back = list(read_bam(str(bam2)))
+    assert back[0].ref_id == 0 and back[0].pos == 141
+    assert back[0].next_ref == 0 and back[0].next_pos == 141
+    assert back[1].ref_id == -1 and back[1].pos == -1
+
+
+def test_cram_writer_rejects_contradictory_mapped_flag(tmp_path):
+    """A record whose flag says mapped but whose coordinates say not
+    cannot be represented (the reader branches on the flag alone and
+    would expect a feature series): typed error, not stream desync."""
+    import io
+
+    from pheniqs_tpu.errors import IOError_
+    from pheniqs_tpu.io.hts import HtsRecord
+
+    writer = CramWriter(io.BytesIO(), HEADER, level=5)
+    bad = HtsRecord(
+        b"bad", 0x0, np.array([1], np.uint8), np.array([30], np.uint8), {},
+        ref_id=-1, pos=-1,
+    )
+    with pytest.raises(IOError_):
+        writer.write_hts_record(bad)
+
+
+def test_bam_reader_rejects_implausible_block_size(tmp_path):
+    """A corrupt/negative record length fails typed instead of walking
+    the buffer backwards or allocating unbounded memory."""
+    import gzip as _gzip
+
+    from pheniqs_tpu.errors import IOError_
+    from pheniqs_tpu.io.hts import iter_bam_record_bodies
+
+    body = (
+        b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
+        + struct.pack("<i", -8)
+    )
+    path = tmp_path / "corrupt.bam"
+    path.write_bytes(_gzip.compress(body))
+    with pytest.raises(IOError_):
+        list(iter_bam_record_bodies(str(path)))
