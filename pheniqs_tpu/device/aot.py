@@ -38,7 +38,7 @@ import time
 
 import numpy as np
 
-__all__ = ["aot_jit", "aot_cache_dir", "semantic_key"]
+__all__ = ["aot_jit", "aot_cache_dir", "cpu_fingerprint", "semantic_key"]
 
 
 def _trace(message: str):
@@ -63,22 +63,36 @@ def aot_cache_dir() -> str | None:
     return os.path.join(base, "aot")
 
 
-def _cpu_fingerprint() -> str:
-    """The host CPU's identity as XLA:CPU sees it: ISA feature flags (the
-    machine attributes baked into AOT artifacts) plus the arch."""
+def cpu_fingerprint() -> str:
+    """The host CPU's identity as XLA:CPU sees it: ISA feature flags plus
+    the model identity. The model lines matter as much as the flags —
+    XLA:CPU bakes LLVM tuning attributes derived from the CPU *model*
+    (``+prefer-no-gather`` etc., cpu_aot_loader.cc) into AOT artifacts,
+    so two hosts with identical cpuinfo flags can still produce
+    incompatible executables (observed in the round-3 multichip dryrun:
+    the loader warned a cached artifact may SIGILL)."""
     import platform as platform_mod
 
     flags = ""
+    identity: dict[str, str] = {}
+    wanted = ("model name", "vendor_id", "cpu family", "model",
+              "stepping", "CPU implementer", "CPU part")
     try:
         with open("/proc/cpuinfo") as stream:
             for line in stream:
+                if not line.strip():
+                    break  # first processor block read; the rest repeat
+                key, _, value = line.partition(":")
+                key = key.strip()
                 # x86 spells it "flags", aarch64 "Features"
-                if line.startswith(("flags", "Features")):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                if key in ("flags", "Features"):
+                    flags = " ".join(sorted(value.split()))
+                elif key in wanted and key not in identity:
+                    identity[key] = value.strip()
     except OSError:
         pass
-    return platform_mod.machine() + "|" + flags
+    model = ";".join(f"{k}={v}" for k, v in sorted(identity.items()))
+    return platform_mod.machine() + "|" + model + "|" + flags
 
 
 def semantic_key(fn, specs_tree) -> str:
@@ -96,7 +110,7 @@ def semantic_key(fn, specs_tree) -> str:
         # (avx512 etc.); loading one on a host with different features
         # logs loudly and can SIGILL — key on a host fingerprint so a
         # moved cache recompiles instead
-        digest.update(_cpu_fingerprint().encode())
+        digest.update(cpu_fingerprint().encode())
     leaves, treedef = jax.tree.flatten(specs_tree)
     digest.update(str(treedef).encode())
     for leaf in leaves:

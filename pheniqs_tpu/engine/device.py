@@ -41,7 +41,16 @@ def enable_compilation_cache():
     the axon remote-compile service: the first process pays the cold
     remote compile (minutes on a loaded service), every later process
     starts in seconds — production deployments should always run with
-    this on."""
+    this on.
+
+    On the CPU backend the cached entries are serialized XLA:CPU
+    executables with the compile machine's LLVM feature set baked in
+    (``+prefer-no-gather`` etc., derived from the CPU model); loading one
+    on a different host logs a may-SIGILL warning from cpu_aot_loader and
+    is a genuine correctness hazard — so the CPU cache lives under a
+    host-fingerprint subdirectory: a moved cache recompiles instead of
+    loading a foreign executable. TPU executables target the chip, not
+    the host, and stay unscoped."""
     path = os.environ.get(
         "PHENIQS_COMPILE_CACHE",
         os.path.expanduser("~/.cache/pheniqs_tpu_xla"),
@@ -49,8 +58,17 @@ def enable_compilation_cache():
     if not path or path == "0":
         return
     try:
+        import hashlib
+
         import jax
 
+        if jax.default_backend() == "cpu":
+            from ..device.aot import cpu_fingerprint
+
+            scope = hashlib.sha256(
+                cpu_fingerprint().encode()
+            ).hexdigest()[:12]
+            path = os.path.join(path, f"host-{scope}")
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

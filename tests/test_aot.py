@@ -140,3 +140,45 @@ def test_engine_decode_step_through_store(tmp_path, monkeypatch):
     step2 = aot_jit(fn, specs, label="decode")
     packed2, _ = step2(x)
     np.testing.assert_array_equal(packed2["blob"], packed_ref["blob"])
+
+
+def test_semantic_key_sensitive_to_cpu_fingerprint(monkeypatch):
+    """A different host CPU identity must force a recompile on the CPU
+    backend (XLA:CPU artifacts bake model-derived LLVM tuning attributes
+    like +prefer-no-gather that /proc/cpuinfo flags alone don't capture —
+    the round-3 dryrun loaded a foreign artifact XLA warned may SIGILL)."""
+    from pheniqs_tpu.device import aot
+
+    base = semantic_key(_make_fn(1.0), SPECS)
+    monkeypatch.setattr(
+        aot, "cpu_fingerprint", lambda: "other-machine|model=99|flags"
+    )
+    assert semantic_key(_make_fn(1.0), SPECS) != base
+
+
+def test_cpu_fingerprint_carries_model_identity():
+    from pheniqs_tpu.device.aot import cpu_fingerprint
+
+    value = cpu_fingerprint()
+    arch, model, flags = value.split("|")
+    assert arch  # platform.machine()
+    if os.path.exists("/proc/cpuinfo"):
+        # on x86 both the model identity and the flag list must be there
+        assert "=" in model or flags
+
+
+def test_compile_cache_dir_host_scoped_on_cpu(monkeypatch, tmp_path):
+    """The persistent XLA cache stores serialized CPU executables; a
+    cache dir shared between hosts must not hand one host the other's
+    executable — the CPU cache lives under a host-fingerprint subdir."""
+    import hashlib
+
+    from pheniqs_tpu.device.aot import cpu_fingerprint
+    from pheniqs_tpu.engine.device import enable_compilation_cache
+
+    monkeypatch.setenv("PHENIQS_COMPILE_CACHE", str(tmp_path))
+    enable_compilation_cache()
+    assert jax.default_backend() == "cpu"  # conftest forces the CPU mesh
+    configured = jax.config.jax_compilation_cache_dir
+    scope = hashlib.sha256(cpu_fingerprint().encode()).hexdigest()[:12]
+    assert configured == str(tmp_path / f"host-{scope}")
