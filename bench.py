@@ -80,12 +80,13 @@ def _probe_accelerator() -> str:
 
 
 def main_e2e():
-    # pin the benchmark to the MEASURED wire lane (v3 sensed quality
-    # codebook, 510k steady over 20M reads — BASELINE.md): `auto` would
-    # pick the narrower joint-4-bit lane, which is committed but still
-    # unmeasured on the real chip (tunnel outage). Explicit
-    # PHENIQS_QUAL_WIRE wins, so the j4 A/B run just sets it.
-    os.environ.setdefault("PHENIQS_QUAL_WIRE", "2")
+    # pin the benchmark to the measured wire-ladder winner: the round-4
+    # 20M-read alternating A/B on the v5e put j4 (joint 4-bit pair lane,
+    # 26 B/read) above v3 (2-bit quality lane, 37 B/read) on every
+    # per-batch median (629/544/453k vs 561/383/425k) and 2 of 3 steady
+    # windows (BASELINE.md round-4 wire matrix). Explicit
+    # PHENIQS_QUAL_WIRE wins, so future A/B runs just set it.
+    os.environ.setdefault("PHENIQS_QUAL_WIRE", "j4")
     try:
         platform = _probe_accelerator()
     except Exception:
