@@ -155,6 +155,45 @@ class _TimedMixin:
         self._note_batch(batch)
 
 
+class _NullDeviceMixin:
+    """Replace the accelerator with an instant decision fabricator so the
+    FULL production streamed host path runs unchanged — native parse ->
+    input filters -> wire pack -> SHM worker staging -> decision apply ->
+    render workers -> ordered single-owner writer. The measured number is
+    the host-pipeline ceiling: the rate one host can feed a chip
+    (the reference names host I/O as the demultiplexing wall,
+    reference docs/configuration.md:20). Decisions spread reads across
+    the barcode panel so tag rendering costs what production costs."""
+
+    def _dispatch(self, batch, packed=None):
+        if packed is None:
+            packed = self._pack_batch(batch)  # keep the real wire-pack cost
+        return None
+
+    def _classify_batch_on_device(self, batch):
+        n = batch.size
+        cycle = np.arange(n, dtype=np.int64)
+        results = []
+        for dec in self.instrument.decoders:
+            b = dec.barcode_count
+            if dec.algorithm in ("pamld", "mdd") and b:
+                decoded = ((cycle % b) + 1).astype(np.int32)
+                confidence = np.full(n, 0.99951171875, dtype=np.float64)
+            else:
+                decoded = np.zeros(n, dtype=np.int32)
+                confidence = np.zeros(n, dtype=np.float64)
+            results.append(
+                {
+                    "decoded": decoded,
+                    "confidence": confidence,
+                    "qcfail": batch.qcfail.copy(),
+                }
+            )
+        self._batch_rows = np.empty(0, dtype=np.int64)
+        self._rows_qcfail = np.empty(0, dtype=bool)
+        return results
+
+
 def run_e2e(
     paths: list[str],
     output_url: str,
@@ -182,6 +221,15 @@ def run_e2e(
                 pass
 
             engine = Engine(ontology)
+    elif fidelity == "null":
+        # host-pipeline ceiling: the streamed device engine with the
+        # accelerator replaced by _NullDeviceMixin's fabricator
+        from .engine.device import StreamedDeviceEngine
+
+        class Engine(_TimedMixin, _NullDeviceMixin, StreamedDeviceEngine):
+            pass
+
+        engine = Engine(ontology, hybrid=False, workers=max(1, threads - 1))
     else:
         from .engine.device import DeviceEngine, StreamedDeviceEngine
 

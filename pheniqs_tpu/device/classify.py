@@ -30,6 +30,7 @@ from .instrument import (
     UNIFORM_BASE_QUALITY,
     _distance_by_gather,
     analytic_tpq,
+    match4_from_codes,
     match16_from_codes,
 )
 
@@ -490,7 +491,15 @@ def pamld_classify_device(
         best_p = prior_adjusted.max(axis=1)
         # first max wins, matching the strict `p > best` update rule
         best0 = jnp.argmax(prior_adjusted, axis=1).astype(jnp.int32)
-        sigma_decoded = jnp.take_along_axis(sigma_q, best0[:, None], axis=1)[:, 0]
+        # decoded-column pick as a masked reduce, NOT take_along_axis:
+        # the (N, B) gather measured 21 ms at N=1M on v5e where this
+        # one fused select+sum pass costs ~3 ms — and it is bit-exact
+        # (every other lane contributes +0.0, which is exact in IEEE)
+        best_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, sigma_q.shape, 1)
+            == best0[:, None]
+        )
+        sigma_decoded = jnp.where(best_mask, sigma_q, 0.0).sum(axis=1)
         if want_uncertain:
             second_p = _second_max(prior_adjusted, best0)
 
@@ -513,31 +522,55 @@ def pamld_classify_device(
         and dec.barcode_count <= LARGE_PANEL_B
         and not _distance_by_gather()
     ):
+        # strict panels (the overwhelmingly common case) contract a
+        # 4-class observed one-hot against panel_match4 — code equality
+        # with a strict expected base implies a strict observed base, so
+        # the counts are identical to the 16-class contraction at a
+        # quarter of the one-hot HBM traffic (the round-4 v5e profile
+        # put the 16-wide build+contraction at 32 ms/decoder at N=1M)
+        match4 = dec.panel_match4
         match16 = dec.panel_match16
-        if match16 is None:
+        if match4 is None and match16 is None:
             # forced to the contraction path after an instrument compile
-            # that skipped the matrix (CPU default): rebuild it here
-            match16 = match16_from_codes(np.asarray(dec.panel_codes))
-        onehot_o = jax.nn.one_hot(obs_code, 16, dtype=jnp.float32)
-        match = jnp.dot(
-            onehot_o.reshape(n, w * 16),
-            match16,
-            preferred_element_type=jnp.float32,
-        )  # (N, B) per-position match counts
-        match_best = jnp.take_along_axis(match, best0[:, None], axis=1)[:, 0]
+            # that skipped the matrices (CPU default): rebuild here
+            host_codes = np.asarray(dec.panel_codes)
+            match4 = match4_from_codes(host_codes)
+            if match4 is None:
+                match16 = match16_from_codes(host_codes)
+        if match4 is not None:
+            onehot_o = jnp.stack(
+                [(obs_code == c).astype(jnp.float32) for c in (1, 2, 4, 8)],
+                axis=-1,
+            )  # ungated: distance counts q==0 positions too
+            match = jnp.dot(
+                onehot_o.reshape(n, w * 4),
+                match4,
+                preferred_element_type=jnp.float32,
+            )  # (N, B) per-position match counts
+        else:
+            onehot_o = jax.nn.one_hot(obs_code, 16, dtype=jnp.float32)
+            match = jnp.dot(
+                onehot_o.reshape(n, w * 16),
+                match16,
+                preferred_element_type=jnp.float32,
+            )
+        pick_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
+            == best0[:, None]
+        )
+        match_best = jnp.where(pick_mask, match, 0.0).sum(axis=1)
         raw_distance = (jnp.float32(w) - match_best).astype(jnp.int32)
         if need_hq:
             hq_mask = (obs_qual >= dec.high_quality_threshold).astype(
                 jnp.float32
             )
+            hq_cols = 4 if match4 is not None else 16
             hq_match = jnp.dot(
-                (onehot_o * hq_mask[..., None]).reshape(n, w * 16),
-                match16,
+                (onehot_o * hq_mask[..., None]).reshape(n, w * hq_cols),
+                match4 if match4 is not None else match16,
                 preferred_element_type=jnp.float32,
             )
-            hq_best = jnp.take_along_axis(
-                hq_match, best0[:, None], axis=1
-            )[:, 0]
+            hq_best = jnp.where(pick_mask, hq_match, 0.0).sum(axis=1)
             raw_hq = (hq_mask.sum(axis=1) - hq_best).astype(jnp.int32)
     else:
         expected = dec.panel_codes[best0]  # (N, W)

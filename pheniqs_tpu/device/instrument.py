@@ -159,8 +159,12 @@ class DeviceDecoder:
     #: (16W, B) one-hot of panel codes: match counts (and hence Hamming
     #: distances to the decoded barcode) become one MXU contraction
     #: instead of a per-read row gather — exact at DEFAULT matmul
-    #: precision (0/1 operands are bf16-exact, accumulation is f32)
+    #: precision (0/1 operands are bf16-exact, accumulation is f32).
+    #: Built only for ambiguity-coded panels; strict panels carry the
+    #: 4x-smaller panel_match4 instead.
     panel_match16: jnp.ndarray | None = None
+    #: (4W, B) strict-panel match matrix (match4_from_codes)
+    panel_match4: jnp.ndarray | None = None
     concentration: jnp.ndarray | None = None  # (B,) f32
     # scalars
     noise: float = 0.0
@@ -262,6 +266,23 @@ def match16_from_codes(codes: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.ascontiguousarray(onehot16.reshape(b, w * 16).T))
 
 
+def match4_from_codes(codes: np.ndarray) -> jnp.ndarray | None:
+    """(B, W) STRICT BAM codes -> the (4W, B) match-contraction matrix, or
+    None when the panel carries ambiguity codes. Match counts against a
+    strict panel only need the 4-class observed one-hot (code equality
+    with a strict expected base implies the observed base is strict), so
+    the read-side one-hot tensor shrinks 4x vs match16 — the distance
+    contraction's cost is its HBM traffic, not its FLOPs (round-4
+    profile: 32 ms -> the one-hot build dominated at N=1M)."""
+    if not np.isin(codes, STRICT_CODES).all():
+        return None
+    b, w = codes.shape
+    onehot4 = np.zeros((b, w, 4), dtype=np.float32)
+    for c, code in enumerate(STRICT_CODES):
+        onehot4[:, :, c] = (codes == code).astype(np.float32)
+    return jnp.asarray(np.ascontiguousarray(onehot4.reshape(b, w * 4).T))
+
+
 def _panel_matrices(spec: DecoderSpec):
     """Build the (5W, B) likelihood contraction matrix G and companions."""
     codes = spec.panel.codes.astype(np.int64)  # (B, W)
@@ -273,19 +294,25 @@ def _panel_matrices(spec: DecoderSpec):
     g = np.concatenate([onehot4, strict[:, :, None]], axis=2)  # (B, W, 5)
     g = g.reshape(b, w * 5).T  # (5W, B) — contraction layout
     match16 = None
+    match4 = None
     if b <= LARGE_PANEL_B and not _distance_by_gather():
         # only the monolithic TPU posterior consumes the match
         # contraction; the CPU backend and chunked/sharded panels keep
         # the row gather (a (16W, B) matrix for a 1M-barcode whitelist
         # would cost ~1 GB of HBM for nothing; classify rebuilds it
-        # lazily if the path is forced to contraction after compile)
-        match16 = match16_from_codes(codes)
+        # lazily if the path is forced to contraction after compile).
+        # Strict panels take the 4-wide matrix; only ambiguity-coded
+        # panels need the full 16-class equality.
+        match4 = match4_from_codes(codes)
+        if match4 is None:
+            match16 = match16_from_codes(codes)
     return (
         jnp.asarray(codes.astype(np.int32)),
         jnp.asarray(strict),
         jnp.asarray(np.ascontiguousarray(g)),
         jnp.asarray(spec.panel.concentration.astype(np.float32)),
         match16,
+        match4,
     )
 
 
@@ -319,6 +346,7 @@ def compile_decoder(spec: DecoderSpec) -> DeviceDecoder:
             dec.likelihood_matrix,
             dec.concentration,
             dec.panel_match16,
+            dec.panel_match4,
         ) = _panel_matrices(spec)
     return dec
 
