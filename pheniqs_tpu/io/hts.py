@@ -330,6 +330,87 @@ def read_bam_header(path: str):
         stream.close()
 
 
+_PACK_I4 = struct.Struct("<i").pack
+_PACK_F4 = struct.Struct("<f").pack
+
+
+def split_bam_aux(tags, skip_rg: bool = False) -> list:
+    """AuxTags -> pre-split [(key3, value_bytes)] in the fixed emission
+    order (reference auxiliary.cpp:327-359) — the CRAM writer's native
+    intake shape (CramWriter._split_aux passes lists through), so the
+    per-record path skips the encode-to-bytes/re-split round trip that
+    profiled as a third of its cost. ``skip_rg`` omits the RG tag (it
+    rides CRAM's dedicated RG data series)."""
+    out = []
+    append = out.append
+    pack_i = _PACK_I4
+    pack_f = _PACK_F4
+    if tags.TC > 2:
+        if tags.FI > 0:
+            append((b"FIi", pack_i(tags.FI)))
+        append((b"TCi", pack_i(tags.TC)))
+    v = tags.FS
+    if v:
+        append((b"FSZ", v.encode() + b"\x00"))
+    if not skip_rg:
+        v = tags.RG
+        if v:
+            append((b"RGZ", v.encode() + b"\x00"))
+    v = tags.PU
+    if v:
+        append((b"PUZ", v.encode() + b"\x00"))
+    v = tags.LB
+    if v:
+        append((b"LBZ", v.encode() + b"\x00"))
+    v = tags.PG
+    if v:
+        append((b"PGZ", v.encode() + b"\x00"))
+    v = tags.CO
+    if v:
+        append((b"COZ", v.encode() + b"\x00"))
+    v = tags.BC
+    if v:
+        append((b"BCZ", v.encode() + b"\x00"))
+    v = tags.QT
+    if v:
+        append((b"QTZ", v.encode() + b"\x00"))
+    if tags.XB > 0:
+        append((b"XBf", pack_f(np.float32(tags.XB))))
+    v = tags.RX
+    if v:
+        append((b"RXZ", v.encode() + b"\x00"))
+    v = tags.QX
+    if v:
+        append((b"QXZ", v.encode() + b"\x00"))
+    v = tags.OX
+    if v:
+        append((b"OXZ", v.encode() + b"\x00"))
+    v = tags.BZ
+    if v:
+        append((b"BZZ", v.encode() + b"\x00"))
+    v = tags.MI
+    if v:
+        append((b"MIZ", v.encode() + b"\x00"))
+    if tags.XM > 0:
+        append((b"XMf", pack_f(np.float32(tags.XM))))
+    v = tags.CB
+    if v:
+        append((b"CBZ", v.encode() + b"\x00"))
+    v = tags.CR
+    if v:
+        append((b"CRZ", v.encode() + b"\x00"))
+    v = tags.CY
+    if v:
+        append((b"CYZ", v.encode() + b"\x00"))
+    if tags.XC > 0:
+        append((b"XCf", pack_f(np.float32(tags.XC))))
+    if tags.XO > 0:
+        append((b"XOf", pack_f(np.float32(tags.XO))))
+    if tags.EE > 0:
+        append((b"EEf", pack_f(np.float32(tags.EE))))
+    return out
+
+
 def encode_bam_aux(tags) -> bytes:
     """AuxTags -> BAM binary aux block, same order and presence rules as
     the SAM text emission (reference auxiliary.cpp:327-359)."""
