@@ -1493,6 +1493,15 @@ class _ReferenceSource:
             )
         return seq[start - 1 : end]
 
+    def whole(self, ref_id: int) -> bytes | None:
+        """The full reference sequence for one @SQ index, or None when it
+        is unavailable (vectorized transcode then falls back to the
+        per-record decoder, which raises the typed error)."""
+        self._load()
+        if ref_id < 0 or ref_id >= len(self.sq_names):
+            return None
+        return self._sequences.get(self.sq_names[ref_id])
+
 
 def read_cram(path: str, reference: str | None = None):
     """Yield HtsRecord from a CRAM 3.x file.
@@ -1988,11 +1997,63 @@ def _copy_spans(dst: np.ndarray, dst_off: np.ndarray, src: np.ndarray,
     total = int(lens.sum())
     if total == 0:
         return
+    if lens.shape[0] and int(lens.min()) == int(lens.max()):
+        # uniform spans (the common fixed-read-length case): one 2-D
+        # fancy index instead of the repeat/within machinery
+        width = int(lens[0])
+        cols = np.arange(width, dtype=np.int64)[None, :]
+        dst[
+            (np.asarray(dst_off, np.int64)[:, None] + cols).reshape(-1)
+        ] = src[
+            (np.asarray(src_off, np.int64)[:, None] + cols).reshape(-1)
+        ]
+        return
     ends = np.cumsum(lens)
     within = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
     dst[np.repeat(np.asarray(dst_off, np.int64), lens) + within] = src[
         np.repeat(np.asarray(src_off, np.int64), lens) + within
     ]
+
+
+def _pack_nibbles(out, seq_dst_base, codes_flat, base_starts, rl,
+                  nib_lens, base_total):
+    """Scatter 4-bit packed sequence pairs into the BAM blob for every
+    record (vectorized; uniform-length fast path)."""
+    n = rl.shape[0]
+    if n and int(rl.min()) == int(rl.max()):
+        width = int(rl[0])
+        nw = (width + 1) // 2
+        cols = np.arange(nw, dtype=np.int64)[None, :]
+        hi_idx = base_starts[:, None] + 2 * cols
+        hi = codes_flat[hi_idx.reshape(-1)].astype(np.uint8)
+        if width & 1:
+            lo = np.where(
+                (2 * cols + 1 < width).repeat(n, axis=0).reshape(-1),
+                codes_flat[
+                    np.minimum(hi_idx + 1, max(base_total - 1, 0)).reshape(-1)
+                ],
+                0,
+            )
+        else:
+            lo = codes_flat[(hi_idx + 1).reshape(-1)]
+        nib = (hi << 4) | lo.astype(np.uint8)
+        out[(seq_dst_base[:, None] + cols).reshape(-1)] = nib
+        return
+    nib_total = int(nib_lens.sum())
+    rec_of = np.repeat(np.arange(n, dtype=np.int64), nib_lens)
+    nib_ends = np.cumsum(nib_lens)
+    within = (
+        np.arange(nib_total, dtype=np.int64)
+        - np.repeat(nib_ends - nib_lens, nib_lens)
+    )
+    hi_idx = base_starts[rec_of] + 2 * within
+    hi = codes_flat[hi_idx].astype(np.uint8)
+    has_lo = 2 * within + 1 < rl[rec_of]
+    lo = np.where(
+        has_lo, codes_flat[np.minimum(hi_idx + 1, max(base_total - 1, 0))], 0
+    )
+    nib = (hi << 4) | lo.astype(np.uint8)
+    out[np.repeat(seq_dst_base, nib_lens) + within] = nib
 
 
 def _series_values(decoder, streams_raw, n):
@@ -2013,16 +2074,27 @@ def _series_values(decoder, streams_raw, n):
 
 
 def _decode_detached_columns(compression, streams_raw, core, n_records,
-                             slice_ref, want_tags=True):
-    """Decode one detached-unmapped CRAM slice into whole-series columns
+                             slice_ref, want_tags=True, mapped=False,
+                             slice_start=0):
+    """Decode one detached CRAM slice into whole-series columns
     (vectorized: pointer-jump ITF-8 + span arithmetic). Returns None when
     the slice does not match the demux layout — callers then use the
     per-record decoder. With want_tags=False the tag series are skipped
-    (the ingest path never reads them)."""
-    if slice_ref != -1 or core.buf or compression["td"] is None:
+    (the ingest path never reads them). With mapped=True the slice may be
+    multi-reference (slice ref -2, RI per record) or single-reference
+    (slice ref >= 0), positions resolve (honoring AP delta against
+    ``slice_start``), and records may mix mapped and unmapped rows — the
+    feature series stay with the caller (_mapped_slice_to_bam_blob)."""
+    if core.buf or compression["td"] is None:
         return None
-    if compression["ap_delta"] or not compression["rn_preserved"]:
+    if not compression["rn_preserved"]:
         return None
+    if mapped:
+        if slice_ref == -1:
+            return None
+    else:
+        if slice_ref != -1 or compression["ap_delta"]:
+            return None
     series = compression["series"]
     n = n_records
 
@@ -2078,10 +2150,23 @@ def _decode_detached_columns(compression, streams_raw, core, n_records,
     required = CF_QUALITY | CF_DETACHED
     if ((cf & required) != required).any() or (cf & CF_NO_SEQ).any():
         return None
-    if (~bf & FLAG_UNMAPPED).any():
+    if not mapped and (~bf & FLAG_UNMAPPED).any():
         return None
     if (rl < 0).any():
         return None
+    ri = None
+    positions = None
+    if mapped:
+        if slice_ref == -2:
+            ri = _series_values(series.get(b"RI"), streams_raw, n)
+            if ri is None:
+                return None
+        else:
+            ri = np.full(n, slice_ref, np.int64)
+        if compression["ap_delta"]:
+            positions = slice_start + np.cumsum(ap)
+        else:
+            positions = ap
 
     # names: BYTE_ARRAY_STOP on NUL
     rn = series.get(b"RN")
@@ -2099,11 +2184,17 @@ def _decode_detached_columns(compression, streams_raw, core, n_records,
     bases_raw = streams_raw.get(ba.content_id)
     quals_raw = streams_raw.get(qs.content_id)
     base_total = int(rl.sum())
-    if (
+    if not mapped and (
         bases_raw is None or quals_raw is None
         or len(bases_raw) < base_total or len(quals_raw) < base_total
     ):
         return None
+    if mapped:
+        # a slice can legitimately consume zero BA bytes (all-perfect-match
+        # records read no base features) so absent streams mean empty; the
+        # caller bounds-checks actual consumption
+        bases_raw = bases_raw if bases_raw is not None else b""
+        quals_raw = quals_raw if quals_raw is not None else b""
     names = np.frombuffer(names_raw, np.uint8)
     nuls = np.flatnonzero(names == 0)
     if nuls.shape[0] < n:
@@ -2121,6 +2212,7 @@ def _decode_detached_columns(compression, streams_raw, core, n_records,
         "names": names,
         "bases_raw": bases_raw, "quals_raw": quals_raw,
         "base_total": base_total,
+        "ri": ri, "positions": positions,
     }
 
     # tag occurrences per TD line membership
@@ -2285,21 +2377,10 @@ def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
     codes_flat = ASCII_TO_BAM[
         np.frombuffer(bases_raw, np.uint8, count=base_total)
     ].astype(np.uint8)
-    nib_total = int(nib_lens.sum())
-    rec_of = np.repeat(np.arange(n, dtype=np.int64), nib_lens)
-    nib_ends = np.cumsum(nib_lens)
-    within = (
-        np.arange(nib_total, dtype=np.int64)
-        - np.repeat(nib_ends - nib_lens, nib_lens)
-    )
-    hi_idx = base_starts[rec_of] + 2 * within
-    hi = codes_flat[hi_idx].astype(np.uint8)
-    has_lo = 2 * within + 1 < rl[rec_of]
-    lo = np.where(has_lo, codes_flat[np.minimum(hi_idx + 1, base_total - 1)], 0)
-    nib = (hi << 4) | lo.astype(np.uint8)
     seq_dst_base = name_dst + name_lens + 1
-    nib_dst = np.repeat(seq_dst_base, nib_lens) + within
-    blob[nib_dst] = nib
+    _pack_nibbles(
+        blob, seq_dst_base, codes_flat, base_starts, rl, nib_lens, base_total
+    )
 
     # qualities (raw phred bytes)
     qual_dst = seq_dst_base + nib_lens
@@ -2328,6 +2409,508 @@ def _slice_to_bam_blob(compression, streams_raw, core, n_records, slice_ref,
             blob, running[rg_rows], rg_blob, rg_starts[j], rg_lens[j]
         )
     return blob.tobytes()
+
+
+def _reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized SAM spec 5.3 reg2bin over zero-based half-open spans."""
+    end1 = end - 1
+    out = np.zeros(beg.shape, np.int64)
+    done = np.zeros(beg.shape, bool)
+    for shift, base in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+        hit = ~done & ((beg >> shift) == (end1 >> shift))
+        out[hit] = base + (beg[hit] >> shift)
+        done |= hit
+    return out
+
+
+def _stop_array_spans(decoder, streams_raw, count):
+    """(raw, starts, lens) for `count` NUL-stopped byte arrays of one
+    feature payload series (IN/SC), or None when the codec differs."""
+    if decoder is None or decoder.codec != E_BYTE_ARRAY_STOP or decoder.stop != 0:
+        return None
+    raw = streams_raw.get(decoder.content_id)
+    if raw is None:
+        return None
+    arr = np.frombuffer(raw, np.uint8)
+    nuls = np.flatnonzero(arr == 0)
+    if nuls.shape[0] < count:
+        return None
+    ends = nuls[:count].astype(np.int64)
+    starts = np.concatenate([np.zeros(1, np.int64), ends[:-1] + 1])
+    return arr, starts, ends - starts
+
+
+def _mapped_slice_to_bam_blob(compression, streams_raw, core, n_records,
+                              slice_ref, slice_start, rg_blob, rg_starts,
+                              rg_lens, ref_source, embedded_reference):
+    """Assemble one mapped (or mixed mapped/unmapped) CRAM slice into a
+    blob of binary BAM records: every series extracts as whole vectorized
+    columns (the per-record stream decoders are never entered), zero-
+    feature mapped records and unmapped records fill bases/qualities with
+    span scatters, and only feature-carrying records walk a Python loop —
+    over the pre-extracted flat feature arrays, reusing the exact
+    `_reconstruct_mapped`/`_cigar_from_features` semantics. Returns None
+    when the layout needs the general decoder (core bit codecs, shared
+    streams, non-detached mates, 'b'/'q' features, missing reference)."""
+    columns = _decode_detached_columns(
+        compression, streams_raw, core, n_records, slice_ref,
+        want_tags=True, mapped=True, slice_start=slice_start,
+    )
+    if columns is None:
+        return None
+    n = n_records
+    series = compression["series"]
+    bf, rl, rg = columns["bf"], columns["rl"], columns["rg"]
+    mf, ns, np_, ts, tl = (
+        columns["mf"], columns["ns"], columns["np"], columns["ts"],
+        columns["tl"],
+    )
+    ri, positions = columns["ri"], columns["positions"]
+    names = columns["names"]
+    name_starts, name_lens = columns["name_starts"], columns["name_lens"]
+    line_sets, all_keys = columns["line_sets"], columns["all_keys"]
+    has_tag, occ = columns["has_tag"], columns["occ"]
+    ba_raw = np.frombuffer(columns["bases_raw"], np.uint8)
+    qs_raw = np.frombuffer(columns["quals_raw"], np.uint8)
+
+    is_mapped = (bf & FLAG_UNMAPPED) == 0
+    midx = np.flatnonzero(is_mapped)
+    k = midx.shape[0]
+    if k == 0:
+        return None  # pure-unmapped slices belong to the detached path
+
+    mq_col = _series_values(series.get(b"MQ"), streams_raw, k)
+    fn = _series_values(series.get(b"FN"), streams_raw, k)
+    if mq_col is None or fn is None or (fn < 0).any():
+        return None
+    total_features = int(fn.sum())
+
+    # flat feature arrays (mapped-record order)
+    if total_features:
+        fc_dec = series.get(b"FC")
+        if fc_dec is None or fc_dec.codec != E_EXTERNAL:
+            return None
+        fc_stream = streams_raw.get(fc_dec.content_id)
+        if fc_stream is None or len(fc_stream) < total_features:
+            return None
+        fc = np.frombuffer(fc_stream, np.uint8, count=total_features).astype(
+            np.int64
+        )
+        fp = _series_values(series.get(b"FP"), streams_raw, total_features)
+        if fp is None:
+            return None
+    else:
+        fc = np.zeros(0, np.int64)
+        fp = np.zeros(0, np.int64)
+    codes = {c: ord(c) for c in "XBISDNPHiQ"}
+    if total_features and not np.isin(fc, list(codes.values())).all():
+        return None  # 'b'/'q' and exotics keep the general decoder
+    feat_rec = np.repeat(np.arange(k, dtype=np.int64), fn)
+    fn_first = np.concatenate([np.zeros(1, np.int64), np.cumsum(fn)[:-1]])
+    cum_fp = np.cumsum(fp)
+    fpos_abs = cum_fp - np.concatenate(
+        [np.zeros(1, np.int64), cum_fp]
+    )[fn_first][feat_rec] if total_features else fp
+
+    def _per_code_values(key, mask):
+        count = int(mask.sum())
+        if count == 0:
+            return np.zeros(0, np.int64)
+        return _series_values(series.get(key), streams_raw, count)
+
+    is_x = fc == codes["X"]
+    is_b = fc == codes["B"]
+    is_ii = fc == codes["i"]
+    is_q = fc == codes["Q"]
+    is_ins = fc == codes["I"]
+    is_sc = fc == codes["S"]
+    bs_vals = _per_code_values(b"BS", is_x)
+    dl_vals = _per_code_values(b"DL", fc == codes["D"])
+    rs_vals = _per_code_values(b"RS", fc == codes["N"])
+    pd_vals = _per_code_values(b"PD", fc == codes["P"])
+    hc_vals = _per_code_values(b"HC", fc == codes["H"])
+    if any(v is None for v in (bs_vals, dl_vals, rs_vals, pd_vals, hc_vals)):
+        return None
+    in_spans = (
+        _stop_array_spans(series.get(b"IN"), streams_raw, int(is_ins.sum()))
+        if is_ins.any() else (np.zeros(0, np.uint8),) * 3
+    )
+    sc_spans = (
+        _stop_array_spans(series.get(b"SC"), streams_raw, int(is_sc.sum()))
+        if is_sc.any() else (np.zeros(0, np.uint8),) * 3
+    )
+    if in_spans is None or sc_spans is None:
+        return None
+
+    # BA/QS stream bookkeeping: record-major consumption; a mapped record
+    # consumes one BA byte per B/i feature and one QS byte per B/Q
+    # feature followed by its rl wholesale quality bytes (CF_QUALITY,
+    # gated above); an unmapped record consumes rl of each
+    is_ba_feat = is_b | is_ii
+    is_qs_feat = is_b | is_q
+    ba_feat_per_rec = np.bincount(
+        feat_rec[is_ba_feat], minlength=k
+    ).astype(np.int64)
+    qs_feat_per_rec = np.bincount(
+        feat_rec[is_qs_feat], minlength=k
+    ).astype(np.int64)
+    ba_counts = np.where(is_mapped, 0, rl)
+    ba_counts[midx] = ba_feat_per_rec
+    qs_counts = rl.copy()
+    qs_counts[midx] += qs_feat_per_rec
+    if len(ba_raw) < int(ba_counts.sum()) or len(qs_raw) < int(qs_counts.sum()):
+        return None
+    ba_rec_start = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(ba_counts)[:-1]]
+    )
+    qs_rec_start = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(qs_counts)[:-1]]
+    )
+
+    def _seg_rank(mask):
+        """Rank of each True feature among Trues of the same record."""
+        c = np.cumsum(mask)
+        before = np.concatenate([np.zeros(1, np.int64), c])[fn_first]
+        return c - 1 - before[feat_rec]
+
+    ba_off_feat = ba_rec_start[midx][feat_rec] + _seg_rank(is_ba_feat)
+    qs_off_feat = qs_rec_start[midx][feat_rec] + _seg_rank(is_qs_feat)
+
+    # reference access (whole-sequence numpy views per rid)
+    ref_cache: dict[int, np.ndarray] = {}
+
+    def _ref_blob(rid: int):
+        blob = ref_cache.get(rid)
+        if blob is None:
+            if embedded_reference is not None:
+                offset, raw = embedded_reference
+                blob = (np.frombuffer(raw, np.uint8), offset)
+            else:
+                if ref_source is None:
+                    return None
+                raw = ref_source.whole(rid)
+                if raw is None:
+                    return None
+                blob = (np.frombuffer(raw, np.uint8), 1)
+            ref_cache[rid] = blob
+        return blob
+
+    # output flats
+    base_total = int(rl.sum())
+    base_starts = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(rl)[:-1]]
+    )
+    bases_flat = np.zeros(base_total, np.uint8)
+    quals_flat = np.zeros(base_total, np.uint8)
+
+    # unmapped rows: wholesale BA/QS spans
+    uidx = np.flatnonzero(~is_mapped)
+    if uidx.shape[0]:
+        _copy_spans(
+            bases_flat, base_starts[uidx], ba_raw, ba_rec_start[uidx],
+            rl[uidx],
+        )
+        _copy_spans(
+            quals_flat, base_starts[uidx], qs_raw, qs_rec_start[uidx],
+            rl[uidx],
+        )
+    # mapped rows: wholesale preserved qualities (feature Q/B overrides land
+    # in the loop below, matching _reconstruct_mapped's order)
+    _copy_spans(
+        quals_flat, base_starts[midx], qs_raw,
+        qs_rec_start[midx] + qs_feat_per_rec, rl[midx],
+    )
+
+    n_cigar = np.zeros(n, np.int64)
+    ref_span = rl.copy()  # single-M default; loop rows overwrite
+    cigar_chunks: dict[int, bytes] = {}
+
+    # zero-feature mapped rows: bases are one reference span
+    zero_rows = midx[fn == 0]
+    if zero_rows.shape[0]:
+        n_cigar[zero_rows] = (rl[zero_rows] > 0).astype(np.int64)
+        for rid in np.unique(ri[zero_rows]):
+            rows = zero_rows[ri[zero_rows] == rid]
+            blob = _ref_blob(int(rid))
+            if blob is None:
+                return None
+            ref_arr, ref_base = blob
+            src = positions[rows] - ref_base
+            if (src < 0).any() or (src + rl[rows] > ref_arr.shape[0]).any():
+                return None
+            _copy_spans(bases_flat, base_starts[rows], ref_arr, src, rl[rows])
+
+    # X/B-only rows (substitutions / direct base stores — the dominant
+    # real-data feature mix) vectorize fully: sequence is one reference
+    # span plus feature-position scatters, and the cigar stays a single M
+    # (X/B consume read and reference 1:1, so read offset == ref offset)
+    rec_has_other = np.bincount(
+        feat_rec[~(is_x | is_b)], minlength=k
+    ).astype(bool) if total_features else np.zeros(k, bool)
+    xb_mask = (fn > 0) & ~rec_has_other
+    xb_rows = midx[xb_mask]
+    if xb_rows.shape[0]:
+        n_cigar[xb_rows] = (rl[xb_rows] > 0).astype(np.int64)
+        for rid in np.unique(ri[xb_rows]):
+            rows = xb_rows[ri[xb_rows] == rid]
+            blob = _ref_blob(int(rid))
+            if blob is None:
+                return None
+            ref_arr, ref_base = blob
+            src = positions[rows] - ref_base
+            if (src < 0).any() or (src + rl[rows] > ref_arr.shape[0]).any():
+                return None
+            _copy_spans(bases_flat, base_starts[rows], ref_arr, src, rl[rows])
+        feat_of_xb = xb_mask[feat_rec]
+        row_of_feat = midx[feat_rec]
+        # corrupt positions must fall back typed, not index out of range
+        xb_feats = np.flatnonzero(feat_of_xb)
+        if xb_feats.shape[0] and (
+            (fpos_abs[xb_feats] < 1).any()
+            or (fpos_abs[xb_feats] > rl[row_of_feat[xb_feats]]).any()
+        ):
+            return None
+        tx = np.flatnonzero(is_x & feat_of_xb)
+        if tx.shape[0]:
+            rows = row_of_feat[tx]
+            dst = base_starts[rows] + fpos_abs[tx] - 1
+            subs_np = np.frombuffer(
+                b"".join(
+                    _substitution_tables(compression["substitution_matrix"])
+                ),
+                np.uint8,
+            ).reshape(5, 4)
+            rank_of = np.full(256, 4, np.uint8)
+            for r, base in enumerate(_ACGTN):
+                rank_of[base] = r
+                rank_of[base | 0x20] = r  # lowercase reference bases
+            if len(np.unique(ri[rows])) == 1:
+                ref_arr, ref_base = _ref_blob(int(ri[rows[0]]))
+                ref_bytes_at = ref_arr[
+                    positions[rows] - ref_base + fpos_abs[tx] - 1
+                ]
+            else:
+                ref_bytes_at = np.empty(tx.shape[0], np.uint8)
+                for rid in np.unique(ri[rows]):
+                    sel = ri[rows] == rid
+                    ref_arr, ref_base = _ref_blob(int(rid))
+                    ref_bytes_at[sel] = ref_arr[
+                        positions[rows[sel]] - ref_base
+                        + fpos_abs[tx[sel]] - 1
+                    ]
+            bases_flat[dst] = subs_np[
+                rank_of[ref_bytes_at], bs_vals[(np.cumsum(is_x) - 1)[tx]]
+            ]
+        tb = np.flatnonzero(is_b & feat_of_xb)
+        if tb.shape[0]:
+            rows = row_of_feat[tb]
+            dst = base_starts[rows] + fpos_abs[tb] - 1
+            bases_flat[dst] = ba_raw[ba_off_feat[tb]]
+            quals_flat[dst] = qs_raw[qs_off_feat[tb]]
+
+    # residual feature-carrying rows (indels/clips/skips): python loop
+    # over pre-extracted arrays
+    feat_rows = midx[(fn > 0) & rec_has_other]
+    if feat_rows.shape[0]:
+        from .hts import CIGAR_OPS
+
+        substitution = _substitution_tables(compression["substitution_matrix"])
+        x_rank = np.zeros(total_features, np.int64)
+        x_rank[is_x] = np.arange(int(is_x.sum()))
+        dnph_rank = {}
+        for mask_key, mask in (
+            ("D", fc == codes["D"]), ("N", fc == codes["N"]),
+            ("P", fc == codes["P"]), ("H", fc == codes["H"]),
+        ):
+            r = np.zeros(total_features, np.int64)
+            r[mask] = np.arange(int(mask.sum()))
+            dnph_rank[mask_key] = r
+        ins_rank = np.zeros(total_features, np.int64)
+        ins_rank[is_ins] = np.arange(int(is_ins.sum()))
+        sc_rank = np.zeros(total_features, np.int64)
+        sc_rank[is_sc] = np.arange(int(is_sc.sum()))
+        in_raw, in_starts, in_lens = in_spans
+        sc_raw, sc_starts, sc_lens = sc_spans
+        mapped_ordinal = np.zeros(n, np.int64)
+        mapped_ordinal[midx] = np.arange(k)
+        for row in feat_rows:
+            j = mapped_ordinal[row]
+            f0, f1 = int(fn_first[j]), int(fn_first[j] + fn[j])
+            features = []
+            for t in range(f0, f1):
+                code = int(fc[t])
+                if code == codes["X"]:
+                    payload = int(bs_vals[x_rank[t]])
+                elif code == codes["B"]:
+                    payload = (
+                        int(ba_raw[ba_off_feat[t]]),
+                        int(qs_raw[qs_off_feat[t]]),
+                    )
+                elif code == codes["i"]:
+                    payload = int(ba_raw[ba_off_feat[t]])
+                elif code == codes["Q"]:
+                    payload = int(qs_raw[qs_off_feat[t]])
+                elif code == codes["I"]:
+                    r = ins_rank[t]
+                    payload = in_raw[
+                        in_starts[r] : in_starts[r] + in_lens[r]
+                    ].tobytes()
+                elif code == codes["S"]:
+                    r = sc_rank[t]
+                    payload = sc_raw[
+                        sc_starts[r] : sc_starts[r] + sc_lens[r]
+                    ].tobytes()
+                elif code == codes["D"]:
+                    payload = int(dl_vals[dnph_rank["D"][t]])
+                elif code == codes["N"]:
+                    payload = int(rs_vals[dnph_rank["N"][t]])
+                elif code == codes["P"]:
+                    payload = int(pd_vals[dnph_rank["P"][t]])
+                else:  # H
+                    payload = int(hc_vals[dnph_rank["H"][t]])
+                features.append((code, int(fpos_abs[t]), payload))
+            blob = _ref_blob(int(ri[row]))
+            if blob is None:
+                return None
+            ref_arr, ref_base = blob
+
+            def ref_bytes(start1, end1, _arr=ref_arr, _base=ref_base):
+                return _arr[start1 - _base : end1 - _base + 1].tobytes()
+
+            length = int(rl[row])
+            start = base_starts[row]
+            preserved = quals_flat[start : start + length].tobytes()
+            seq, qual = _reconstruct_mapped(
+                length, features, ref_bytes, int(positions[row]),
+                substitution, preserved,
+            )
+            bases_flat[start : start + length] = np.frombuffer(seq, np.uint8)
+            quals_flat[start : start + length] = np.frombuffer(qual, np.uint8)
+            cigar = _cigar_from_features(length, features)
+            n_cigar[row] = len(cigar)
+            cigar_chunks[int(row)] = b"".join(
+                struct.pack("<I", (count << 4) | CIGAR_OPS.index(op))
+                for op, count in cigar
+            )
+            ref_span[row] = sum(
+                count for op, count in cigar if op in "MDN=X"
+            )
+
+    # --- blob assembly (the detached path's layout plus alignment fields)
+    flags = bf.copy()
+    flags |= np.where(mf & 1, FLAG_MATE_REVERSED, 0)
+    flags |= np.where(mf & 2, FLAG_MATE_UNMAPPED, 0)
+    ref_out = np.where(ri >= 0, ri, -1)
+    pos_out = np.where(ri >= 0, positions - 1, -1)
+    mapq_out = np.zeros(n, np.int64)
+    mapq_out[midx] = mq_col
+    binnable = is_mapped & (ref_out >= 0) & (pos_out >= 0)
+    bins = np.full(n, 4680, np.int64)  # hts UNMAPPED_BIN
+    if binnable.any():
+        rows = np.flatnonzero(binnable)
+        bins[rows] = _reg2bin_vec(
+            pos_out[rows], pos_out[rows] + np.maximum(ref_span[rows], 1)
+        )
+
+    aux_lens = np.zeros(n, np.int64)
+    for key in all_keys:
+        _, _, lens, rank = occ[key]
+        rows = np.flatnonzero(has_tag[key])
+        aux_lens[rows] += 3 + lens[rank[rows]]
+    rg_valid = (rg >= 0) & (rg < rg_starts.shape[0])
+    rg_index = np.where(rg_valid, rg, 0)
+    aux_lens += np.where(rg_valid, rg_lens[rg_index], 0)
+
+    nib_lens = (rl + 1) // 2
+    body_lens = (
+        32 + (name_lens + 1) + 4 * n_cigar + nib_lens + rl + aux_lens
+    )
+    rec_starts = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(4 + body_lens)[:-1]]
+    )
+    out = np.zeros(int((4 + body_lens).sum()), np.uint8)
+
+    head = np.zeros(
+        n,
+        dtype=np.dtype(
+            [
+                ("block_size", "<i4"), ("ref_id", "<i4"), ("pos", "<i4"),
+                ("l_read_name", "u1"), ("mapq", "u1"), ("bin", "<u2"),
+                ("n_cigar", "<u2"), ("flag", "<u2"), ("l_seq", "<i4"),
+                ("next_ref", "<i4"), ("next_pos", "<i4"), ("tlen", "<i4"),
+            ]
+        ),
+    )
+    head["block_size"] = body_lens
+    head["ref_id"] = ref_out
+    head["pos"] = pos_out
+    head["l_read_name"] = name_lens + 1
+    head["mapq"] = mapq_out
+    head["bin"] = bins
+    head["n_cigar"] = n_cigar
+    head["flag"] = flags
+    head["l_seq"] = rl
+    head["next_ref"] = ns
+    head["next_pos"] = np_ - 1
+    head["tlen"] = ts
+    head_bytes = np.frombuffer(head.tobytes(), np.uint8).reshape(n, 36)
+    idx36 = rec_starts[:, None] + np.arange(36, dtype=np.int64)[None, :]
+    out[idx36.reshape(-1)] = head_bytes.reshape(-1)
+
+    name_dst = rec_starts + 36
+    _copy_spans(out, name_dst, names, name_starts, name_lens)
+
+    # cigars: zero-feature single-M rows vectorized, feature rows from
+    # their packed per-record chunks
+    cigar_dst = name_dst + name_lens + 1
+    simple_rows = np.flatnonzero(is_mapped & (n_cigar == 1))
+    if cigar_chunks:
+        simple_rows = simple_rows[
+            ~np.isin(
+                simple_rows,
+                np.fromiter(cigar_chunks, np.int64, len(cigar_chunks)),
+            )
+        ]
+    if simple_rows.shape[0]:
+        ops = ((rl[simple_rows] << 4)).astype("<u4")  # op M = 0
+        op_bytes = np.frombuffer(ops.tobytes(), np.uint8).reshape(-1, 4)
+        idx4 = cigar_dst[simple_rows][:, None] + np.arange(4, dtype=np.int64)
+        out[idx4.reshape(-1)] = op_bytes.reshape(-1)
+    for row, chunk in cigar_chunks.items():
+        arr = np.frombuffer(chunk, np.uint8)
+        out[cigar_dst[row] : cigar_dst[row] + arr.shape[0]] = arr
+
+    # sequence nibbles from the reconstructed ASCII flats
+    codes_flat = ASCII_TO_BAM[bases_flat].astype(np.uint8)
+    seq_dst_base = cigar_dst + 4 * n_cigar
+    _pack_nibbles(
+        out, seq_dst_base, codes_flat, base_starts, rl, nib_lens, base_total
+    )
+
+    qual_dst = seq_dst_base + nib_lens
+    _copy_spans(out, qual_dst, quals_flat, base_starts, rl)
+
+    running = qual_dst + rl
+    for line_index, line in enumerate(line_sets):
+        rows = np.flatnonzero(tl == line_index)
+        if rows.shape[0] == 0:
+            continue
+        for key in line:
+            stream_arr, starts, lens, rank = occ[key]
+            j = rank[rows]
+            key_arr = np.frombuffer(key, np.uint8)
+            dst = running[rows]
+            idx3 = dst[:, None] + np.arange(3, dtype=np.int64)[None, :]
+            out[idx3.reshape(-1)] = np.tile(key_arr, rows.shape[0])
+            _copy_spans(out, dst + 3, stream_arr, starts[j], lens[j])
+            running[rows] = dst + 3 + lens[j]
+    rg_rows = np.flatnonzero(rg_valid)
+    if rg_rows.shape[0]:
+        j = rg_index[rg_rows]
+        _copy_spans(
+            out, running[rg_rows], rg_blob, rg_starts[j], rg_lens[j]
+        )
+    return out.tobytes()
 
 
 # --- transcoding ------------------------------------------------------------
@@ -2605,19 +3188,28 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
                         raw_streams[cid] = raw2
                     elif content_type == CORE:
                         core = CoreBitReader(raw2)
+                embedded_reference = None
+                if embedded_ref_id >= 0 and embedded_ref_id in raw_streams:
+                    embedded_reference = (
+                        slice_start,
+                        bytes(raw_streams[embedded_ref_id]),
+                    )
                 blob = _slice_to_bam_blob(
                     compression, raw_streams, core, slice_records,
                     slice_ref, rg_blob, rg_starts, rg_lens,
                 )
+                if blob is None and slice_ref != -1:
+                    try:
+                        blob = _mapped_slice_to_bam_blob(
+                            compression, raw_streams, core, slice_records,
+                            slice_ref, slice_start, rg_blob, rg_starts,
+                            rg_lens, ref_source, embedded_reference,
+                        )
+                    except IOError_:
+                        blob = None
                 if blob is not None:
                     writer.bgzf.write(blob)
                 else:
-                    embedded_reference = None
-                    if embedded_ref_id >= 0 and embedded_ref_id in raw_streams:
-                        embedded_reference = (
-                            slice_start,
-                            bytes(raw_streams[embedded_ref_id]),
-                        )
                     streams = {
                         cid: [raw2, 0] for cid, raw2 in raw_streams.items()
                     }

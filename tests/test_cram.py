@@ -1182,3 +1182,75 @@ def test_bam_reader_rejects_implausible_block_size(tmp_path):
     path.write_bytes(_gzip.compress(body))
     with pytest.raises(IOError_):
         list(iter_bam_record_bodies(str(path)))
+
+
+def test_mapped_fast_path_matches_fallback(tmp_path, monkeypatch):
+    """The vectorized mapped-slice transcode must produce the same BAM
+    records as the per-record decoder (byte-identity checked on decoded
+    record fields; the container framing may batch differently)."""
+    from pheniqs_tpu.io import cram as cram_mod
+    from pheniqs_tpu.io.cram import bam_to_cram, cram_to_bam
+    from pheniqs_tpu.io.hts import HtsRecord, iter_bam_record_bodies
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    rng = np.random.default_rng(7)
+    ref1 = "".join(rng.choice(list("ACGT"), size=4000))
+    fasta = tmp_path / "ref.fa"
+    fasta.write_text(f">chr1\n{ref1}\n")
+    header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:4000\n@RG\tID:rg0\tSM:s\n"
+
+    def rec(name, pos, cigar, seq, flag=0, aux=None):
+        code = ASCII_TO_BAM[np.frombuffer(seq.encode(), dtype=np.uint8)]
+        qual = rng.integers(10, 40, size=len(seq)).astype(np.uint8)
+        return HtsRecord(name.encode(), flag, code, qual, aux or {},
+                         ref_id=0, pos=pos, mapq=37, cigar=cigar)
+
+    records = []
+    for i in range(500):
+        pos = int(rng.integers(0, 3000))
+        kind = i % 5
+        if kind == 0:  # perfect
+            records.append(rec(f"m{i}", pos, [("M", 40)], ref1[pos:pos+40],
+                               aux={"NM": 0}))
+        elif kind == 1:  # substitutions
+            seq = list(ref1[pos:pos+40])
+            seq[7] = "A" if seq[7] != "A" else "G"
+            seq[23] = "T" if seq[23] != "T" else "C"
+            records.append(rec(f"x{i}", pos, [("M", 40)], "".join(seq),
+                               aux={"NM": 2}))
+        elif kind == 2:  # soft clip + insertion
+            seq = "TTTT" + ref1[pos:pos+20] + "GGG" + ref1[pos+20:pos+36]
+            records.append(rec(f"s{i}", pos,
+                               [("S", 4), ("M", 20), ("I", 3), ("M", 16)], seq))
+        elif kind == 3:  # deletion + skip
+            seq = ref1[pos:pos+12] + ref1[pos+17:pos+29] + ref1[pos+59:pos+69]
+            records.append(rec(f"d{i}", pos,
+                               [("M", 12), ("D", 5), ("M", 12), ("N", 30),
+                                ("M", 10)], seq))
+        else:  # unmapped in the same stream
+            records.append(HtsRecord(
+                f"u{i}".encode(), 0x4,
+                ASCII_TO_BAM[np.frombuffer(b"ACGTACGT", np.uint8)],
+                rng.integers(10, 40, size=8).astype(np.uint8), {}))
+    bam1 = tmp_path / "in.bam"
+    with open(bam1, "wb") as stream:
+        writer = BamWriter(stream, header, references=[("chr1", 4000)])
+        for record in records:
+            writer.write_hts_record(record)
+        writer.close()
+    cram = tmp_path / "mid.cram"
+    assert bam_to_cram(str(bam1), str(cram), str(fasta)) == len(records)
+
+    fast = tmp_path / "fast.bam"
+    assert cram_to_bam(str(cram), str(fast), str(fasta)) == len(records)
+    monkeypatch.setattr(
+        cram_mod, "_mapped_slice_to_bam_blob",
+        lambda *a, **k: None,
+    )
+    slow = tmp_path / "slow.bam"
+    assert cram_to_bam(str(cram), str(slow), str(fasta)) == len(records)
+    a = list(iter_bam_record_bodies(str(fast)))
+    b = list(iter_bam_record_bodies(str(slow)))
+    assert len(a) == len(b) == len(records)
+    for x, y in zip(a, b):
+        assert bytes(x) == bytes(y)
