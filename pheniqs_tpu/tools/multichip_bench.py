@@ -28,6 +28,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
+import subprocess
 import sys
 
 
@@ -127,6 +129,134 @@ def run_bench(
     return result
 
 
+def run_device_step(n_devices: int, reads: int, reps: int = 5) -> dict:
+    """Time the sharded decode step on a FIXED total workload over this
+    process's first ``n_devices`` devices (the scaling probe's inner body).
+
+    The workload is the flagship synthetic device batch (4-segment
+    NovaSeq shape, dual PAMLD + naive UMI), padded and shard_mapped over
+    a 1-D ``reads`` mesh exactly as the production engine does
+    (device/step.py:make_sharded_decode_step). Prints/returns the median
+    step wall over ``reps`` post-warmup repetitions.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ..device.flagship import (
+        flagship_instrument,
+        flagship_ontology,
+        synthetic_batch,
+    )
+    from ..device.step import make_sharded_decode_step, pad_batch
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (len(devices), n_devices)
+    instrument = flagship_instrument()
+    batch_np = synthetic_batch(
+        instrument, flagship_ontology(), reads, seed=11
+    )
+    batch = {
+        "segments": [
+            (
+                jnp.asarray(batch_np["segments"][s][0]),
+                jnp.asarray(batch_np["segments"][s][1]),
+                jnp.asarray(batch_np["segments"][s][2]),
+            )
+            for s in instrument.used_segments
+        ],
+        "qcfail": jnp.asarray(batch_np["qcfail"]),
+    }
+    mesh = Mesh(np.array(devices[:n_devices]), ("reads",))
+    step = make_sharded_decode_step(instrument, mesh)
+    padded, _true_n = pad_batch(batch, n_devices)
+    jax.block_until_ready(step(padded))  # compile + warm
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(padded))
+        walls.append(time.perf_counter() - t0)
+    med = float(np.median(walls))
+    return {
+        "metric": "device_step_scaling_probe",
+        "n_devices": n_devices,
+        "reads": reads,
+        "step_ms_median": round(med * 1e3, 2),
+        "reads_per_s": round(reads / med, 1),
+        "reps": reps,
+    }
+
+
+def run_scaling(n_devices: int, reads: int = 524_288) -> dict:
+    """Work-partitioning scaling gate: fixed total workload, n=1 vs n=N.
+
+    Spawns one fresh subprocess per device count (the virtual CPU device
+    count is a process-wide XLA flag), times the sharded decode step on
+    the SAME total workload with the SAME host resources, and reports
+
+        partition_efficiency = t_single / t_sharded
+
+    On a core-rich host this approaches min(N, cores) (true strong
+    scaling); on a memory-bandwidth-bound host (this 4-core dev VM,
+    where the step wall does not move with core count — BASELINE.md
+    host-pipeline section) the ideal is ~1.0: partitioning the batch
+    N ways adds only collective/dispatch overhead. Either way a sharding
+    regression that REPLICATES per-device work (the failure mode this
+    gate exists to catch, SURVEY §2.9) multiplies total work ~N-fold and
+    collapses the ratio far below the 0.7 gate the dryrun asserts.
+    """
+    results = {}
+    for n in (1, n_devices):
+        env = dict(os.environ)
+        flags = env.get("XLA_FLAGS", "")
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", "", flags
+        )
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PHENIQS_TP", None)
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pheniqs_tpu.tools.multichip_bench",
+                "--device-step",
+                "--virtual",
+                str(n),
+                "--reads",
+                str(reads),
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"scaling probe n={n} failed rc={out.returncode}:\n"
+                f"{out.stderr[-2000:]}"
+            )
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    t1 = results[1]["step_ms_median"]
+    tn = results[n_devices]["step_ms_median"]
+    efficiency = t1 / tn if tn else 0.0
+    return {
+        "metric": "multichip_scaling",
+        "reads": reads,
+        "n_devices": n_devices,
+        "single_step_ms": t1,
+        "sharded_step_ms": tn,
+        "partition_efficiency": round(efficiency, 3),
+        "single": results[1],
+        "sharded": results[n_devices],
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="multi-chip/multi-host hybrid e2e throughput bench"
@@ -148,9 +278,29 @@ def main(argv=None):
         "--tp-threshold", type=int, default=None,
         help="shard PAMLD panels above this many barcodes (default 16384)",
     )
+    parser.add_argument(
+        "--device-step", action="store_true",
+        help="time the sharded decode step only (fixed workload; the"
+        " scaling probe's inner body)",
+    )
+    parser.add_argument(
+        "--scaling", action="store_true",
+        help="work-partitioning scaling gate: fixed workload, n=1 vs"
+        " n=--virtual subprocess pair, prints partition_efficiency",
+    )
     args = parser.parse_args(argv)
 
-    if args.virtual > 1:
+    if args.scaling:
+        result = run_scaling(max(args.virtual, 2), reads=args.reads)
+        print(json.dumps(result))
+        return 0
+
+    if args.virtual >= 1:
+        # force an args.virtual-device CPU platform. NB the axon site
+        # hook pins jax_platforms to the TPU tunnel regardless of the
+        # JAX_PLATFORMS env var, so the override must be programmatic,
+        # and it must run for --virtual 1 too (a "1-device CPU" probe
+        # would otherwise silently measure the tunnel TPU).
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -162,6 +312,11 @@ def main(argv=None):
 
         if not xla_bridge.backends_are_initialized():
             jax.config.update("jax_platforms", "cpu")
+
+    if args.device_step:
+        result = run_device_step(max(args.virtual, 1), reads=args.reads)
+        print(json.dumps(result))
+        return 0
 
     result = run_bench(
         reads=args.reads,
