@@ -87,6 +87,13 @@ def main_e2e():
     # windows (BASELINE.md round-4 wire matrix). Explicit
     # PHENIQS_QUAL_WIRE wins, so future A/B runs just set it.
     os.environ.setdefault("PHENIQS_QUAL_WIRE", "j4")
+    # in-flight depth 4: the round-4 stall-weather A/B (BASELINE.md
+    # "Relay stall tolerance") measured depth 2 vs 4 back-to-back on a
+    # stall-heavy relay at 244k vs 490k steady (batch medians 350k vs
+    # 636-890k across repeats) — deeper pipelining absorbs multi-second
+    # relay stalls; depth 6-8 showed no further steady gain. Explicit
+    # PHENIQS_LOOKAHEAD wins for future A/Bs.
+    os.environ.setdefault("PHENIQS_LOOKAHEAD", "4")
     try:
         platform = _probe_accelerator()
     except Exception:
