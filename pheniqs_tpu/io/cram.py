@@ -99,6 +99,12 @@ def itf8_put(value: int) -> bytes:
     )
 
 
+#: one-byte ITF-8 forms for lengths < 0x80 — the tag-value length prefix
+#: in the per-record flush loop is almost always a short string/scalar,
+#: so a table lookup replaces an itf8_put call per (record, tag)
+_ITF8_SMALL = tuple(bytes((i,)) for i in range(0x80))
+
+
 def itf8_vec(values: np.ndarray) -> bytes:
     """Vectorized ITF-8 of an int array (canonical shortest forms), the
     batch-write analog of ``itf8_put``."""
@@ -995,9 +1001,14 @@ class CramWriter:
         streams[CID["QS"]] = b"".join(entry[4] for entry in records)
 
         tag_buffers = {cid: bytearray() for cid in tag_cids.values()}
+        small = _ITF8_SMALL
+        cids = tag_cids
         for tags in split:
             for key, value in tags:
-                tag_buffers[tag_cids[key]] += itf8_put(len(value)) + value
+                size = len(value)
+                tag_buffers[cids[key]] += (
+                    small[size] if size < 0x80 else itf8_put(size)
+                ) + value
         for cid, buffer in tag_buffers.items():
             streams[cid] = bytes(buffer)
 

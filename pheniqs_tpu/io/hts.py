@@ -375,7 +375,7 @@ def split_bam_aux(tags, skip_rg: bool = False) -> list:
     if v:
         append((b"QTZ", v.encode() + b"\x00"))
     if tags.XB > 0:
-        append((b"XBf", pack_f(np.float32(tags.XB))))
+        append((b"XBf", pack_f(tags.XB)))
     v = tags.RX
     if v:
         append((b"RXZ", v.encode() + b"\x00"))
@@ -392,7 +392,7 @@ def split_bam_aux(tags, skip_rg: bool = False) -> list:
     if v:
         append((b"MIZ", v.encode() + b"\x00"))
     if tags.XM > 0:
-        append((b"XMf", pack_f(np.float32(tags.XM))))
+        append((b"XMf", pack_f(tags.XM)))
     v = tags.CB
     if v:
         append((b"CBZ", v.encode() + b"\x00"))
@@ -403,11 +403,11 @@ def split_bam_aux(tags, skip_rg: bool = False) -> list:
     if v:
         append((b"CYZ", v.encode() + b"\x00"))
     if tags.XC > 0:
-        append((b"XCf", pack_f(np.float32(tags.XC))))
+        append((b"XCf", pack_f(tags.XC)))
     if tags.XO > 0:
-        append((b"XOf", pack_f(np.float32(tags.XO))))
+        append((b"XOf", pack_f(tags.XO)))
     if tags.EE > 0:
-        append((b"EEf", pack_f(np.float32(tags.EE))))
+        append((b"EEf", pack_f(tags.EE)))
     return out
 
 
