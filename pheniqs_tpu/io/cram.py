@@ -14,11 +14,12 @@ preserved, qualities always stored.
 
 Reader scope (round 2): general CRAM 3.0 — additionally bzip2/lzma/rANS
 block compression, the core-stream bit codecs (canonical Huffman §13.6,
-Beta §13.7, Gamma §13.8), and mapped records (read features §8.5.10.2
+Beta §13.7, Gamma §13.8; round 4 added Golomb/Golomb-Rice §13.4-13.5
+and Subexponential §13.9), and mapped records (read features §8.5.10.2
 reconstructed against a slice-embedded reference block or an external
 FASTA via ``reference=`` / $PHENIQS_CRAM_REFERENCE, with the SM
-substitution matrix). Genuinely unsupported structures (Golomb/subexp
-codecs, CRAM 2.x/4.x) fail typed. Validated by round-trip against the
+substitution matrix). Genuinely unsupported structures (CRAM 2.x/4.x)
+fail typed. Validated by round-trip against the
 BAM codec plus hand-assembled spec-derived conformance vectors
 (tests/test_cram.py, tests/test_cram_conformance.py); no htslib is
 available in this environment for cross-validation.
@@ -406,6 +407,24 @@ class _Decoder:
             self.length, offset = itf8_get(params, offset)
         elif codec == E_GAMMA:
             self.offset_, offset = itf8_get(params, 0)
+        elif codec in (E_GOLOMB, E_GOLOMB_RICE):
+            # CRAM 3.0 §13: offset + modulus M; Rice is Golomb with M a
+            # power of two (reference hts.cpp delegates to htslib, whose
+            # cram_codecs.c parses both with the same parameter layout)
+            self.offset_, offset = itf8_get(params, 0)
+            self.modulus, offset = itf8_get(params, offset)
+            if self.modulus <= 0:
+                raise IOError_("CRAM Golomb codec: non-positive modulus")
+            if codec == E_GOLOMB_RICE and self.modulus & (self.modulus - 1):
+                raise IOError_(
+                    "CRAM Golomb-Rice codec: modulus is not a power of two"
+                )
+            self.log2m = max(self.modulus - 1, 0).bit_length()
+        elif codec == E_SUBEXP:
+            self.offset_, offset = itf8_get(params, 0)
+            self.k, offset = itf8_get(params, offset)
+            if self.k < 0:
+                raise IOError_("CRAM subexponential codec: negative k")
         else:
             raise UnsupportedError(f"CRAM encoding codec {codec} not supported")
 
@@ -437,6 +456,42 @@ class _Decoder:
                 if zeros > 63:
                     raise IOError_("CRAM core stream: runaway gamma code")
             value = (1 << zeros) | core.read_bits(zeros)
+            return value - self.offset_
+        if self.codec in (E_GOLOMB, E_GOLOMB_RICE):
+            if core is None:
+                raise IOError_("CRAM Golomb codec without a core block")
+            # unary quotient: 1-bits terminated by a 0
+            quotient = 0
+            while core.read_bit() == 1:
+                quotient += 1
+                if quotient > (1 << 20):
+                    raise IOError_("CRAM core stream: runaway Golomb code")
+            m = self.modulus
+            b = self.log2m
+            if m & (m - 1) == 0:
+                remainder = core.read_bits(b)
+            else:
+                # truncated binary: b-1 bits, one extra when the prefix
+                # lands past the short-code cutoff (1<<b) - m
+                cutoff = (1 << b) - m
+                remainder = core.read_bits(b - 1) if b > 1 else 0
+                if remainder >= cutoff:
+                    remainder = (remainder << 1) | core.read_bit()
+                    remainder -= cutoff
+            return quotient * m + remainder - self.offset_
+        if self.codec == E_SUBEXP:
+            if core is None:
+                raise IOError_("CRAM subexponential codec without a core block")
+            ones = 0
+            while core.read_bit() == 1:
+                ones += 1
+                if ones > 63:
+                    raise IOError_("CRAM core stream: runaway subexp code")
+            if ones == 0:
+                value = core.read_bits(self.k)
+            else:
+                width = ones + self.k - 1
+                value = (1 << width) | core.read_bits(width)
             return value - self.offset_
         if self.codec == E_EXTERNAL:
             buf, offset = streams[self.content_id]

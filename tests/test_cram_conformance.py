@@ -464,3 +464,126 @@ def test_native_batch_reader_matches_read_cram(tmp_path):
             position += code.shape[0]
         assert position == len(expected)
         reader.close()
+
+
+# --- Golomb (§13.4), Golomb-Rice (§13.5), Subexponential (§13.9) -----------
+# Bit-level semantics follow htslib's cram_codecs.c (the spec's normative
+# implementation; the reference delegates to it, hts.cpp:160-240): unary
+# quotient/prefix as 1-bits terminated by a 0, truncated-binary remainder
+# for non-power-of-two moduli. No real encoder emits these codecs (htslib
+# never writes them), so the vectors here are hand-derived.
+
+
+def _golomb_encoding(offset, m, rice=False) -> bytes:
+    return itf8_put(8 if rice else 2) + _params(
+        itf8_put(offset) + itf8_put(m)
+    )
+
+
+def _subexp_encoding(offset, k) -> bytes:
+    return itf8_put(7) + _params(itf8_put(offset) + itf8_put(k))
+
+
+def test_golomb_core_decode_non_power_of_two():
+    # m=5: b=3, truncated-binary cutoff (1<<3)-5 = 3
+    decoder = _Decoder(2, itf8_put(0) + itf8_put(5))
+    # values 0, 7, 4, 3 -> bits: q unary + remainder
+    #   0: q=0 '0', r=0 '00'         7: q=1 '10', r=2 '10'
+    #   4: q=0 '0', r=4 -> 4+3=7 '111'
+    #   3: q=0 '0', r=3 -> 3+3=6 '110'
+    core = CoreBitReader(_bits("000 1010 0111 0110"))
+    assert [decoder.read_int({}, core) for _ in range(4)] == [0, 7, 4, 3]
+
+
+def test_golomb_offset_shifts_values():
+    # offset 2: stored = value + 2, m=3 (b=2, cutoff 1)
+    decoder = _Decoder(2, itf8_put(2) + itf8_put(3))
+    # value 4 -> stored 6: q=2 '110', r=0 '0'
+    core = CoreBitReader(_bits("1100"))
+    assert decoder.read_int({}, core) == 4
+
+
+def test_golomb_rice_power_of_two():
+    # m=4 (b=2), offset 1: plain b-bit remainder
+    decoder = _Decoder(8, itf8_put(1) + itf8_put(4))
+    # value 5 -> stored 6: q=1 '10', r=2 '10'; value 0 -> stored 1: '0','01'
+    core = CoreBitReader(_bits("1010 001"))
+    assert decoder.read_int({}, core) == 5
+    assert decoder.read_int({}, core) == 0
+
+
+def test_golomb_rice_rejects_non_power_of_two():
+    with pytest.raises(IOError_):
+        _Decoder(8, itf8_put(0) + itf8_put(5))
+
+
+def test_golomb_rejects_non_positive_modulus():
+    with pytest.raises(IOError_):
+        _Decoder(2, itf8_put(0) + itf8_put(0))
+
+
+def test_subexp_core_decode():
+    # k=2, offset 0
+    decoder = _Decoder(7, itf8_put(0) + itf8_put(2))
+    # 3 (<2^k): u=0 '0' + '11'
+    # 9: width 4 -> b=3, u=2: '110' + '001'
+    # 4: width 3 -> b=2, u=1: '10' + '00'
+    core = CoreBitReader(_bits("011 110001 1000"))
+    assert decoder.read_int({}, core) == 3
+    assert decoder.read_int({}, core) == 9
+    assert decoder.read_int({}, core) == 4
+
+
+def test_subexp_runaway_prefix_fails_typed():
+    decoder = _Decoder(7, itf8_put(0) + itf8_put(2))
+    with pytest.raises(IOError_):
+        decoder.read_int({}, CoreBitReader(b"\xff" * 10))
+
+
+def test_unmapped_records_with_golomb_and_subexp_series(tmp_path):
+    """Whole-file vector: RL rides a Golomb core series, CF a
+    subexponential one — integer series the module's writer never
+    produces, through full container framing."""
+    series = {
+        b"BF": _huffman_encoding([77], [0]),
+        b"CF": _subexp_encoding(0, 2),
+        b"RL": _golomb_encoding(0, 3),
+        b"AP": _huffman_encoding([0], [0]),
+        b"RG": _huffman_encoding([-1], [0]),
+        b"RN": _byte_array_stop_encoding(0, CID["RN"]),
+        b"MF": _huffman_encoding([2], [0]),
+        b"NS": _huffman_encoding([-1], [0]),
+        b"NP": _huffman_encoding([0], [0]),
+        b"TS": _huffman_encoding([0], [0]),
+        b"TL": _huffman_encoding([0], [0]),
+        b"BA": _external_encoding(CID["BA"]),
+        b"QS": _external_encoding(CID["QS"]),
+    }
+    # record 1: CF=3 subexp k=2 -> '011'; RL=4 golomb m=3 (b=2, cutoff 1):
+    #   q=1 '10', r=1 -> 1+1=2 '10'  => '1010'
+    # record 2: CF=3 '011'; RL=2: q=0 '0', r=2 -> 2+1=3 '11' => '011'
+    core = _bits("011 1010" + "011 011")
+    externals = {
+        CID["RN"]: b"alpha\x00beta\x00",
+        CID["BA"]: b"ACGT" + b"GG",
+        CID["QS"]: bytes((30, 31, 32, 33)) + bytes((40, 41)),
+    }
+    blob = (
+        _file_definition()
+        + _header_container("@HD\tVN:1.0\n")
+        + _container(
+            [_compression_header(series)] + _slice(2, core, externals), 2
+        )
+        + EOF_CONTAINER
+    )
+    path = tmp_path / "golomb_subexp.cram"
+    path.write_bytes(blob)
+
+    records = list(read_cram(str(path)))
+    assert len(records) == 2
+    assert records[0].name == b"alpha"
+    assert BAM_TO_ASCII[records[0].code].tobytes() == b"ACGT"
+    np.testing.assert_array_equal(records[0].quality, [30, 31, 32, 33])
+    assert records[1].name == b"beta"
+    assert BAM_TO_ASCII[records[1].code].tobytes() == b"GG"
+    np.testing.assert_array_equal(records[1].quality, [40, 41])
