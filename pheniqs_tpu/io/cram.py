@@ -502,7 +502,9 @@ class _Decoder:
 
     def read_byte(self, streams, core: CoreBitReader | None = None) -> int:
         """Single byte-valued read (feature codes, bases): EXTERNAL reads
-        one raw byte, bit codecs read one symbol."""
+        one raw byte, bit codecs read one symbol (range-checked: a codec
+        whose offset/parameters put the symbol outside a byte is corrupt,
+        and must fail typed, not with a bare ValueError downstream)."""
         if self.codec == E_EXTERNAL:
             buf, offset = streams[self.content_id]
             if offset >= len(buf):
@@ -510,7 +512,12 @@ class _Decoder:
             value = buf[offset]
             streams[self.content_id][1] = offset + 1
             return value
-        return self.read_int(streams, core)
+        value = self.read_int(streams, core)
+        if not 0 <= value <= 0xFF:
+            raise IOError_(
+                f"CRAM core codec produced out-of-range byte {value}"
+            )
+        return value
 
     def read_bytes(
         self, streams, count: int, core: CoreBitReader | None = None
@@ -520,7 +527,7 @@ class _Decoder:
             out = bytes(buf[offset : offset + count])
             streams[self.content_id][1] = offset + count
             return out
-        return bytes(self.read_int(streams, core) for _ in range(count))
+        return bytes(self.read_byte(streams, core) for _ in range(count))
 
     def read_array(self, streams, core: CoreBitReader | None = None) -> bytes:
         if self.codec == E_BYTE_ARRAY_STOP:

@@ -69,7 +69,7 @@ def write_unmapped_demux(path: str):
         writer.RECORDS_PER_SLICE = 256  # 3 containers
         for i in range(n):
             length = int(rng.integers(24, 37))
-            seq = "ACGT"[rng.integers(4)] * 0 + "".join(
+            seq = "".join(
                 "ACGTN"[j] for j in rng.integers(0, 5, size=length)
             )
             code = ASCII_TO_BAM[np.frombuffer(seq.encode(), np.uint8)]
@@ -181,12 +181,32 @@ def write_batch_columnar(path: str):
     return n
 
 
+_B_SUBTYPES = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I",
+               "f": "f"}
+
+
+def _render_b_array(raw: bytes) -> str:
+    """SAM text for a 'B' array tag's raw BAM value bytes: subtype char,
+    int32 count, packed values -> 'c,1,2,3' (htslib sam.c semantics;
+    floats print with %g like scalar 'f' tags)."""
+    import struct
+
+    subtype = chr(raw[0])
+    (count,) = struct.unpack_from("<i", raw, 1)
+    values = struct.unpack_from(f"<{count}{_B_SUBTYPES[subtype]}", raw, 5)
+    if subtype == "f":
+        body = ",".join(f"{v:g}" for v in values)
+    else:
+        body = ",".join(str(v) for v in values)
+    return f"{subtype},{body}" if count else subtype
+
+
 def render_sam(cram_path: str, reference: str | None = None) -> str:
     """SAM text for a CRAM as htslib renders it (``samtools view -h
     --no-PG``): stored tag order, integer tags printed as 'i', floats
     as %g, RG appended last (htslib cram_decode.c appends RG after the
     stored tag block)."""
-    from ..io.cram import read_cram, read_cram_header
+    from ..io.cram import _decode_tag_value, read_cram, read_cram_header
 
     header_text, references = read_cram_header(cram_path)
     sq_names = [name for name, _ in references]
@@ -222,8 +242,9 @@ def render_sam(cram_path: str, reference: str | None = None) -> str:
         for key, value in (record.raw_tags or []):
             tag = key[:2].decode()
             kind = chr(key[2])
-            from ..io.cram import _decode_tag_value
-
+            if kind == "B":
+                fields.append(f"{tag}:B:{_render_b_array(value)}")
+                continue
             decoded = _decode_tag_value(kind, value)
             if kind in "cCsSiI":
                 fields.append(f"{tag}:i:{decoded}")
@@ -239,6 +260,19 @@ def render_sam(cram_path: str, reference: str | None = None) -> str:
             fields.append(f"RG:Z:{record.aux['RG']}")
         lines.append("\t".join(fields) + "\n")
     return "".join(lines)
+
+
+def zlib_canary() -> str:
+    """sha256 of a fixed gzip member: identifies the local zlib build's
+    exact output bytes. The .cram fixtures are byte-reproducible only
+    under a zlib whose canary matches the manifest's (gzip output is
+    deterministic per build, not across builds — e.g. zlib-ng); the SAM
+    truths and the samtools validation are build-independent."""
+    import gzip
+
+    member = gzip.compress(b"pheniqs-tpu zlib canary" * 32,
+                           compresslevel=5, mtime=0)
+    return hashlib.sha256(member).hexdigest()
 
 
 def sha256(path: str) -> str:
@@ -272,9 +306,15 @@ def generate(outdir: str) -> dict:
             stream.write(sam)
 
     files = {}
-    for name in sorted(os.listdir(outdir)):
-        if name == "MANIFEST.json":
-            continue
+    # explicit list: hashing whatever else happens to sit in outdir would
+    # silently attest stray files into the manifest
+    names = [
+        "batch_columnar.cram", "batch_columnar.sam",
+        "mapped_mixed.cram", "mapped_mixed.sam",
+        "ref.fa",
+        "unmapped_demux.cram", "unmapped_demux.sam",
+    ]
+    for name in names:
         path = os.path.join(outdir, name)
         files[name] = {
             "sha256": sha256(path),
@@ -285,6 +325,7 @@ def generate(outdir: str) -> dict:
     manifest = {
         "generator": "python -m pheniqs_tpu.tools.cram_manifest <dir>",
         "cram_version": "3.0",
+        "zlib_canary_sha256": zlib_canary(),
         "determinism": (
             "every byte is a pure function of fixed seeds; gzip members "
             "use mtime=0. Regeneration is byte-identical for a given "

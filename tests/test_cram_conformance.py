@@ -587,3 +587,17 @@ def test_unmapped_records_with_golomb_and_subexp_series(tmp_path):
     assert records[1].name == b"beta"
     assert BAM_TO_ASCII[records[1].code].tobytes() == b"GG"
     np.testing.assert_array_equal(records[1].quality, [40, 41])
+
+
+def test_core_codec_out_of_range_byte_fails_typed():
+    """A byte series (BA) mapped to a codec whose parameters put the
+    symbol outside 0..255 must fail typed, not with a bare ValueError."""
+    # beta length 9 offset 0: stored 300 -> byte value 300
+    decoder = _Decoder(6, itf8_put(0) + itf8_put(9))
+    core = CoreBitReader(_bits(format(300, "09b")))
+    with pytest.raises(IOError_):
+        decoder.read_bytes({}, 1, core)
+    # negative via offset: golomb offset 10, value 0 -> -10
+    decoder = _Decoder(2, itf8_put(10) + itf8_put(4))
+    with pytest.raises(IOError_):
+        decoder.read_byte({}, CoreBitReader(_bits("000")))

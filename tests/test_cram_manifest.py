@@ -26,6 +26,16 @@ def regenerated(tmp_path_factory):
 
 
 def test_fixture_files_regenerate_byte_identical(regenerated):
+    from pheniqs_tpu.tools.cram_manifest import zlib_canary
+
+    with open(os.path.join(FIXTURES, "MANIFEST.json")) as stream:
+        manifest = json.load(stream)
+    if manifest["zlib_canary_sha256"] != zlib_canary():
+        pytest.skip(
+            "different zlib build: gzip bytes are deterministic per "
+            "build, not across builds — the SAM-truth and manifest-hash "
+            "tests still gate correctness"
+        )
     outdir, _ = regenerated
     names = sorted(os.listdir(FIXTURES))
     assert sorted(os.listdir(outdir)) == names
