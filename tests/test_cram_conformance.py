@@ -601,3 +601,75 @@ def test_core_codec_out_of_range_byte_fails_typed():
     decoder = _Decoder(2, itf8_put(10) + itf8_put(4))
     with pytest.raises(IOError_):
         decoder.read_byte({}, CoreBitReader(_bits("000")))
+
+
+def _encode_golomb(values, offset, m) -> str:
+    """Spec-side Golomb encoder (test-local, independent of the reader):
+    unary quotient in 1-bits + terminating 0, truncated-binary remainder."""
+    b = max(m - 1, 0).bit_length()
+    cutoff = (1 << b) - m
+    bits = []
+    for value in values:
+        stored = value + offset
+        q, r = divmod(stored, m)
+        bits.append("1" * q + "0")
+        if m & (m - 1) == 0:
+            bits.append(format(r, f"0{b}b") if b else "")
+        elif r < cutoff:
+            bits.append(format(r, f"0{b - 1}b"))
+        else:
+            bits.append(format(r + cutoff, f"0{b}b"))
+    return "".join(bits)
+
+
+def _encode_subexp(values, offset, k) -> str:
+    bits = []
+    for value in values:
+        stored = value + offset
+        if stored < (1 << k):
+            bits.append("0" + format(stored, f"0{k}b") if k else "0")
+        else:
+            width = stored.bit_length() - 1
+            u = width - k + 1
+            bits.append("1" * u + "0" + format(stored - (1 << width), f"0{width}b"))
+    return "".join(bits)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 4, 5, 7, 8, 10, 16, 100])
+def test_golomb_seeded_round_trip(m):
+    rng = np.random.default_rng(m)
+    offset = int(rng.integers(0, 5))
+    values = [int(v) for v in rng.integers(0, 200, size=64)]
+    decoder = _Decoder(2, itf8_put(offset) + itf8_put(m))
+    core = CoreBitReader(_bits(_encode_golomb(values, offset, m)))
+    assert [decoder.read_int({}, core) for _ in values] == values
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3, 5, 8])
+def test_subexp_seeded_round_trip(k):
+    rng = np.random.default_rng(100 + k)
+    offset = int(rng.integers(0, 5))
+    values = [int(v) for v in rng.integers(0, 4000, size=64)]
+    decoder = _Decoder(7, itf8_put(offset) + itf8_put(k))
+    core = CoreBitReader(_bits(_encode_subexp(values, offset, k)))
+    assert [decoder.read_int({}, core) for _ in values] == values
+
+
+def test_new_codec_truncated_core_fails_typed():
+    """Truncating the core stream mid-value must raise the module's typed
+    IOError_, never IndexError/struct.error."""
+    for codec, params in (
+        (2, itf8_put(0) + itf8_put(5)),
+        (7, itf8_put(0) + itf8_put(2)),
+        (8, itf8_put(0) + itf8_put(8)),
+    ):
+        decoder = _Decoder(codec, params)
+        full = CoreBitReader(_bits("1" * 12 + "0" + "101101"))
+        stream_bytes = full.buf
+        for cut in range(len(stream_bytes)):
+            core = CoreBitReader(stream_bytes[:cut])
+            try:
+                while True:
+                    decoder.read_int({}, core)
+            except IOError_:
+                pass  # typed exhaustion/corruption — expected
