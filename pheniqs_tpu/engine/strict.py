@@ -444,10 +444,20 @@ class StrictEngine:
             from ..io.hts import hts_record_reader
 
             for record in hts_record_reader(parsed.path, fmt):
+                # classification quality domain is [0, 0x80): map the BAM
+                # missing-quality sentinel (0xFF) to 0 and clamp
+                # spec-invalid bytes, mirroring the native batch readers —
+                # the f64 substitution LUT is sized 0x80 and the native
+                # classifier indexes it unchecked (phred.py:17)
+                quality = record.quality
+                if quality.size and quality.max() >= 0x80:
+                    quality = np.where(
+                        quality == 0xFF, 0, np.minimum(quality, 0x7F)
+                    ).astype(np.uint8)
                 yield (
                     record.name,
                     BAM_TO_ASCII[record.code].tobytes(),
-                    record.quality.tobytes(),
+                    quality.tobytes(),
                     record.qcfail,
                 )
         else:

@@ -1854,7 +1854,18 @@ def _decode_slice(compression, streams, core, n_records, slice_ref,
                 (key[0] << 16) | (key[1] << 8) | key[2]
             ].read_array(streams, core)
             aux[key[:2].decode()] = _decode_tag_value(chr(key[2]), raw_value)
-            raw_tags.append((bytes(key), bytes(raw_value)))
+            # normalize to BAM wire form before capturing: Z/H values
+            # decoded through BYTE_ARRAY_STOP arrive without the
+            # BAM-mandatory NUL terminator (the stop byte is consumed,
+            # htslib appends the NUL the same way); and RG stays out of
+            # raw_tags — it rides CRAM's dedicated RG series and would
+            # re-emit twice through the verbatim re-encode paths
+            if key[0] == 0x52 and key[1] == 0x47:  # b"RG"
+                continue
+            value = bytes(raw_value)
+            if key[2] in (0x5A, 0x48) and not value.endswith(b"\x00"):  # Z/H
+                value += b"\x00"
+            raw_tags.append((bytes(key), value))
         if 0 <= rg < len(rg_ids):
             aux["RG"] = rg_ids[rg]
         if not bf & FLAG_UNMAPPED:
@@ -3120,12 +3131,24 @@ def bam_to_cram(bam_path: str, cram_path: str, reference: str | None = None,
                         tags.append((aux[o : o + 3], aux[o + 3 : end + 1]))
                     o = end + 1
                 elif kind == 0x42:  # 'B' array: subtype + count + data
+                    if o + 8 > len(aux):
+                        raise CorruptAuxiliaryError(
+                            "truncated 'B' array tag header in BAM"
+                            " auxiliary block of record"
+                            f" {bytes(name).decode('latin-1')}"
+                        )
                     sub_width = _AUX_WIDTH.get(aux[o + 3])
                     if sub_width is None or aux[o + 3] == 0x41:
                         supported = False
                         break
                     (n_items,) = struct.unpack_from("<I", aux, o + 4)
                     width = 5 + sub_width * n_items
+                    if o + 3 + width > len(aux):
+                        raise CorruptAuxiliaryError(
+                            "'B' array tag count exceeds the BAM auxiliary"
+                            " block of record"
+                            f" {bytes(name).decode('latin-1')}"
+                        )
                     tags.append((aux[o : o + 3], aux[o + 3 : o + 3 + width]))
                     o += 3 + width
                 else:
@@ -3303,6 +3326,17 @@ def cram_to_bam(cram_path: str, bam_path: str, reference: str | None = None,
 
 
 # --- native batch reader ----------------------------------------------------
+
+
+def _clamp_classify_quality(qual: np.ndarray) -> None:
+    """Classification quality domain is [0, 0x80) (phred.py:17): map the
+    missing-quality sentinel 0xFF to 0 and clamp spec-invalid bytes in
+    place, mirroring the native batch readers — the f64 substitution LUT
+    is sized 0x80 and the classifiers index it unchecked."""
+    if qual.size and int(qual.max()) >= 0x80:
+        sentinel = qual == 0xFF
+        np.minimum(qual, 0x7F, out=qual)
+        qual[sentinel] = 0
 
 
 class NativeCramReader:
@@ -3526,6 +3560,7 @@ class NativeCramReader:
             np.cumsum(name_lens, out=offsets[1:])
             _copy_spans(blob_arr, offsets[:-1], columns["names"],
                         columns["name_starts"], name_lens)
+            _clamp_classify_quality(qual)
             return (
                 code, qual, rl.astype(np.int32),
                 (columns["bf"] & 0x200) != 0,
@@ -3555,6 +3590,7 @@ class NativeCramReader:
         blob = b"".join(names)
         offsets = np.zeros(len(records) + 1, dtype=np.int64)
         np.cumsum([len(x) for x in names], out=offsets[1:])
+        _clamp_classify_quality(qual)
         return code, qual, length, qcfail, blob, offsets
 
     def _advance(self) -> bool:

@@ -413,72 +413,14 @@ def split_bam_aux(tags, skip_rg: bool = False) -> list:
 
 def encode_bam_aux(tags) -> bytes:
     """AuxTags -> BAM binary aux block, same order and presence rules as
-    the SAM text emission (reference auxiliary.cpp:327-359)."""
-    out = bytearray()
-
-    def z(tag: str, value: str):
-        out.extend(tag.encode())
-        out.append(ord("Z"))
-        out.extend(value.encode())
-        out.append(0)
-
-    def i(tag: str, value: int):
-        out.extend(tag.encode())
-        out.append(ord("i"))
-        out.extend(struct.pack("<i", value))
-
-    def f(tag: str, value: float):
-        out.extend(tag.encode())
-        out.append(ord("f"))
-        out.extend(struct.pack("<f", np.float32(value)))
-
-    if tags.TC > 2:
-        if tags.FI > 0:
-            i("FI", tags.FI)
-        i("TC", tags.TC)
-    if tags.FS:
-        z("FS", tags.FS)
-    if tags.RG:
-        z("RG", tags.RG)
-    if tags.PU:
-        z("PU", tags.PU)
-    if tags.LB:
-        z("LB", tags.LB)
-    if tags.PG:
-        z("PG", tags.PG)
-    if tags.CO:
-        z("CO", tags.CO)
-    if tags.BC:
-        z("BC", tags.BC)
-    if tags.QT:
-        z("QT", tags.QT)
-    if tags.XB > 0:
-        f("XB", tags.XB)
-    if tags.RX:
-        z("RX", tags.RX)
-    if tags.QX:
-        z("QX", tags.QX)
-    if tags.OX:
-        z("OX", tags.OX)
-    if tags.BZ:
-        z("BZ", tags.BZ)
-    if tags.MI:
-        z("MI", tags.MI)
-    if tags.XM > 0:
-        f("XM", tags.XM)
-    if tags.CB:
-        z("CB", tags.CB)
-    if tags.CR:
-        z("CR", tags.CR)
-    if tags.CY:
-        z("CY", tags.CY)
-    if tags.XC > 0:
-        f("XC", tags.XC)
-    if tags.XO > 0:
-        f("XO", tags.XO)
-    if tags.EE > 0:
-        f("EE", tags.EE)
-    return bytes(out)
+    the SAM text emission (reference auxiliary.cpp:327-359). One table:
+    the split form IS the wire form, so this is a join of
+    ``split_bam_aux`` — keeping the 22-tag order/presence rules in a
+    single place (verified element-wise against the previous standalone
+    encoder over randomized AuxTags)."""
+    return b"".join(
+        key + value for key, value in split_bam_aux(tags, skip_rg=False)
+    )
 
 
 class HtsRecord:

@@ -634,7 +634,13 @@ static bool bam_emit_record(
     if (l_seq & 1) code_row[l_seq - 1] = nibbles[pairs] >> 4;
     const uint8_t* quals = body + qual_at;
     for (int32_t i = 0; i < l_seq; ++i) {
-        qual_row[i] = quals[i] == 0xFF ? 0 : quals[i];
+        // classification quality domain is [0, 0x80): 0xFF is the BAM
+        // missing-quality sentinel (-> 0), anything else above the
+        // domain is spec-invalid and clamps — the f64 LUTs (Python and
+        // the classifier below) are sized 0x80, so an unclamped byte
+        // would read out of bounds
+        uint8_t q = quals[i];
+        qual_row[i] = q == 0xFF ? 0 : (q & 0x80 ? 0x7F : q);
     }
     size_t name_length = l_read_name > 0 ? l_read_name - 1 : 0;  // drop NUL
     if (name_length > 4000) name_length = 4000;
@@ -1687,7 +1693,14 @@ int32_t pq_cram_decode_slice(
             if (cf & 1) {  // qualities stored
                 CramStream* qs = &streams[qs_stream];
                 if (qs->offset + rl > qs->size) return -1;
-                std::memcpy(qual_row, qs->data + qs->offset, rl);
+                // same classification quality-domain rule as the BAM
+                // batch reader: 0xFF (missing sentinel) -> 0, clamp the
+                // rest below 0x80 (the substitution LUT size)
+                const uint8_t* src = qs->data + qs->offset;
+                for (int32_t i = 0; i < rl; ++i) {
+                    uint8_t q = src[i];
+                    qual_row[i] = q == 0xFF ? 0 : (q & 0x80 ? 0x7F : q);
+                }
                 qs->offset += rl;
             } else {
                 std::memset(qual_row, 0, rl);

@@ -1254,3 +1254,74 @@ def test_mapped_fast_path_matches_fallback(tmp_path, monkeypatch):
     assert len(a) == len(b) == len(records)
     for x, y in zip(a, b):
         assert bytes(x) == bytes(y)
+
+
+def test_out_of_domain_quality_classifies_safely(tmp_path):
+    """HTS inputs can carry the BAM missing-quality sentinel (all 0xFF,
+    '*' in SAM) or spec-invalid quality bytes >= 0x80. Classification
+    ingest must normalize them (0xFF -> 0, clamp below 0x80, the f64
+    substitution LUT domain) on EVERY path — the Python record stream,
+    the native batch readers, and the CRAM batch reader — instead of
+    crashing the oracle (IndexError) or reading out of bounds in the
+    native classifier. Decisions must agree across paths."""
+    import json
+
+    from pheniqs_tpu.io.hts import BamWriter, HtsRecord
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    code = ASCII_TO_BAM[
+        np.frombuffer(b"ACGTACGTACGTACGTACGTACGTACGTACGT", np.uint8)
+    ]
+    records = []
+    for i in range(6):
+        if i % 3 == 0:
+            qual = np.full(32, 0xFF, np.uint8)  # missing sentinel
+        elif i % 3 == 1:
+            qual = np.full(32, 30, np.uint8)
+            qual[5] = 0x90  # spec-invalid byte
+        else:
+            qual = np.full(32, 33, np.uint8)
+        records.append(HtsRecord(b"r%d" % i, 0x4, code, qual, {}))
+
+    bam = tmp_path / "ffqual.bam"
+    with open(bam, "wb") as stream:
+        writer = BamWriter(stream, "@HD\tVN:1.6\n")
+        for record in records:
+            writer.write_hts_record(record)
+        writer.close()
+
+    config = {
+        "input": [str(bam)],
+        "output": ["/dev/null"],
+        "report url": "report.json",
+        "template": {"transform": {"token": ["0::"]}},
+        "sample": {
+            "transform": {"token": ["0:0:8"]},
+            "codec": {"@A": {"barcode": ["ACGTACGT"]}},
+            "algorithm": "pamld",
+            "noise": 0.05,
+        },
+    }
+    path = tmp_path / "job.json"
+    path.write_text(json.dumps(config))
+
+    reports = {}
+    for label, env in (
+        ("native", {}),
+        ("python", {"PHENIQS_NATIVE": "0"}),
+    ):
+        result = run_mux(
+            str(tmp_path),
+            ["--config", str(path), "--threads", "1"],
+            extra_env=env,
+        )
+        assert result.returncode == 0, (label, result.stderr[-2000:])
+        report = json.loads((tmp_path / "report.json").read_text())
+        demux = report["sample"]
+        reports[label] = (
+            demux["count"],
+            demux["classified count"],
+            [b["count"] for b in demux.get("classified", [])],
+        )
+    assert reports["native"] == reports["python"], reports
+    assert reports["native"][0] == 6  # every record counted

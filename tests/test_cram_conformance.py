@@ -673,3 +673,81 @@ def test_new_codec_truncated_core_fails_typed():
                     decoder.read_int({}, core)
             except IOError_:
                 pass  # typed exhaustion/corruption — expected
+
+
+# --- raw_tags normalization (BAM wire form) ---------------------------------
+
+
+def test_byte_array_stop_tags_normalize_to_bam_wire_form(tmp_path):
+    """Z tags decoded through BYTE_ARRAY_STOP arrive without the
+    BAM-mandatory NUL terminator (the stop byte is consumed); captured
+    raw_tags must re-add it, and RG tags in the TD dictionary must stay
+    OUT of raw_tags (they ride the RG series on re-encode) — otherwise
+    re-encoding desyncs or duplicates RG (htslib semantics)."""
+    # one record: BC (BYTE_ARRAY_STOP, tab stop) + RG as a TD tag
+    bc_key = (ord("B") << 16) | (ord("C") << 8) | ord("Z")
+    rg_key = (ord("R") << 16) | (ord("G") << 8) | ord("Z")
+    tag_map = [
+        itf8_put(bc_key) + _byte_array_stop_encoding(9, 60),
+        itf8_put(rg_key) + _byte_array_stop_encoding(9, 61),
+    ]
+    series = {
+        b"BF": _huffman_encoding([77], [0]),
+        b"CF": _huffman_encoding([3], [0]),
+        b"RL": _huffman_encoding([4], [0]),
+        b"AP": _huffman_encoding([0], [0]),
+        b"RG": _huffman_encoding([-1], [0]),
+        b"RN": _byte_array_stop_encoding(0, CID["RN"]),
+        b"MF": _huffman_encoding([2], [0]),
+        b"NS": _huffman_encoding([-1], [0]),
+        b"NP": _huffman_encoding([0], [0]),
+        b"TS": _huffman_encoding([0], [0]),
+        b"TL": _huffman_encoding([0], [0]),
+        b"BA": _external_encoding(CID["BA"]),
+        b"QS": _external_encoding(CID["QS"]),
+    }
+    preservation = [
+        b"RN\x01", b"AP\x00", b"RR\x00",
+        b"TD" + itf8_put(7) + b"BCZRGZ\x00",  # one line: BC + RG
+    ]
+    pmap = _sized_map(preservation, len(preservation))
+    smap = _sized_map([k + v for k, v in series.items()], len(series))
+    tmap = _sized_map(tag_map, len(tag_map))
+    compression = write_block(RAW, COMPRESSION_HEADER, 0, pmap + smap + tmap)
+
+    externals = {
+        CID["RN"]: b"alpha\x00",
+        CID["BA"]: b"ACGT",
+        CID["QS"]: bytes((30, 31, 32, 33)),
+        60: b"AGGCATG\t",   # BC value, tab-stopped, no NUL
+        61: b"grp1\t",      # RG value as a plain tag
+    }
+    blob = (
+        _file_definition()
+        + _header_container("@HD\tVN:1.0\n@RG\tID:grp1\n")
+        + _container([compression] + _slice(1, b"", externals), 1)
+        + EOF_CONTAINER
+    )
+    path = tmp_path / "stop_tags.cram"
+    path.write_bytes(blob)
+
+    records = list(read_cram(str(path)))
+    assert len(records) == 1
+    record = records[0]
+    assert record.aux["BC"] == "AGGCATG"
+    assert record.aux["RG"] == "grp1"
+    keys = [key for key, _ in record.raw_tags]
+    assert b"RGZ" not in keys  # RG rides the RG series on re-encode
+    (bc_raw,) = [v for k, v in record.raw_tags if k == b"BCZ"]
+    assert bc_raw == b"AGGCATG\x00"  # NUL restored for the BAM wire form
+
+    # and the BAM wire form re-encodes cleanly: CRAM -> BAM -> parse back
+    from pheniqs_tpu.io.cram import cram_to_bam
+    from pheniqs_tpu.io.hts import read_bam
+
+    bam = tmp_path / "stop_tags.bam"
+    assert cram_to_bam(str(path), str(bam)) == 1
+    (back,) = list(read_bam(str(bam)))
+    assert back.aux["BC"] == "AGGCATG"
+    assert back.aux.get("RG") == "grp1"
+    assert [k for k, _ in back.raw_tags].count(b"RGZ") == 0
