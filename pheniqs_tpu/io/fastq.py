@@ -88,7 +88,15 @@ def read_fastq(path: str, phred_offset: int = 33):
                 name=name,
                 comment=comment,
                 sequence=sequence,
-                quality=bytes(q - phred_offset for q in quality_ascii),
+                # clamp to the classification quality domain [0, 0x80),
+                # matching the native parser: a byte below the offset
+                # would otherwise raise from bytes() (negative), and
+                # binary garbage above it would index the 0x80-sized
+                # substitution LUT out of bounds
+                quality=bytes(
+                    min(max(q - phred_offset, 0), 0x7F)
+                    for q in quality_ascii
+                ),
             )
             if comment:
                 _parse_illumina_comment(record)

@@ -800,7 +800,10 @@ int32_t pq_fastq_read_batch(
                 code_row[i] = kAsciiToBam.table[static_cast<unsigned char>(
                     reader->pending_sequence[i])];
                 int q = static_cast<unsigned char>(reader->pending_quality[i]) - offset;
-                qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
+                // classification quality domain is [0, 0x80): clamp both
+                // sides (binary garbage in a quality line would otherwise
+                // index the 0x80-sized substitution LUT out of bounds)
+                qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : (q > 0x7F ? 0x7F : q));
             }
             size_t name_length = std::min<size_t>(reader->pending_name.size(), 4000);
             std::memcpy(names + names_used, reader->pending_name.data(), name_length);
@@ -918,7 +921,8 @@ int32_t pq_fastq_read_batch(
         }
         for (size_t i = 0; i < keep; ++i) {
             int q = static_cast<unsigned char>(quality[i]) - offset;
-            qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : q);
+            // same two-sided clamp as the pending-quality path above
+            qual_row[i] = static_cast<uint8_t>(q < 0 ? 0 : (q > 0x7F ? 0x7F : q));
         }
 
         length[count] = static_cast<int32_t>(sequence_length);

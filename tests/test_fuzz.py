@@ -329,3 +329,42 @@ def test_native_cram_reader_bitflips_fail_typed(tmp_path):
             )
     # most flips must be detected (a flip inside a name byte is legal)
     assert failures >= 6, failures
+
+
+def test_fastq_garbage_quality_bytes_clamp_not_crash(tmp_path):
+    """Binary garbage in a FASTQ quality line (bytes above '~' or below
+    the phred offset) must clamp into the classification quality domain
+    [0, 0x80) on BOTH parsers — the native reader and the Python
+    fallback — never crash the oracle or index the substitution LUT out
+    of bounds."""
+    import numpy as np
+
+    from pheniqs_tpu.io.fastq import read_fastq
+
+    path = tmp_path / "garbage.fastq"
+    quality_line = bytes([250, 33, 20, 126, 255, 70, 33, 33])
+    path.write_bytes(
+        b"@r1 1:N:0:\nACGTACGT\n+\n" + quality_line + b"\n"
+        b"@r2 1:N:0:\nACGTACGT\n+\nIIIIIIII\n"
+    )
+    records = list(read_fastq(str(path)))
+    assert len(records) == 2
+    quality = np.frombuffer(records[0].quality, np.uint8)
+    assert int(quality.max()) <= 0x7F
+    assert quality[0] == 0x7F  # 250-33 clamps down
+    assert quality[2] == 0     # 20 < offset clamps up
+
+    from pheniqs_tpu import native
+
+    if native.available():
+        from pheniqs_tpu.io.ingest import native_read_batches
+
+        batches = list(
+            native_read_batches([str(path)], 33, 16)
+        )
+        (batch,) = batches
+        segment = batch.segments[0]
+        assert int(segment.quality.max()) <= 0x7F
+        np.testing.assert_array_equal(
+            segment.quality[0][: len(quality)], quality
+        )
