@@ -446,7 +446,13 @@ class DeviceEngine(StrictEngine):
             raw_index += 1
             raw_size = batch.size
             raw_pf = int((~batch.qcfail).sum())
+            arena = getattr(batch, "_arena", None)
             batch = self._apply_input_filters(batch)
+            if arena is not None and getattr(batch, "_arena", None) is not arena:
+                # the filters subset the batch (new arrays, copied out of
+                # the slot): the zero-copy parse arena goes back to the
+                # pool; the filtered batch stages through the copy path
+                arena.release()
             batch.raw_index = raw_index
             packed = None
             if batch.size:
@@ -889,6 +895,16 @@ class StreamedDeviceEngine(DeviceEngine):
 
     def _note_skipped_batch(self, raw_index: int):
         self._runner.submit_skip(raw_index)
+
+    def _parse_arena_provider(self, estimate: int):
+        """Zero-copy staging: hand the native parser a shared-memory slot
+        to write batch matrices into (engine/shm.py SlotArena), deleting
+        the stage-time memcpy the round-4 trace measured at 1.9 us/read
+        under 4-core contention."""
+        runner = self._runner
+        if runner is None:
+            return None
+        return runner.acquire_parse_arena(estimate)
 
     def _stage_for_workers(self, batch):
         # pre-write the batch into a shared-memory slot from the ingest

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import contextlib
 import multiprocessing as mp
+import os
 import pickle
 import threading
 import warnings
@@ -583,8 +584,11 @@ class StreamRunner:
 
             lookahead = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
             # + prefetch depth: batches are staged into slots on the
-            # ingest thread, ahead of dispatch (device.py _prepared_batches)
-            self._pool = SlotPool(self.workers * 2 + 5 + 2 * lookahead)
+            # ingest thread, ahead of dispatch (device.py _prepared_batches);
+            # zero-copy parse arenas acquire one stage earlier still (the
+            # parse prefetch queue, depth 4 + in-hand), so the pool carries
+            # that window too — tmpfs pages cost only what is touched
+            self._pool = SlotPool(self.workers * 2 + 12 + 2 * lookahead)
         for worker_id in range(self.workers):
             if self.transport == "autonomous":
                 process = context.Process(
@@ -717,11 +721,27 @@ class StreamRunner:
             self._raise_worker_failure()
             raise
 
+    def acquire_parse_arena(self, estimate: int):
+        """Hand the ingest layer a SlotArena so the native parser writes
+        batch matrices straight into a pool slot (zero-copy staging:
+        stage_batch then records offsets instead of copying). Returns None
+        when the transport doesn't stage through shared memory."""
+        if self._pool is None or self.transport != "shm":
+            return None
+        if os.environ.get("PHENIQS_ZERO_COPY_STAGE", "1") == "0":
+            return None
+        from .shm import SlotArena
+
+        slot, target = self._pool.acquire(max(int(estimate), 1))
+        return SlotArena(self._pool, slot, target)
+
     def stage(self, batch):
         """Write the batch's arrays into a pool slot NOW (called from the
         ingest thread): the big memcpy and any slot backpressure happen
         off the dispatch/pull loop; _send_shm later appends only the small
-        decision arrays. Reserves space for them based on the last batch."""
+        decision arrays. Reserves space for them based on the last batch.
+        Zero-copy batches (parsed straight into a SlotArena) only record
+        their layout here."""
         if self._pool is None or self.transport != "shm":
             return
         import time

@@ -424,6 +424,12 @@ class StrictEngine:
                         leading_segment_index=self.leading_segment_index,
                         formats=formats,
                         sensed=bool(self.ontology["feed"].get("sensed")),
+                        # zero-copy staging: streamed engines provide a
+                        # shared-memory arena so the parser writes batch
+                        # matrices straight into worker-visible slots
+                        arena_provider=getattr(
+                            self, "_parse_arena_provider", None
+                        ),
                     )
                     return
                 except FileNotFoundError:

@@ -29,6 +29,7 @@ class ReadBatch:
         "_names",
         "raw_index",
         "_shm_staged",  # (slot, layout, end) from StreamRunner.stage
+        "_arena",  # shm.SlotArena when parsed straight into a slot
     )
 
     def __init__(
@@ -57,6 +58,8 @@ class ReadBatch:
     def names(self) -> list[bytes]:
         if self._names is None:
             blob = self.names_blob
+            if not isinstance(blob, (bytes, bytearray)):
+                blob = blob.tobytes()  # zero-copy arenas hold uint8 views
             offsets = self.name_offsets
             self._names = [
                 blob[offsets[i] : offsets[i + 1]]
@@ -83,7 +86,11 @@ class ReadBatch:
         np.cumsum(lengths, out=offsets[1:])
         total = int(offsets[-1])
         if total:
-            blob_view = np.frombuffer(self.names_blob, dtype=np.uint8)
+            blob_view = (
+                self.names_blob
+                if isinstance(self.names_blob, np.ndarray)
+                else np.frombuffer(self.names_blob, dtype=np.uint8)
+            )
             within = np.arange(total, dtype=np.int64) - np.repeat(
                 offsets[:-1], lengths
             )

@@ -456,21 +456,35 @@ class NativeFastqReader:
     def _close(self):
         self._lib.pq_fastq_close(self.handle)
 
-    def read_batch(self, max_records: int):
+    def read_batch(self, max_records: int, alloc=None, name_alloc=None):
+        """Parse up to ``max_records`` records. ``alloc(shape, dtype)``,
+        when given, provides the destination matrices (zero-copy staging:
+        the engine hands out views into a shared-memory slot, so the
+        parser writes batch arrays straight into worker-visible memory);
+        ``name_alloc`` does the same for the name arena + offsets and
+        additionally switches the return to prefix VIEWS (no tobytes/copy)
+        since the arena owns the lifetime."""
+        if alloc is None:
+            alloc = _np_alloc
         while True:
             w = self.max_length
-            # np.empty everywhere: the parser fully writes every parsed row
-            # (data + zeroed row padding), and only rows [0, count) are
-            # consumed — zero-filling 30+ MB per batch was pure overhead
-            code = np.empty((max_records, w), dtype=np.uint8)
-            qual = np.empty((max_records, w), dtype=np.uint8)
-            length = np.empty(max_records, dtype=np.int32)
-            qcfail = np.empty(max_records, dtype=np.uint8)
+            # fresh-allocation path uses np.empty: the parser fully writes
+            # every parsed row (data + zeroed row padding), and only rows
+            # [0, count) are consumed — zero-filling 30+ MB per batch was
+            # pure overhead
+            code = alloc((max_records, w), np.uint8)
+            qual = alloc((max_records, w), np.uint8)
+            length = alloc((max_records,), np.int32)
+            qcfail = alloc((max_records,), np.uint8)
             # the parser reserves 4096 bytes of headroom per record; keep a
             # floor so tiny batches (max_records * 256 < 4096) still ingest
             names_capacity = max(max_records * 256, 8192)
-            names = np.empty(names_capacity, dtype=np.uint8)
-            name_offset = np.empty(max_records + 1, dtype=np.int64)
+            if name_alloc is not None:
+                names = name_alloc((names_capacity,), np.uint8)
+                name_offset = name_alloc((max_records + 1,), np.int64)
+            else:
+                names = np.empty(names_capacity, dtype=np.uint8)
+                name_offset = np.empty(max_records + 1, dtype=np.int64)
 
             count = self._read(
                 self.handle,
@@ -525,13 +539,21 @@ class NativeFastqReader:
         for row in short_rows:
             code[row, length[row] : batch_width] = 0
             qual[row, length[row] : batch_width] = 0
-        blob = names[: name_offset[count]].tobytes()
-        offsets = name_offset[: count + 1].copy()
+        if name_alloc is not None:
+            # arena-backed: prefix views, no copies — the parser wrote 0/1
+            # into qcfail, so the bool reinterpret is exact
+            blob = names[: name_offset[count]]
+            offsets = name_offset[: count + 1]
+            fail = qcfail[:count].view(np.bool_)
+        else:
+            blob = names[: name_offset[count]].tobytes()
+            offsets = name_offset[: count + 1].copy()
+            fail = qcfail[:count].astype(bool)
         return (
             code[:count],
             qual[:count],
             length[:count],
-            qcfail[:count].astype(bool),
+            fail,
             blob,
             offsets,
         )
