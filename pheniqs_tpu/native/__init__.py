@@ -420,6 +420,15 @@ def build_error() -> str | None:
     return _build_error
 
 
+def _np_alloc(shape, dtype) -> np.ndarray:
+    """Default batch-matrix allocator: fresh process-private memory.
+
+    Engines that stage batches through shared memory pass
+    ``SlotArena.alloc`` instead, so the parser writes straight into the
+    worker-visible slot (zero-copy staging)."""
+    return np.empty(shape, dtype=dtype)
+
+
 class NativeFastqReader:
     """Batch FASTQ reader over the native parser.
 

@@ -506,3 +506,41 @@ def test_stream_transports_byte_identical(reference_root, tmp_path, transport):
             if not line.startswith("@PG")
         )
     assert outputs["serial"] == outputs[transport], transport
+
+
+def test_zero_copy_staging_byte_identical(reference_root, tmp_path):
+    """Zero-copy parse-into-slot staging (the native parser writing batch
+    matrices straight into the tmpfs worker slot, PHENIQS_ZERO_COPY_STAGE=1
+    default) must be byte-identical to the stage-time memcpy path (=0)
+    through the shm streamed engine."""
+    base = reference_root + "/test/BDGGG"
+    for s in (1, 2, 3):
+        data = open(f"{base}/BDGGG_s0{s}.fastq", "rb").read()
+        with open(tmp_path / f"BDGGG_s0{s}.fastq", "wb") as out:
+            for _ in range(8):
+                out.write(data)
+
+    outputs = {}
+    for flag in ("0", "1"):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PHENIQS_STREAM_TRANSPORT"] = "shm"
+        env["PHENIQS_ZERO_COPY_STAGE"] = flag
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", f"{base}/BDGGG_annotated.json",
+             "--base-input", str(tmp_path),
+             "--precision", "15",
+             "--batch-size", "512",
+             "--threads", "3"],
+            cwd=reference_root, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert result.returncode == 0, (flag, result.stderr[-2000:])
+        outputs[flag] = "\n".join(
+            line for line in result.stdout.splitlines()
+            if not line.startswith("@PG")
+        )
+    assert outputs["0"] == outputs["1"]
