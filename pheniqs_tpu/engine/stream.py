@@ -730,9 +730,18 @@ class StreamRunner:
             return None
         if os.environ.get("PHENIQS_ZERO_COPY_STAGE", "1") == "0":
             return None
+        import time
+
         from .shm import SlotArena
 
+        stage_add = getattr(self.engine, "_stage_add", None)
+        wait_before = self._pool.wait_seconds
+        mark = time.perf_counter()
         slot, target = self._pool.acquire(max(int(estimate), 1))
+        if stage_add is not None:
+            waited = self._pool.wait_seconds - wait_before
+            stage_add("parse_slot", waited)
+            stage_add("parse_slot_map", time.perf_counter() - mark - waited)
         return SlotArena(self._pool, slot, target)
 
     def stage(self, batch):
