@@ -61,12 +61,28 @@ class SlotPool:
             self._free.put(index)
         self.wait_seconds = 0.0  # cumulative backpressure blocking
 
+    def try_acquire(self, nbytes: int) -> tuple[int, np.memmap] | None:
+        """Non-blocking acquire: None when no slot is free right now.
+
+        Zero-copy parse staging uses this so a writer stall never blocks
+        the parser — the ingest layer falls back to private-memory parse
+        for that batch and the (blocking) stage-time copy path, which
+        buffers ahead exactly like the pre-zero-copy pipeline."""
+        try:
+            slot = self._free.get_nowait()
+        except queue.Empty:
+            return None
+        return self._sized(slot, nbytes)
+
     def acquire(self, nbytes: int) -> tuple[int, np.memmap]:
         import time
 
         mark = time.perf_counter()
         slot = self._free.get()
         self.wait_seconds += time.perf_counter() - mark
+        return self._sized(slot, nbytes)
+
+    def _sized(self, slot: int, nbytes: int) -> tuple[int, np.memmap]:
         if self._sizes[slot] < nbytes:
             capacity = -(-nbytes // self.GRANULE) * self.GRANULE
             self._maps[slot] = None  # unmap before resizing

@@ -735,13 +735,21 @@ class StreamRunner:
         from .shm import SlotArena
 
         stage_add = getattr(self.engine, "_stage_add", None)
-        wait_before = self._pool.wait_seconds
         mark = time.perf_counter()
-        slot, target = self._pool.acquire(max(int(estimate), 1))
+        # non-blocking: a writer stall must never stall the parser — with
+        # no slot free this batch parses into private memory and takes the
+        # stage-time copy path, which buffers ahead in host RAM exactly
+        # like the pre-zero-copy pipeline (measured: a blocking acquire
+        # here cost 9.9 s of parse_slot in one bad-weather 10M-read run
+        # while the copy path beside it rode the prefetch queue)
+        acquired = self._pool.try_acquire(max(int(estimate), 1))
         if stage_add is not None:
-            waited = self._pool.wait_seconds - wait_before
-            stage_add("parse_slot", waited)
-            stage_add("parse_slot_map", time.perf_counter() - mark - waited)
+            stage_add("parse_slot_map", time.perf_counter() - mark)
+            if acquired is None:
+                stage_add("parse_slot_dry", 1.0)
+        if acquired is None:
+            return None
+        slot, target = acquired
         return SlotArena(self._pool, slot, target)
 
     def stage(self, batch):

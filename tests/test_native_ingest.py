@@ -430,3 +430,70 @@ def test_emit_g_float_tags_match_python(native):
         tag = [f for f in fields if f.startswith("XB:f:")]
         assert len(tag) == 1
         assert tag[0][5:] == "%g" % values[i], (i, tag[0], values[i])
+
+
+def test_zero_copy_arena_and_dry_pool_fallback(native, bdggg):
+    """Batches parsed straight into SlotArena slots (zero-copy staging)
+    and batches that fall back to private memory when the pool runs dry
+    (try_acquire -> None) must carry identical content."""
+    from pheniqs_tpu.engine import shm
+    from pheniqs_tpu.io.ingest import native_read_batches
+
+    if not shm.shm_supported():
+        pytest.skip("/dev/shm unavailable")
+
+    urls = [f"{bdggg}/BDGGG_s0{i}.fastq" for i in (1, 2, 3)]
+    plain = list(native_read_batches(urls, 33, batch_size=64))
+
+    pool = shm.SlotPool(2)
+    calls = {"n": 0}
+
+    def provider(estimate):
+        # odd calls simulate a dry pool: the ingest layer must fall back
+        # to the default allocator for that batch and keep going
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            return None
+        acquired = pool.try_acquire(estimate)
+        if acquired is None:
+            return None
+        return shm.SlotArena(pool, *acquired)
+
+    mixed = list(
+        native_read_batches(urls, 33, batch_size=64, arena_provider=provider)
+    )
+    assert calls["n"] >= 2
+    arena_batches = [
+        b for b in mixed if getattr(b, "_arena", None) is not None
+    ]
+    assert arena_batches, "no batch took the zero-copy arena path"
+    assert len(arena_batches) < len(mixed), "no batch took the fallback"
+    assert len(mixed) == len(plain)
+    for a, b in zip(plain, mixed):
+        assert a.size == b.size
+        assert a.names == b.names
+        assert (a.qcfail == b.qcfail).all()
+        for sa, sb in zip(a.segments, b.segments):
+            n = sa.width
+            assert (sa.length == sb.length).all()
+            assert (sa.code[:, :n] == sb.code[:, :n]).all()
+            assert (sa.quality[:, :n] == sb.quality[:, :n]).all()
+    for b in mixed:
+        arena = getattr(b, "_arena", None)
+        if arena is not None:
+            arena.release()
+    pool.close()
+
+
+def test_slot_pool_try_acquire_dry():
+    from pheniqs_tpu.engine import shm
+
+    if not shm.shm_supported():
+        pytest.skip("/dev/shm unavailable")
+    pool = shm.SlotPool(1)
+    first = pool.try_acquire(1024)
+    assert first is not None
+    assert pool.try_acquire(1024) is None  # dry, must not block
+    pool.release(first[0])
+    assert pool.try_acquire(1024) is not None
+    pool.close()
