@@ -134,6 +134,16 @@ def aot_jit(fn, specs_tree, label: str = "step"):
     directory = aot_cache_dir()
     if directory is None:
         return jax.jit(fn)
+    if jax.default_backend() == "cpu" and not os.environ.get("PHENIQS_AOT"):
+        # The store exists for the multi-minute remote-TPU cold compile;
+        # XLA:CPU compiles this step in seconds, and loading an XLA:CPU
+        # AOT artifact prints a spurious cpu_aot_loader SIGILL warning
+        # even for a same-host artifact (it compares the baked LLVM
+        # tuning attributes — +prefer-no-gather etc. — against raw
+        # cpuinfo flags, which never carry them). Default the store off
+        # on CPU; PHENIQS_AOT=dir opts in explicitly.
+        _trace("cpu backend: store off by default (PHENIQS_AOT=dir opts in)")
+        return jax.jit(fn)
     try:
         started = time.perf_counter()
         key = semantic_key(fn, specs_tree)

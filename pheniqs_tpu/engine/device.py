@@ -116,7 +116,7 @@ class DeviceEngine(StrictEngine):
         self._tp = False
         self._tp_shards = None
         self._staging_sets = (
-            max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2"))) + 6
+            max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "4"))) + 6
         )
         # wire v3 quality codebook (device/step.py): sensed from the first
         # batch; lossy rows re-resolve via the f64 oracle, so the codebook
@@ -483,8 +483,11 @@ class DeviceEngine(StrictEngine):
             prepared = self._prepared_batches(batches)
         # in-flight depth: more than one batch of lookahead hides the
         # transfer latency of high-latency links (the tunneled axon relay
-        # adds ~0.3s per round trip); bounded to keep memory finite
-        depth = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
+        # adds ~0.3s per round trip); bounded to keep memory finite.
+        # Default 4 = the measured knee of the round-4 stall-weather A/B
+        # (BASELINE.md "Relay stall tolerance": depth 2 vs 4 = 244k vs
+        # 490k steady; 6-8 showed no further gain).
+        depth = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "4")))
         stages = self._stage_seconds = {
             "ingest_wait": 0.0,
             "stage_dispatch": 0.0,

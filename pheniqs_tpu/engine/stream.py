@@ -582,7 +582,7 @@ class StreamRunner:
             # so the device lookahead window never starves for a slot
             import os
 
-            lookahead = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "2")))
+            lookahead = max(1, int(os.environ.get("PHENIQS_LOOKAHEAD", "4")))
             # + prefetch depth: batches are staged into slots on the
             # ingest thread, ahead of dispatch (device.py _prepared_batches);
             # zero-copy parse arenas acquire one stage earlier still (the
@@ -745,8 +745,13 @@ class StreamRunner:
         acquired = self._pool.try_acquire(max(int(estimate), 1))
         if stage_add is not None:
             stage_add("parse_slot_map", time.perf_counter() - mark)
+            # count-type entries (the `_n` suffix renders as an integer in
+            # _trace_summary, not seconds): zero-copy engagements vs
+            # dry-pool fallbacks
             if acquired is None:
-                stage_add("parse_slot_dry", 1.0)
+                stage_add("parse_slot_dry_n", 1.0)
+            else:
+                stage_add("parse_slot_zc_n", 1.0)
         if acquired is None:
             return None
         slot, target = acquired
@@ -1038,6 +1043,16 @@ class StreamedStrictEngine(StrictEngine):
                 self._runner.abort()
                 self._runner = None
             raise
+
+    def _parse_arena_provider(self, estimate: int):
+        """Zero-copy staging for the strict shm topology: the parent's
+        native parser writes batch matrices straight into the pool slot
+        submit_raw would otherwise memcpy them into (engine/shm.py
+        stage_batch records the in-slot layout instead of copying)."""
+        runner = self._runner
+        if runner is None:
+            return None
+        return runner.acquire_parse_arena(estimate)
 
     def process_batch(self, batch, filtered: bool = False):
         if self._runner is not None and batch.raw_index is None:

@@ -536,6 +536,15 @@ class StrictEngine:
         for feed in self.feeds_by_url.values():
             feed.close()
 
+    def _stage_add(self, key: str, value: float):
+        """Accumulate into the PHENIQS_TRACE pipeline ledger (lazy dict;
+        entries named *_n are event counts, the rest seconds). Subclasses
+        with a pipelined execute override this with a gated variant."""
+        stages = getattr(self, "_stage_seconds", None)
+        if stages is None:
+            stages = self._stage_seconds = {}
+        stages[key] = stages.get(key, 0.0) + value
+
     def _trace_summary(self, start):
         if os.environ.get("PHENIQS_TRACE") == "1":
             import time
@@ -549,9 +558,12 @@ class StrictEngine:
             )
             stages = getattr(self, "_stage_seconds", None)
             if stages:
+                # entries named *_n are event counts, not seconds
                 breakdown = " ".join(
-                    f"{name}={seconds:.2f}s"
-                    for name, seconds in stages.items()
+                    f"{name}={int(value)}"
+                    if name.endswith("_n")
+                    else f"{name}={value:.2f}s"
+                    for name, value in stages.items()
                 )
                 sys.stderr.write(f"[pheniqs-tpu] pipeline: {breakdown}\n")
 

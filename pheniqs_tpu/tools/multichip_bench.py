@@ -173,6 +173,22 @@ def run_device_step(n_devices: int, reads: int, reps: int = 5) -> dict:
     mesh = Mesh(np.array(devices[:n_devices]), ("reads",))
     step = make_sharded_decode_step(instrument, mesh)
     padded, _true_n = pad_batch(batch, n_devices)
+    if os.environ.get("PHENIQS_SCALING_BREAK") == "1" and n_devices > 1:
+        # test hook: deliberately break work partitioning by tiling the
+        # batch n-fold, so every device's shard is the FULL workload —
+        # the replication regression the scaling gate exists to catch
+        import jax.numpy as _jnp
+
+        def _tile(x):
+            return _jnp.concatenate([x] * n_devices, axis=0)
+
+        padded = {
+            "segments": [
+                (_tile(c), _tile(q), _tile(l))
+                for c, q, l in padded["segments"]
+            ],
+            "qcfail": _tile(padded["qcfail"]),
+        }
     jax.block_until_ready(step(padded))  # compile + warm
     walls = []
     for _ in range(reps):
@@ -184,7 +200,9 @@ def run_device_step(n_devices: int, reads: int, reps: int = 5) -> dict:
         "metric": "device_step_scaling_probe",
         "n_devices": n_devices,
         "reads": reads,
+        "reads_per_device_shard": padded["qcfail"].shape[0] // n_devices,
         "step_ms_median": round(med * 1e3, 2),
+        "step_ms_all": [round(w * 1e3, 2) for w in walls],
         "reads_per_s": round(reads / med, 1),
         "reps": reps,
     }

@@ -88,6 +88,28 @@ def test_disabled_falls_back_to_jit(monkeypatch):
     )
 
 
+def test_cpu_backend_store_off_by_default(monkeypatch, tmp_path):
+    """On the CPU backend with no explicit PHENIQS_AOT, aot_jit must not
+    export or load artifacts: loading an XLA:CPU AOT artifact prints the
+    cpu_aot_loader machine-feature SIGILL warning even same-host (baked
+    LLVM tuning attrs vs raw cpuinfo), so the driver's multichip dryrun
+    tail must stay warning-free (VERDICT r4 item 2)."""
+    monkeypatch.delenv("PHENIQS_AOT", raising=False)
+    monkeypatch.setenv("PHENIQS_COMPILE_CACHE", str(tmp_path))
+    assert jax.default_backend() == "cpu"
+    x = {"blob": jnp.ones((5, 3), jnp.uint8)}
+    step = aot_jit(_make_fn(1.0), SPECS, label="t")
+    np.testing.assert_allclose(
+        step(x)["out"], jax.jit(_make_fn(1.0))(x)["out"]
+    )
+    aot_dir = tmp_path / "aot"
+    assert not aot_dir.exists() or not list(aot_dir.iterdir())
+    # explicit opt-in still engages the store on CPU
+    monkeypatch.setenv("PHENIQS_AOT", str(tmp_path / "explicit"))
+    aot_jit(_make_fn(1.0), SPECS, label="t")
+    assert list((tmp_path / "explicit").iterdir())
+
+
 def test_engine_decode_step_through_store(tmp_path, monkeypatch):
     """The real single-chip decode step exports, round-trips, and computes
     the same packed decisions as plain jit."""

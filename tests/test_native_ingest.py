@@ -485,6 +485,58 @@ def test_zero_copy_arena_and_dry_pool_fallback(native, bdggg):
     pool.close()
 
 
+def test_stage_batch_arena_strided_round_trip(native, bdggg):
+    """An arena-parsed batch staged via stage_batch (which records
+    in-slot (offset, strides) 5-tuples instead of copying) must rebuild
+    byte-identical through the worker-side shm_to_batch path."""
+    from pheniqs_tpu.engine import shm
+    from pheniqs_tpu.io.ingest import native_read_batches
+
+    if not shm.shm_supported():
+        pytest.skip("/dev/shm unavailable")
+
+    urls = [f"{bdggg}/BDGGG_s0{i}.fastq" for i in (1, 2, 3)]
+    plain = list(native_read_batches(urls, 33, batch_size=64))
+
+    pool = shm.SlotPool(8)
+
+    def provider(estimate):
+        acquired = pool.try_acquire(estimate)
+        if acquired is None:
+            return None
+        return shm.SlotArena(pool, *acquired)
+
+    rebuilt = []
+    slots = []
+    for batch in native_read_batches(
+        urls, 33, batch_size=64, arena_provider=provider
+    ):
+        assert getattr(batch, "_arena", None) is not None
+        batch.raw_index = len(rebuilt)
+        descriptor, slot = shm.batch_to_shm(batch, None, pool, None)
+        # the arena path must record strided in-slot views (5-tuples)
+        # for the big matrices, not stage-time copies
+        assert any(len(entry) == 5 for entry in descriptor["layout"]), (
+            descriptor["layout"]
+        )
+        rebuilt.append(shm.shm_to_batch(descriptor)[0])
+        slots.append(slot)
+
+    assert len(rebuilt) == len(plain) and len(plain) > 1
+    for a, b in zip(plain, rebuilt):
+        assert a.size == b.size
+        assert a.names == b.names
+        assert (a.qcfail == b.qcfail).all()
+        for sa, sb in zip(a.segments, b.segments):
+            n = sa.width
+            assert (sa.length == sb.length).all()
+            assert (sa.code[:, :n] == sb.code[:, :n]).all()
+            assert (sa.quality[:, :n] == sb.quality[:, :n]).all()
+    for slot in slots:
+        pool.release(slot)
+    pool.close()
+
+
 def test_slot_pool_try_acquire_dry():
     from pheniqs_tpu.engine import shm
 

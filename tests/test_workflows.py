@@ -528,6 +528,7 @@ def test_zero_copy_staging_byte_identical(reference_root, tmp_path):
         env["JAX_PLATFORMS"] = "cpu"
         env["PHENIQS_STREAM_TRANSPORT"] = "shm"
         env["PHENIQS_ZERO_COPY_STAGE"] = flag
+        env["PHENIQS_TRACE"] = "1"
         result = subprocess.run(
             [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
              "--config", f"{base}/BDGGG_annotated.json",
@@ -539,6 +540,13 @@ def test_zero_copy_staging_byte_identical(reference_root, tmp_path):
             timeout=600,
         )
         assert result.returncode == 0, (flag, result.stderr[-2000:])
+        # not vacuous: the trace ledger must show the zero-copy arena
+        # actually engaged (parse_slot_zc_n counts try_acquire successes)
+        # with the flag on, and stay silent with it off
+        if flag == "1":
+            assert "parse_slot_zc_n=" in result.stderr, result.stderr[-2000:]
+        else:
+            assert "parse_slot_zc_n=" not in result.stderr
         outputs[flag] = "\n".join(
             line for line in result.stdout.splitlines()
             if not line.startswith("@PG")
