@@ -276,14 +276,33 @@ def run_e2e(
             stats["steady_window_s"] = round(t1 - t0, 3)
             stats["steady_batches"] = len(timeline) - warmup - 1
         rates = []
+        windows = []
         for (ta, ra), (tb, rb) in zip(timeline[warmup:-1], timeline[warmup + 1:]):
             if tb > ta:
                 rates.append((rb - ra) / (tb - ta))
+                windows.append((rb - ra, tb - ta))
         if rates:
             q = np.percentile(rates, [10, 50, 90])
             stats["batch_rate_p10"] = round(float(q[0]), 1)
             stats["batch_rate_median"] = round(float(q[1]), 1)
             stats["batch_rate_p90"] = round(float(q[2]), 1)
+            # trimmed steady: the aggregate rate over the top-half batch
+            # windows (those at or above the median per-batch rate).
+            # The plain steady aggregate is dominated by multi-second
+            # relay stalls on this tunneled environment (identical
+            # configs measured 63k-490k in one afternoon, BASELINE.md);
+            # the top-half aggregate measures what the program sustains
+            # when the link behaves while still averaging over half the
+            # run rather than trusting one lucky batch.
+            med = float(q[1])
+            top_reads = sum(r for (r, t), rate in zip(windows, rates)
+                            if rate >= med)
+            top_time = sum(t for (r, t), rate in zip(windows, rates)
+                           if rate >= med)
+            if top_time > 0:
+                stats["steady_trimmed_reads_per_s"] = round(
+                    top_reads / top_time, 1
+                )
     # classification sanity: the synthetic panel reads should mostly decode
     incoming = report.get("incoming", {}).get("count", 0)
     sample = report.get("sample", {})

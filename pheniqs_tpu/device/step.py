@@ -730,7 +730,13 @@ def make_decode_step(
             if want_uncertain:
                 parts.append(uncertain_any.astype(jnp.uint8)[:, None])
             blob = jnp.concatenate(parts, axis=1)
-            packed = {"blob": blob}
+            # ship the decision blob FLAT: a narrow 2-D uint8 array has a
+            # lane-padded tiled device layout, and the D2H pull transfers
+            # the padding — measured 11 MB/s for (131072, 14) vs
+            # 161 MB/s for the same bytes flattened (round-5 wire probe,
+            # BASELINE.md). The reshape relayouts once on device where
+            # it is ~free; the host reshapes the dense bytes back.
+            packed = {"blob": blob.reshape(-1)}
             if want_counters:
                 flat = flatten_counters(instrument, counters)
                 if axis_name is not None:

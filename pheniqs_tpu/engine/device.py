@@ -598,7 +598,10 @@ class DeviceEngine(StrictEngine):
         layout = d2h_layout(self.instrument, self.hybrid)
         clock = __import__("time").perf_counter
         mark = clock()
-        blob = np.asarray(packed["blob"])[:n]
+        # the device ships the blob flat (dense wire bytes — the 2-D
+        # layout pads to lanes and transfers the padding, step.py); the
+        # reshape on dense host bytes is free
+        blob = np.asarray(packed["blob"]).reshape(-1, layout["total"])[:n]
         self._stage_add("pull_wait", clock() - mark)
         ints = (
             np.ascontiguousarray(blob[:, : layout["int_bytes"]])

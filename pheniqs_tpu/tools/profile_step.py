@@ -151,7 +151,7 @@ def _variants(instrument, widths):
 
     def v_full(blob):
         packed, counters = full({"blob": blob})
-        return packed["blob"][:, 0].astype(jnp.int32).sum() + counters.sum()
+        return packed["blob"].astype(jnp.int32).sum() + counters.sum()
 
     return {
         "null": v_null,

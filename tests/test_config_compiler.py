@@ -390,3 +390,178 @@ def test_default_knit_synthesis():
     assert compiled["transform"]["knit"] == ["0", "1"]
     assert compiled["barcode length"] == [4, 4]
     assert compiled["nucleotide cardinality"] == 8
+
+
+# ---------------------------------------------------------------------------
+# multiplexing-decoder election + output compilation edges (VERDICT r4
+# item 10). Reference anchors: transcode.cpp:1087-1223 (election:
+# explicit flag > has-output > sample), 1261-1445 (channel URL
+# canonicalization, TC emission, feed resolution).
+# ---------------------------------------------------------------------------
+
+
+def _election_compiler(ontology):
+    compiler = InstructionCompiler({"projection": {}})
+    compiler.ontology = ontology
+    return compiler
+
+
+def _dec(**extra):
+    value = {"codec": {"@A": {"barcode": ["AAAA"]}}}
+    value.update(extra)
+    return value
+
+
+def test_election_explicit_flag_beats_output():
+    """A cellular decoder carrying the explicit flag wins even when the
+    sample decoder mentions output."""
+    sample = _dec(output=["x.sam"])
+    cellular = _dec(**{"multiplexing classifier": True})
+    compiler = _election_compiler(
+        {"sample": sample, "cellular": [cellular]}
+    )
+    assert compiler.find_multiplexing_decoder() is cellular
+
+
+def test_election_two_explicit_flags_fail():
+    from pheniqs_tpu.errors import ConfigurationError
+
+    sample = _dec(**{"multiplexing classifier": True})
+    cellular = _dec(**{"multiplexing classifier": True})
+    compiler = _election_compiler(
+        {"sample": sample, "cellular": [cellular]}
+    )
+    with pytest.raises(ConfigurationError):
+        compiler.find_multiplexing_decoder()
+
+
+@pytest.mark.parametrize(
+    "shape",
+    ["decoder", "undetermined", "codec"],
+    ids=["decoder-level", "undetermined-level", "barcode-level"],
+)
+def test_election_output_mention_elects(shape):
+    """`output` at any level of a decoder (decoder, undetermined, or a
+    codec barcode) makes it the multiplexing classifier, and the flag is
+    written back."""
+    cellular = _dec()
+    if shape == "decoder":
+        cellular["output"] = ["x.sam"]
+    elif shape == "undetermined":
+        cellular["undetermined"] = {"output": ["x.sam"]}
+    else:
+        cellular["codec"]["@A"]["output"] = ["x.sam"]
+    sample = _dec()
+    compiler = _election_compiler(
+        {"sample": sample, "cellular": [cellular]}
+    )
+    elected = compiler.find_multiplexing_decoder()
+    assert elected is cellular
+    assert elected["multiplexing classifier"] is True
+
+
+def test_election_defaults_to_sample():
+    sample = _dec()
+    cellular = _dec()
+    compiler = _election_compiler(
+        {"sample": sample, "cellular": [cellular]}
+    )
+    elected = compiler.find_multiplexing_decoder()
+    assert elected is sample
+    assert elected["multiplexing classifier"] is True
+
+
+def test_election_two_output_mentions_fail():
+    from pheniqs_tpu.errors import ConfigurationError
+
+    sample = _dec(output=["x.sam"])
+    cellular = _dec(output=["y.sam"])
+    compiler = _election_compiler(
+        {"sample": sample, "cellular": [cellular]}
+    )
+    with pytest.raises(ConfigurationError):
+        compiler.find_multiplexing_decoder()
+
+
+def _output_compiler(decoder, input_cardinality=1, **ontology_extra):
+    ontology = {
+        "input segment cardinality": input_cardinality,
+        "sample": decoder,
+    }
+    ontology.update(ontology_extra)
+    return _election_compiler(ontology)
+
+
+def test_output_channel_url_dedup_and_tc():
+    """Two channels naming the same output path share ONE feed proxy
+    (canonical URL, query overrides merged) and every channel gets
+    TC = output segment cardinality."""
+    decoder = {
+        "codec": {
+            "@A": {"barcode": ["AAAA"], "index": 1,
+                   "output": ["shared.bam"]},
+            "@B": {"barcode": ["CCCC"], "index": 2,
+                   "output": ["shared.bam?level=3"]},
+        },
+        "undetermined": {"index": 0, "output": ["undet.sam"]},
+    }
+    compiler = _output_compiler(decoder)
+    compiler.ontology["feed"] = {}
+    compiler.compile_output()
+    feeds = compiler.ontology["feed"]["output feed"]
+    paths = [p["url"] for p in feeds]
+    assert len([p for p in paths if "shared.bam" in p]) == 1
+    shared = next(p for p in feeds if "shared.bam" in p["url"])
+    # the second channel's query override (compression level) merged
+    # into the canonical URL both channels now reference
+    assert shared["resolution"] == 1
+    for element in [decoder["undetermined"], *decoder["codec"].values()]:
+        assert element["TC"] == 1
+    # both codec channels reference the SAME canonical encoded URL
+    a, b = (decoder["codec"][key]["output"][0] for key in ("@A", "@B"))
+    assert a == b
+
+
+def test_output_stdin_rejected():
+    from pheniqs_tpu.errors import ConfigurationError
+
+    decoder = {
+        "codec": {"@A": {"barcode": ["AAAA"], "index": 1,
+                          "output": ["/dev/stdin"]}},
+    }
+    compiler = _output_compiler(decoder)
+    compiler.ontology["feed"] = {}
+    with pytest.raises(ConfigurationError):
+        compiler.compile_output()
+
+
+def test_output_inconsistent_resolution_rejected():
+    from pheniqs_tpu.errors import ConfigurationError
+
+    decoder = {
+        "codec": {
+            "@A": {"barcode": ["AAAA"], "index": 1,
+                   "output": ["x.sam", "x.sam"]},
+            "@B": {"barcode": ["CCCC"], "index": 2,
+                   "output": ["x.sam", "y.sam"]},
+        },
+    }
+    compiler = _output_compiler(decoder, input_cardinality=2)
+    compiler.ontology["feed"] = {}
+    with pytest.raises(ConfigurationError):
+        compiler.compile_output()
+
+
+def test_output_single_url_padded_to_cardinality():
+    """A channel naming one URL for a 2-segment template gets the URL
+    repeated (interleaved output), resolution 2."""
+    decoder = {
+        "codec": {"@A": {"barcode": ["AAAA"], "index": 1,
+                          "output": ["x.sam"]}},
+    }
+    compiler = _output_compiler(decoder, input_cardinality=2)
+    compiler.ontology["feed"] = {}
+    compiler.compile_output()
+    assert len(decoder["codec"]["@A"]["output"]) == 2
+    feeds = compiler.ontology["feed"]["output feed"]
+    assert feeds[0]["resolution"] == 2
