@@ -49,8 +49,9 @@ _BAM_ASCII_TABLE = BAM_TO_ASCII[np.arange(256) & 0xF].tobytes()
 CRAM_MAGIC = b"CRAM"
 VERSION = (3, 0)
 
-# block compression methods
+# block compression methods (5-8 are CRAM 3.1: hts-specs CRAMcodecs)
 RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
+RANS_NX16, ARITH, FQZCOMP, TOK3 = 5, 6, 7, 8
 # block content types
 FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, EXTERNAL, CORE = 0, 1, 2, 4, 5
 # encoding codec ids
@@ -235,6 +236,21 @@ def write_block(method: int, content_type: int, content_id: int, raw: bytes,
         data = rans_compress(raw, order=1)
         if len(data) >= len(raw):
             method, data = RAW, raw
+    elif method == RANS_NX16:
+        from .rans_nx16 import ORDER1 as NX16_ORDER1
+        from .rans_nx16 import rans_nx16_compress
+
+        data = rans_nx16_compress(raw, NX16_ORDER1)
+        if len(data) >= len(raw):
+            method, data = RAW, raw
+    elif method == TOK3:
+        from .tok3 import tok3_encode
+
+        # raw is the NUL-separated RN stream (trailing NUL per name)
+        names = raw.split(b"\x00")[:-1] if raw else []
+        data = tok3_encode(names)
+        if len(data) >= len(raw):
+            method, data = RAW, raw
     else:
         data = raw
     body = (
@@ -275,6 +291,22 @@ def read_block(buf, offset: int):
         from .rans import rans_uncompress
 
         raw = rans_uncompress(data, expected_size=rsize)
+    elif method == RANS_NX16:
+        from .rans_nx16 import rans_nx16_uncompress
+
+        raw = rans_nx16_uncompress(data, expected_size=rsize)
+    elif method == TOK3:
+        # the name tokenizer's decoded form is the RN external stream:
+        # NUL-separated names with a trailing NUL per name (the stop
+        # byte this writer's BYTE_ARRAY_STOP RN encoding declares)
+        from .tok3 import tok3_uncompress_block
+
+        raw = tok3_uncompress_block(data, separator=b"\x00")
+    elif method in (ARITH, FQZCOMP):
+        name = "adaptive arithmetic" if method == ARITH else "fqzcomp"
+        raise UnsupportedError(
+            f"CRAM 3.1 {name} block codec not supported"
+        )
     else:
         raise UnsupportedError(
             f"CRAM block compression method {method} not supported"
@@ -642,11 +674,21 @@ class CramWriter:
     RECORDS_PER_SLICE = 4096
 
     def __init__(self, stream, header_text: str, level: int = 5,
-                 threads: int = 1, reference: str | None = None):
+                 threads: int = 1, reference: str | None = None,
+                 version: tuple[int, int] | None = None):
         # `threads` accepted for interface parity; block compression is
         # cheap enough inline (one gzip call per series per slice)
         self.stream = stream
         self.level = max(int(level), 1)
+        if version is None:
+            version = (
+                (3, 1)
+                if os.environ.get("PHENIQS_CRAM_VERSION") == "3.1"
+                else VERSION
+            )
+        if version not in ((3, 0), (3, 1)):
+            raise UnsupportedError(f"cannot write CRAM version {version}")
+        self.version = version
         self.record_counter = 0
         self.pending: list[tuple] = []
         self.rg_index: dict[str, int] = {}
@@ -681,7 +723,7 @@ class CramWriter:
 
     def _write_file_definition(self):
         file_id = b"pheniqs-tpu-cram".ljust(20, b"\x00")[:20]
-        self.stream.write(CRAM_MAGIC + bytes(VERSION) + file_id)
+        self.stream.write(CRAM_MAGIC + bytes(self.version) + file_id)
 
     def _container(self, ref_id: int, n_records: int, bases: int,
                    blocks: list[bytes], landmarks: list[int]):
@@ -1267,9 +1309,26 @@ class CramWriter:
         else:
             use_rans = mode == "1"
         rans_ids = {CID["BA"], CID["QS"]} if use_rans else set()
+        if self.version >= (3, 1):
+            # 3.1 writer: base/quality series ride rANS Nx16 order-1 and
+            # read names the tok3 tokenizer (hts-specs CRAMcodecs); the
+            # remaining series keep gzip, which 3.1 still permits. The
+            # Nx16 coder is pure Python (no native analog yet), so only
+            # an explicit PHENIQS_CRAM_RANS=0 turns it off.
+            nx16_ids = {CID["BA"], CID["QS"]} if mode != "0" else set()
+
+            def method_for(cid):
+                if cid in nx16_ids:
+                    return RANS_NX16
+                if cid == CID["RN"]:
+                    return TOK3
+                return GZIP
+        else:
+            def method_for(cid):
+                return RANS if cid in rans_ids else GZIP
         data_blocks += [
             write_block(
-                RANS if cid in rans_ids else GZIP,
+                method_for(cid),
                 EXTERNAL, cid, bytes(streams[cid]), self.level,
             )
             for cid in external_ids
