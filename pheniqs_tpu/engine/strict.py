@@ -661,7 +661,7 @@ class StrictEngine:
         # when the template references corrected-barcode virtual segments;
         # the native render path builds byte spans straight from the
         # observation matrices
-        need_strings = self._native_mode() is None or any(
+        need_strings = self._render_plan()[1] is not None or any(
             tx.token.input_segment_index < 0
             for tx in self.template_rule.transform_array
         )
@@ -845,38 +845,62 @@ class StrictEngine:
         )
         return virtual
 
-    def _native_mode(self):
-        """"sam" / "bam" / "fastq" when every routed feed shares that
-        format and the native library is loadable (full-native render
-        paths); None otherwise (per-read Python fallback)."""
+    def _render_plan(self):
+        """Columnar render dispatch: group routed feeds by format and
+        give every group that can take a columnar route its own pass —
+        MIXED-format jobs (e.g. .cram + .sam outputs in one config) no
+        longer drop the whole render onto the per-read fallback (the
+        ~6x CRAM-intake cliff, VERDICT r4 item 7).
+
+        Returns (plan, fallback): plan = [(mode, feed-id set)] for the
+        columnar passes, fallback = feed-id set for feeds that still
+        need the per-read Python path (native lib absent, diagnostic
+        override, unknown format), or None when every feed is covered.
+        """
         routed = [c for c in self.channels if c.feeds]
         if not routed:
-            return None
-        formats = {f.format for c in routed for f in c.feeds}
-        if formats not in ({"sam"}, {"bam"}, {"cram"}, {"fastq"}):
-            return None
-        if (
-            formats in ({"bam"}, {"cram"})
-            and os.environ.get("PHENIQS_BAM_COLUMNS") == "0"
-        ):
-            return None  # diagnostic: force the per-record fallback
-        if formats == {"cram"}:
-            # the columnar CRAM route needs an initiated CRAM writer per
-            # feed — the parent's CramWriter (serial) or a worker-side
-            # CramPartBuilder (streamed); all-dev-null runs have none and
-            # take the cheap per-record fallback
-            if not any(
-                getattr(f, "bam", None) is not None
-                for c in routed
-                for f in c.feeds
-            ):
-                return None
-            return "cram"
+            return [], None
+        by_format: dict[str, set[int]] = {}
+        feeds_by_id: dict[int, object] = {}
+        for channel in routed:
+            for feed in channel.feeds:
+                by_format.setdefault(feed.format, set()).add(id(feed))
+                feeds_by_id[id(feed)] = feed
         from ..native import load as native_load
 
-        if native_load() is None:
+        native_ok = native_load() is not None
+        no_columns = os.environ.get("PHENIQS_BAM_COLUMNS") == "0"
+        plan: list[tuple[str, set[int]]] = []
+        fallback: set[int] = set()
+        for fmt, ids in by_format.items():
+            if fmt == "cram":
+                # diagnostic override, or all-dev-null (no initiated
+                # writer): cheap per-record path
+                if no_columns or not any(
+                    getattr(feeds_by_id[i], "bam", None) is not None
+                    for i in ids
+                ):
+                    fallback |= ids
+                else:
+                    plan.append((fmt, ids))
+            elif fmt in ("sam", "bam", "fastq"):
+                if (fmt == "bam" and no_columns) or not native_ok:
+                    fallback |= ids
+                else:
+                    plan.append((fmt, ids))
+            else:
+                fallback |= ids
+        return plan, (fallback or None)
+
+    def _native_mode(self):
+        """"sam" / "bam" / "cram" / "fastq" when every routed feed takes
+        the SAME columnar route; None when any feed needs the per-read
+        fallback or formats mix (mixed jobs dispatch per group through
+        _render_plan)."""
+        plan, fallback = self._render_plan()
+        if fallback is not None or len(plan) != 1:
             return None
-        return next(iter(formats))
+        return plan[0][0]
 
     def _sam_native_ready(self):
         return self._native_mode() == "sam"
@@ -1172,7 +1196,7 @@ class StrictEngine:
 
     def _route_and_write_columns(
         self, batch, output_segments, qcfail, channel_index, flags,
-        columns, container: str = "sam",
+        columns, container: str = "sam", feed_ids: set | None = None,
     ):
         """Native full-render routing: one formatted arena per output
         segment (SAM text lines or BAM binary records from the same
@@ -1229,6 +1253,8 @@ class StrictEngine:
         from ..native import concat_spans
 
         for feed, by_channel in feed_routes.values():
+            if feed_ids is not None and id(feed) not in feed_ids:
+                continue  # mixed-format job: another pass owns this feed
             segment_lists = {tuple(v) for v in by_channel.values()}
             if len(segment_lists) == 1:
                 # uniform routing (the usual case): gather all spans with
@@ -1276,7 +1302,7 @@ class StrictEngine:
 
     def _route_and_write_cram(
         self, batch, output_segments, qcfail, channel_index, flags,
-        columns, sample_decoded=None,
+        columns, sample_decoded=None, feed_ids: set | None = None,
     ):
         """Columnar CRAM render: convert the span/float tag columns into
         CramWriter.write_batch's masked column form (multi-TD slices) and
@@ -1341,6 +1367,8 @@ class StrictEngine:
         names = batch.names
         flag_arr = np.asarray(flags, dtype=np.int64)
         for feed, by_channel in feed_routes.values():
+            if feed_ids is not None and id(feed) not in feed_ids:
+                continue  # mixed-format job: another pass owns this feed
             writer = getattr(feed, "bam", None)
             if writer is None:
                 continue  # dev-null
@@ -1470,7 +1498,8 @@ class StrictEngine:
         )
 
     def _route_and_write_fastq(
-        self, batch, output_segments, qcfail, channel_index, bc_span
+        self, batch, output_segments, qcfail, channel_index, bc_span,
+        feed_ids: set | None = None,
     ):
         """Native FASTQ rendering with the reconstructed Illumina comment
         (reference fastq.h:180-198), routed per feed in arrival order."""
@@ -1504,6 +1533,8 @@ class StrictEngine:
 
         feed_routes = self._feed_routes(channel_by_index)
         for feed, by_channel in feed_routes.values():
+            if feed_ids is not None and id(feed) not in feed_ids:
+                continue  # mixed-format job: another pass owns this feed
             segment_lists = {tuple(v) for v in by_channel.values()}
             segs = sorted({s for v in by_channel.values() for s in v})
             if len(segment_lists) == 1:
@@ -1574,46 +1605,55 @@ class StrictEngine:
                     flag |= FLAG_READ2
             flags.append(flag)
 
-        mode = self._native_mode()
-        if mode in ("sam", "bam", "cram"):
-            columns = self._tag_columns(
-                n,
-                sample_result,
-                sample_conf,
-                molecular_results,
-                molecular_conf,
-                cellular_results,
-                cellular_conf,
-            )
-            if mode == "cram":
-                self._route_and_write_cram(
-                    batch, output_segments, qcfail, channel_index, flags,
-                    columns,
-                    sample_decoded=(
-                        sample_result.decoded
-                        if sample_result is not None
-                        else None
-                    ),
-                )
+        plan, fallback_ids = self._render_plan()
+        single = len(plan) == 1 and fallback_ids is None
+        columns = None
+        for mode, feed_ids in plan:
+            # a single-format job needs no per-feed filtering (the
+            # overwhelmingly common case keeps its fast path)
+            ids = None if single else feed_ids
+            if mode in ("sam", "bam", "cram"):
+                if columns is None:
+                    columns = self._tag_columns(
+                        n,
+                        sample_result,
+                        sample_conf,
+                        molecular_results,
+                        molecular_conf,
+                        cellular_results,
+                        cellular_conf,
+                    )
+                if mode == "cram":
+                    self._route_and_write_cram(
+                        batch, output_segments, qcfail, channel_index,
+                        flags, columns,
+                        sample_decoded=(
+                            sample_result.decoded
+                            if sample_result is not None
+                            else None
+                        ),
+                        feed_ids=ids,
+                    )
+                else:
+                    self._route_and_write_columns(
+                        batch, output_segments, qcfail, channel_index,
+                        flags, columns, container=mode, feed_ids=ids,
+                    )
             else:
-                self._route_and_write_columns(
-                    batch, output_segments, qcfail, channel_index, flags,
-                    columns, container=mode,
+                bc_span = None
+                if (
+                    self.sample is not None
+                    and sample_result is not None
+                    and sample_result.observation
+                ):
+                    bc_span = self._observation_spans(
+                        sample_result, self.sample.spec, corrected=False
+                    )["raw_seq"]
+                self._route_and_write_fastq(
+                    batch, output_segments, qcfail, channel_index, bc_span,
+                    feed_ids=ids,
                 )
-            return
-        if mode == "fastq":
-            bc_span = None
-            if (
-                self.sample is not None
-                and sample_result is not None
-                and sample_result.observation
-            ):
-                bc_span = self._observation_spans(
-                    sample_result, self.sample.spec, corrected=False
-                )["raw_seq"]
-            self._route_and_write_fastq(
-                batch, output_segments, qcfail, channel_index, bc_span
-            )
+        if plan and fallback_ids is None:
             return
 
         # fallback path: per-read AuxTags assembly
@@ -1668,11 +1708,13 @@ class StrictEngine:
             tag_list.append(tags)
 
         self._route_and_write(
-            batch, output_segments, qcfail, channel_index, flags, tag_list
+            batch, output_segments, qcfail, channel_index, flags, tag_list,
+            feed_ids=fallback_ids,
         )
 
     def _route_and_write(
-        self, batch, output_segments, qcfail, channel_index, flags, tag_list
+        self, batch, output_segments, qcfail, channel_index, flags, tag_list,
+        feed_ids: set | None = None,
     ):
         """Route classified reads to their channels\' output feeds in
         global arrival order (the reference pushes per read under ordered
@@ -1731,6 +1773,8 @@ class StrictEngine:
                     entry[1].setdefault(index, []).append(s)
             channels_of_row = channel_index
             for feed, by_channel in feed_routes.values():
+                if feed_ids is not None and id(feed) not in feed_ids:
+                    continue  # a columnar pass owns this feed
                 pieces = []
                 for i in rows:
                     segment_list = by_channel.get(int(channels_of_row[i]))
@@ -1754,7 +1798,10 @@ class StrictEngine:
                         # read.h flush; emitted only when TC > 2)
                         tags.FI = s + 1
                     segment = output_segments[s]
-                    channel.feeds[s].emit(
+                    feed = channel.feeds[s]
+                    if feed_ids is not None and id(feed) not in feed_ids:
+                        continue  # a columnar pass owns this feed
+                    feed.emit(
                         name,
                         int(flags[s] | fail_flags[i]),
                         segment.code[i],

@@ -238,13 +238,53 @@ class Rule:
         n = next(iter(segments.values())).length.shape[0]
         if widths is None:
             widths = self.output_widths({k: v.width for k, v in segments.items()})
-        out = [SegmentBatch.empty(n, w) for w in widths]
+
+        # zero-copy pass-through: an output segment built from exactly ONE
+        # whole-segment token (`i::`, no revcomp) IS its input segment —
+        # alias the arrays instead of allocating + copying. This is the
+        # dominant template shape (the reference's default knit and every
+        # bundled config emit whole biological segments), and the copy was
+        # the single largest render-side cost in the round-5 profile
+        # (~1.2 s per 400k reads of np.zeros + block memcpy). Consumers
+        # treat rendered segments as read-only (native formatters bound by
+        # `length`), matching the copy path's semantics except for bytes
+        # past each read's extent, which no consumer reads.
+        per_slot: dict[int, list] = {}
+        for tx in self.transform_array:
+            per_slot.setdefault(tx.output_segment_index, []).append(tx)
+        aliased: dict[int, SegmentBatch] = {}
+        skip = set()
+        for slot, txs in per_slot.items():
+            if len(txs) != 1:
+                continue
+            tx = txs[0]
+            token = tx.token
+            src = segments.get(token.input_segment_index)
+            if (
+                src is None
+                or tx.reverse_complement
+                or token.start != 0
+                or token.end_terminated
+                or widths[slot] != src.width
+            ):
+                continue
+            aliased[slot] = SegmentBatch(
+                code=src.code, quality=src.quality, length=src.length
+            )
+            skip.add(id(tx))
+        out = [
+            aliased[slot] if slot in aliased
+            else SegmentBatch.empty(n, widths[slot])
+            for slot in range(self.output_segment_cardinality)
+        ]
 
         # destination write offset per output segment: scalar while every
         # prior size was uniform, else falls back to the per-read vector
         uniform_offset: list[int | None] = [0] * self.output_segment_cardinality
 
         for tx in self.transform_array:
+            if id(tx) in skip:
+                continue
             src = segments[tx.token.input_segment_index]
             dst = out[tx.output_segment_index]
             length = src.length.astype(np.int64)
