@@ -70,6 +70,34 @@ class TranscodeJob:
         self.execute(stdout)
         self.write_result(stdout, stderr)
 
+    def _warn_cpu_device_mode(self, fidelity: str):
+        """The device fidelities exist for accelerators; on a CPU-only
+        backend the XLA-compiled step is the SLOWEST engine on this
+        workload class (measured: CPU-XLA hybrid 105-143k reads/s vs
+        strict --threads 4 at 204k, BASELINE.md mode matrix) while
+        `--fidelity strict` gives the same decisions (hybrid's contract)
+        faster. Warn loudly so a CPU-only user does not silently get the
+        worst engine; PHENIQS_QUIET_CPU_DEVICE=1 silences (test meshes
+        run device modes on the CPU backend on purpose)."""
+        import os as os_mod
+        import sys as sys_mod
+
+        if os_mod.environ.get("PHENIQS_QUIET_CPU_DEVICE") == "1":
+            return
+        try:
+            import jax
+
+            platform = jax.default_backend()
+        except Exception:
+            return
+        if platform == "cpu":
+            sys_mod.stderr.write(
+                f"[pheniqs-tpu] warning: --fidelity {fidelity} on a"
+                " CPU-only backend is the slowest engine for this"
+                " workload; --fidelity strict gives identical decisions"
+                " faster on CPU (docs/cli.md mode matrix)\n"
+            )
+
     def execute(self, stdout):
         fidelity = self.interactive.get("fidelity", "strict")
         from .engine.strict import StrictEngine
@@ -112,6 +140,7 @@ class TranscodeJob:
         elif fidelity in ("fast", "device"):
             from .engine.device import DeviceEngine, StreamedDeviceEngine
 
+            self._warn_cpu_device_mode(fidelity)
             if threads > 1:
                 self.engine = StreamedDeviceEngine(self.ontology, workers=workers)
             else:
@@ -119,6 +148,7 @@ class TranscodeJob:
         elif fidelity == "hybrid":
             from .engine.device import DeviceEngine, StreamedDeviceEngine
 
+            self._warn_cpu_device_mode(fidelity)
             if threads > 1:
                 self.engine = StreamedDeviceEngine(
                     self.ontology, hybrid=True, workers=workers

@@ -21,6 +21,11 @@ if not os.environ.get("PHENIQS_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# the suite runs device fidelities on the CPU mesh by design: silence the
+# CLI's cpu-backend performance warning (it would pollute stderr-parsed
+# reports); a dedicated test re-enables it to assert it fires
+os.environ.setdefault("PHENIQS_QUIET_CPU_DEVICE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

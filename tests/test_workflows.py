@@ -552,3 +552,35 @@ def test_zero_copy_staging_byte_identical(reference_root, tmp_path):
             if not line.startswith("@PG")
         )
     assert outputs["0"] == outputs["1"]
+
+
+def test_cpu_device_mode_warning(reference_root, tmp_path):
+    """--fidelity hybrid/fast on a CPU-only backend warns loudly (the
+    measured-slowest engine there, BASELINE.md mode matrix); strict does
+    not warn; PHENIQS_QUIET_CPU_DEVICE=1 silences."""
+    base = reference_root + "/test/BDGGG"
+    runs = (
+        ("hybrid", {}, True),
+        ("fast", {}, True),
+        ("strict", {}, False),
+        ("hybrid", {"PHENIQS_QUIET_CPU_DEVICE": "1"}, False),
+    )
+    for fidelity, extra, expect in runs:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PHENIQS_QUIET_CPU_DEVICE", None)
+        env.update(extra)
+        result = subprocess.run(
+            [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+             "--config", f"{base}/BDGGG_annotated.json",
+             "--fidelity", fidelity,
+             "--threads", "1",
+             "--output", "/dev/null", "--report", "/dev/null"],
+            cwd=reference_root, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert result.returncode == 0, (fidelity, result.stderr[-1500:])
+        fired = "CPU-only backend is the slowest" in result.stderr
+        assert fired == expect, (fidelity, extra, result.stderr[-500:])
