@@ -2409,4 +2409,478 @@ void pq_pack_h2d_segment_j4(
     }
 }
 
+// ---------------------------------------------------------------------------
+// rANS Nx16 (CRAM 3.1, hts-specs CRAMcodecs): the hot order-0/1 core with
+// 4/32-way interleave, byte-compatible with pheniqs_tpu/io/rans_nx16.py
+// (same alphabet RLE, normalisation tie-breaks, state order and word-
+// reversed renorm payload, so native and Python writers emit identical
+// streams). Transform flags (PACK/RLE/CAT/STRIPE/NOSZ) stay in Python —
+// the wrappers return -3 so the caller falls back.
+
+static const uint32_t NX16_TOT = 4096;     // 12-bit order-0 frequencies
+static const uint32_t NX16_L = 1u << 15;   // state lower bound, 16-bit renorm
+
+static uint8_t* nx16_put_uint7(uint8_t* cp, uint64_t v) {
+    uint8_t tmp[10];
+    int n = 0;
+    tmp[n++] = v & 0x7F;
+    v >>= 7;
+    while (v) { tmp[n++] = 0x80 | (v & 0x7F); v >>= 7; }
+    for (int i = n - 1; i >= 0; --i) *cp++ = tmp[i];
+    return cp;
+}
+
+static const uint8_t* nx16_get_uint7(const uint8_t* cp, const uint8_t* end,
+                                     uint64_t* v) {
+    *v = 0;
+    for (;;) {
+        if (cp >= end) return nullptr;
+        uint8_t b = *cp++;
+        *v = (*v << 7) | (b & 0x7F);
+        if (!(b & 0x80)) return cp;
+    }
+}
+
+// ascending alphabet with consecutive-run bytes, 0-terminated (mirrors
+// rans_nx16._put_alphabet / _get_alphabet)
+static uint8_t* nx16_put_alphabet(uint8_t* cp, const int* syms, int count) {
+    int i = 0, last = -2;
+    while (i < count) {
+        int sym = syms[i];
+        *cp++ = static_cast<uint8_t>(sym);
+        if (sym == last + 1) {
+            int run = 0;
+            while (i + run + 1 < count && syms[i + run + 1] == sym + run + 1)
+                ++run;
+            *cp++ = static_cast<uint8_t>(run);
+            i += run + 1;
+            last = sym + run;
+        } else {
+            last = sym;
+            ++i;
+        }
+    }
+    *cp++ = 0;
+    return cp;
+}
+
+static const uint8_t* nx16_get_alphabet(const uint8_t* cp, const uint8_t* end,
+                                        int* syms, int* count) {
+    *count = 0;
+    int rle = 0, last = -2;
+    if (cp >= end) return nullptr;
+    int sym = *cp++;
+    for (;;) {
+        if (*count >= 256) return nullptr;
+        syms[(*count)++] = sym;
+        if (rle > 0) {
+            --rle;
+            ++sym;
+            last = sym - 1;
+        } else {
+            last = sym;
+            if (cp >= end) return nullptr;
+            sym = *cp++;
+            if (sym == last + 1) {
+                if (cp >= end) return nullptr;
+                rle = *cp++;
+            }
+        }
+        if (rle == 0 && sym <= last) {
+            if (sym != 0) return nullptr;
+            break;
+        }
+    }
+    return cp;
+}
+
+// scale to `target` keeping nonzero entries >= 1; remainder to the most
+// frequent (smaller symbol wins ties) — mirrors rans_nx16._normalize
+static void nx16_normalize(int64_t* freqs, const int* syms, int count,
+                           uint32_t target) {
+    int64_t total = 0;
+    for (int i = 0; i < count; ++i) total += freqs[syms[i]];
+    if (total == 0 || total == static_cast<int64_t>(target)) return;
+    int64_t sum = 0;
+    int top = syms[0];
+    for (int i = 0; i < count; ++i) {
+        int s = syms[i];
+        int64_t f = (freqs[s] * target) / total;
+        if (f < 1) f = 1;
+        freqs[s] = f;
+        sum += f;
+        if (f > freqs[top]) top = s;  // ascending scan: ties keep smaller
+    }
+    freqs[top] += target - sum;
+}
+
+struct Nx16Enc {
+    uint32_t x = NX16_L;
+    void put(std::vector<uint16_t>& words, uint32_t start, uint32_t freq,
+             int shift) {
+        uint32_t x_max = ((NX16_L >> shift) << 16) * freq;
+        while (x >= x_max) {
+            words.push_back(static_cast<uint16_t>(x & 0xFFFF));
+            x >>= 16;
+        }
+        x = ((x / freq) << shift) + (x % freq) + start;
+    }
+};
+
+struct Nx16Dec {
+    uint32_t x;
+    void init(const uint8_t*& cp) {
+        x = static_cast<uint32_t>(cp[0]) | (cp[1] << 8) | (cp[2] << 16)
+            | (static_cast<uint32_t>(cp[3]) << 24);
+        cp += 4;
+    }
+    inline bool advance(const uint8_t*& cp, const uint8_t* end,
+                        uint32_t freq, uint32_t slot, uint32_t cum,
+                        int shift) {
+        x = freq * (x >> shift) + slot - cum;
+        if (x < NX16_L) {
+            if (end - cp < 2) return false;
+            x = (x << 16) | (static_cast<uint32_t>(cp[0]) | (cp[1] << 8));
+            cp += 2;
+        }
+        return true;
+    }
+};
+
+// order-0 body (no wrapper flags byte / size): table + states + payload
+static void nx16_o0_body(const uint8_t* in, int64_t n, int n_states,
+                         std::vector<uint8_t>& out) {
+    int64_t freqs[256] = {0};
+    for (int64_t i = 0; i < n; ++i) freqs[in[i]]++;
+    int syms[256], count = 0;
+    for (int s = 0; s < 256; ++s)
+        if (freqs[s]) syms[count++] = s;
+    if (count == 0) { syms[count++] = 0; freqs[0] = 1; }
+    nx16_normalize(freqs, syms, count, NX16_TOT);
+    uint32_t cum[256];
+    {
+        uint32_t acc = 0;
+        for (int i = 0; i < count; ++i) { cum[syms[i]] = acc; acc += freqs[syms[i]]; }
+    }
+    size_t base = out.size();
+    out.resize(base + 256 * 4 + 8);
+    uint8_t* cp = out.data() + base;
+    cp = nx16_put_alphabet(cp, syms, count);
+    for (int i = 0; i < count; ++i) cp = nx16_put_uint7(cp, freqs[syms[i]]);
+    out.resize(cp - out.data());
+
+    std::vector<Nx16Enc> states(n_states);
+    std::vector<uint16_t> words;
+    words.reserve(static_cast<size_t>(n) / 2 + 8);
+    for (int64_t i = n - 1; i >= 0; --i) {
+        int s = in[i];
+        states[i % n_states].put(words, cum[s], static_cast<uint32_t>(freqs[s]), 12);
+    }
+    for (int j = 0; j < n_states; ++j) {
+        uint32_t x = states[j].x;
+        out.push_back(x & 0xFF); out.push_back((x >> 8) & 0xFF);
+        out.push_back((x >> 16) & 0xFF); out.push_back((x >> 24) & 0xFF);
+    }
+    for (size_t i = words.size(); i > 0; --i) {
+        out.push_back(words[i - 1] & 0xFF);
+        out.push_back((words[i - 1] >> 8) & 0xFF);
+    }
+}
+
+static bool nx16_o0_decode_body(const uint8_t*& cp, const uint8_t* end,
+                                uint8_t* out, int64_t n, int n_states) {
+    int syms[256], count = 0;
+    cp = nx16_get_alphabet(cp, end, syms, &count);
+    if (cp == nullptr) return false;
+    int64_t freqs[256] = {0};
+    for (int i = 0; i < count; ++i) {
+        uint64_t v;
+        cp = nx16_get_uint7(cp, end, &v);
+        if (cp == nullptr) return false;
+        freqs[syms[i]] = static_cast<int64_t>(v);
+    }
+    nx16_normalize(freqs, syms, count, NX16_TOT);
+    std::vector<uint8_t> lookup(NX16_TOT);
+    std::vector<uint32_t> lf(NX16_TOT), lc(NX16_TOT);
+    {
+        uint32_t acc = 0;
+        for (int i = 0; i < count; ++i) {
+            int s = syms[i];
+            uint32_t f = static_cast<uint32_t>(freqs[s]);
+            if (acc + f > NX16_TOT) return false;
+            for (uint32_t k = 0; k < f; ++k) {
+                lookup[acc + k] = static_cast<uint8_t>(s);
+                lf[acc + k] = f;
+                lc[acc + k] = acc;
+            }
+            acc += f;
+        }
+        if (acc != NX16_TOT) return false;
+    }
+    if (end - cp < 4 * n_states) return false;
+    std::vector<Nx16Dec> states(n_states);
+    for (int j = 0; j < n_states; ++j) states[j].init(cp);
+    for (int64_t i = 0; i < n; ++i) {
+        Nx16Dec& st = states[i % n_states];
+        uint32_t slot = st.x & (NX16_TOT - 1);
+        out[i] = lookup[slot];
+        if (!st.advance(cp, end, lf[slot], slot, lc[slot], 12)) return false;
+    }
+    return true;
+}
+
+// order-1 body: mirrors rans_nx16._o1_encode exactly (leader-adjusted
+// counts, used = rows|cols|{first}|{0}, per-row normalisation, optional
+// order-0 compression of the serialized tables, fragment+tail states)
+static void nx16_o1_body(const uint8_t* in, int64_t n, int n_states,
+                         std::vector<uint8_t>& out) {
+    int64_t frag = n / n_states;
+    std::vector<int64_t> counts(256 * 256, 0);
+    for (int64_t i = 1; i < n; ++i) counts[in[i - 1] * 256 + in[i]]++;
+    if (n > 0) {
+        if (frag > 0) {
+            for (int j = 0; j < n_states; ++j) {
+                int64_t start = j * frag;
+                counts[0 * 256 + in[start]]++;
+                if (start > 0) counts[in[start - 1] * 256 + in[start]]--;
+            }
+        } else {
+            counts[0 * 256 + in[0]]++;
+        }
+    }
+    bool used_mask[256] = {false};
+    used_mask[0] = true;
+    if (n > 0) used_mask[in[0]] = true;
+    for (int i = 0; i < 256; ++i)
+        for (int j = 0; j < 256; ++j)
+            if (counts[i * 256 + j] > 0) { used_mask[i] = true; used_mask[j] = true; }
+    int used[256], ucount = 0;
+    for (int s = 0; s < 256; ++s)
+        if (used_mask[s]) used[ucount++] = s;
+
+    std::vector<int64_t> rows(256 * 256, 0);
+    for (int ui = 0; ui < ucount; ++ui) {
+        int i = used[ui];
+        int syms[256], count = 0;
+        for (int uj = 0; uj < ucount; ++uj) {
+            int j = used[uj];
+            if (counts[i * 256 + j] > 0) {
+                rows[i * 256 + j] = counts[i * 256 + j];
+                syms[count++] = j;
+            }
+        }
+        if (count == 0) {
+            rows[i * 256 + used[0]] = 1;
+            syms[count++] = used[0];
+        }
+        nx16_normalize(&rows[i * 256], syms, count, NX16_TOT);
+    }
+
+    // serialized tables
+    std::vector<uint8_t> table(256 * 4 + 2 + 256u * 256u * 3u);
+    uint8_t* cp = table.data();
+    cp = nx16_put_alphabet(cp, used, ucount);
+    for (int ui = 0; ui < ucount; ++ui)
+        for (int uj = 0; uj < ucount; ++uj)
+            cp = nx16_put_uint7(cp, rows[used[ui] * 256 + used[uj]]);
+    table.resize(cp - table.data());
+
+    std::vector<uint8_t> packed;
+    nx16_o0_body(table.data(), static_cast<int64_t>(table.size()), 4, packed);
+    uint8_t lenbuf[10];
+    size_t len7 = nx16_put_uint7(lenbuf, table.size()) - lenbuf;
+    if (packed.size() + 2 + len7 < table.size()) {
+        out.push_back((12 << 4) | 1);
+        uint8_t tmp[10];
+        out.insert(out.end(), tmp, nx16_put_uint7(tmp, packed.size()));
+        out.insert(out.end(), tmp, nx16_put_uint7(tmp, table.size()));
+        out.insert(out.end(), packed.begin(), packed.end());
+    } else {
+        out.push_back(12 << 4);
+        out.insert(out.end(), table.begin(), table.end());
+    }
+
+    std::vector<uint32_t> cum(256 * 256, 0);
+    for (int ui = 0; ui < ucount; ++ui) {
+        int i = used[ui];
+        uint32_t acc = 0;
+        for (int uj = 0; uj < ucount; ++uj) {
+            int j = used[uj];
+            cum[i * 256 + j] = acc;
+            acc += static_cast<uint32_t>(rows[i * 256 + j]);
+        }
+    }
+
+    std::vector<Nx16Enc> states(n_states);
+    std::vector<uint16_t> words;
+    words.reserve(static_cast<size_t>(n) / 2 + 8);
+    // tail rides the last state (encoded first)
+    for (int64_t i = n - 1; i >= n_states * frag; --i) {
+        int ctx = i > 0 ? in[i - 1] : 0;
+        states[n_states - 1].put(
+            words, cum[ctx * 256 + in[i]],
+            static_cast<uint32_t>(rows[ctx * 256 + in[i]]), 12);
+    }
+    for (int64_t i = frag - 1; i >= 0; --i) {
+        for (int j = n_states - 1; j >= 0; --j) {
+            int64_t pos = j * frag + i;
+            int ctx = i > 0 ? in[pos - 1] : 0;
+            states[j].put(
+                words, cum[ctx * 256 + in[pos]],
+                static_cast<uint32_t>(rows[ctx * 256 + in[pos]]), 12);
+        }
+    }
+    for (int j = 0; j < n_states; ++j) {
+        uint32_t x = states[j].x;
+        out.push_back(x & 0xFF); out.push_back((x >> 8) & 0xFF);
+        out.push_back((x >> 16) & 0xFF); out.push_back((x >> 24) & 0xFF);
+    }
+    for (size_t i = words.size(); i > 0; --i) {
+        out.push_back(words[i - 1] & 0xFF);
+        out.push_back((words[i - 1] >> 8) & 0xFF);
+    }
+}
+
+static bool nx16_o1_decode_body(const uint8_t*& cp, const uint8_t* end,
+                                uint8_t* out, int64_t n, int n_states) {
+    if (cp >= end) return false;
+    uint8_t lead = *cp++;
+    int shift = lead >> 4;
+    if (shift != 10 && shift != 12) return false;
+    uint32_t size = 1u << shift;
+    std::vector<uint8_t> table_store;
+    const uint8_t* tb;
+    const uint8_t* tend;
+    if (lead & 1) {
+        uint64_t clen, tlen;
+        cp = nx16_get_uint7(cp, end, &clen);
+        if (cp == nullptr) return false;
+        cp = nx16_get_uint7(cp, end, &tlen);
+        if (cp == nullptr || tlen > (1u << 26)) return false;
+        if (static_cast<uint64_t>(end - cp) < clen) return false;
+        table_store.resize(tlen);
+        const uint8_t* icp = cp;
+        const uint8_t* iend = cp + clen;
+        if (!nx16_o0_decode_body(icp, iend, table_store.data(),
+                                 static_cast<int64_t>(tlen), 4))
+            return false;
+        cp += clen;
+        tb = table_store.data();
+        tend = tb + table_store.size();
+    } else {
+        tb = cp;
+        tend = end;
+    }
+    int used[256], ucount = 0;
+    tb = nx16_get_alphabet(tb, tend, used, &ucount);
+    if (tb == nullptr) return false;
+    std::vector<int64_t> rows(256 * 256, 0);
+    for (int ui = 0; ui < ucount; ++ui) {
+        int syms[256], count = 0;
+        for (int uj = 0; uj < ucount; ++uj) {
+            uint64_t v;
+            tb = nx16_get_uint7(tb, tend, &v);
+            if (tb == nullptr) return false;
+            if (v) {
+                rows[used[ui] * 256 + used[uj]] = static_cast<int64_t>(v);
+                syms[count++] = used[uj];
+            }
+        }
+        if (count)
+            nx16_normalize(&rows[used[ui] * 256], syms, count, size);
+    }
+    if (!(lead & 1)) cp = tb;
+
+    // dense per-context decode tables
+    std::vector<uint8_t> lookup(256u * size, 0);
+    std::vector<uint32_t> lf(256u * size, 1), lc(256u * size, 0);
+    for (int ui = 0; ui < ucount; ++ui) {
+        int i = used[ui];
+        uint32_t acc = 0;
+        for (int uj = 0; uj < ucount; ++uj) {
+            int j = used[uj];
+            uint32_t f = static_cast<uint32_t>(rows[i * 256 + j]);
+            if (!f) continue;
+            if (acc + f > size) return false;
+            for (uint32_t k = 0; k < f; ++k) {
+                lookup[i * size + acc + k] = static_cast<uint8_t>(j);
+                lf[i * size + acc + k] = f;
+                lc[i * size + acc + k] = acc;
+            }
+            acc += f;
+        }
+        if (acc != 0 && acc != size) return false;
+    }
+
+    if (end - cp < 4 * n_states) return false;
+    std::vector<Nx16Dec> states(n_states);
+    for (int j = 0; j < n_states; ++j) states[j].init(cp);
+    int64_t frag = n / n_states;
+    std::vector<int> ctx(n_states, 0);
+    uint32_t mask = size - 1;
+    for (int64_t i = 0; i < frag; ++i) {
+        for (int j = 0; j < n_states; ++j) {
+            Nx16Dec& st = states[j];
+            uint32_t slot = st.x & mask;
+            size_t at = static_cast<size_t>(ctx[j]) * size + slot;
+            uint8_t sym = lookup[at];
+            out[j * frag + i] = sym;
+            if (!st.advance(cp, end, lf[at], slot, lc[at], shift))
+                return false;
+            ctx[j] = sym;
+        }
+    }
+    {
+        Nx16Dec& st = states[n_states - 1];
+        int c = frag ? ctx[n_states - 1] : 0;
+        for (int64_t i = n_states * frag; i < n; ++i) {
+            uint32_t slot = st.x & mask;
+            size_t at = static_cast<size_t>(c) * size + slot;
+            uint8_t sym = lookup[at];
+            out[i] = sym;
+            if (!st.advance(cp, end, lf[at], slot, lc[at], shift))
+                return false;
+            c = sym;
+        }
+    }
+    return true;
+}
+
+// flags: 0x01 order-1, 0x04 32-way; any other bit -> -3 (python handles)
+int64_t pq_rans_nx16_compress(const uint8_t* in, int64_t in_size, int flags,
+                              uint8_t* out, int64_t capacity) {
+    if (flags & ~0x05) return -3;
+    int n_states = (flags & 0x04) ? 32 : 4;
+    std::vector<uint8_t> body;
+    body.reserve(static_cast<size_t>(in_size) + 1024);
+    if (flags & 0x01) nx16_o1_body(in, in_size, n_states, body);
+    else nx16_o0_body(in, in_size, n_states, body);
+    uint8_t head[12];
+    head[0] = static_cast<uint8_t>(flags);
+    size_t hlen = nx16_put_uint7(head + 1, in_size) - head;
+    if (static_cast<int64_t>(hlen + body.size()) > capacity) return -1;
+    memcpy(out, head, hlen);
+    memcpy(out + hlen, body.data(), body.size());
+    return static_cast<int64_t>(hlen + body.size());
+}
+
+// returns raw size written, -1 capacity, -2 corrupt, -3 unsupported flags
+int64_t pq_rans_nx16_uncompress(const uint8_t* in, int64_t in_size,
+                                uint8_t* out, int64_t capacity) {
+    if (in_size < 1) return -2;
+    int flags = in[0];
+    if (flags & ~0x05) return -3;  // transforms / NOSZ: python path
+    const uint8_t* cp = in + 1;
+    const uint8_t* end = in + in_size;
+    uint64_t n;
+    cp = nx16_get_uint7(cp, end, &n);
+    if (cp == nullptr) return -2;
+    if (static_cast<int64_t>(n) > capacity) return -1;
+    int n_states = (flags & 0x04) ? 32 : 4;
+    bool ok = (flags & 0x01)
+        ? nx16_o1_decode_body(cp, end, out, static_cast<int64_t>(n), n_states)
+        : nx16_o0_decode_body(cp, end, out, static_cast<int64_t>(n), n_states);
+    return ok ? static_cast<int64_t>(n) : -2;
+}
+
 }  // extern "C"
