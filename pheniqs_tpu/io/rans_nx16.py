@@ -597,7 +597,15 @@ def _rle_decode(literals: bytes, meta: bytes, out_len: int) -> bytes:
 def rans_nx16_compress(data: bytes, flags: int = 0) -> bytes:
     """Compress with the requested flag set (ORDER1/X32/STRIPE/CAT/RLE/
     PACK; NOSZ is honored). Transforms that cannot apply (pack with >16
-    symbols) are silently dropped from the emitted flag byte."""
+    symbols) are silently dropped from the emitted flag byte. Plain
+    order-0/1 streams ride the native C++ coder when built (byte-
+    identical output, parity-pinned)."""
+    if not flags & ~(ORDER1 | X32) and len(data) >= 256:
+        from ..native import rans_nx16_compress as native_compress
+
+        compressed = native_compress(bytes(data), flags)
+        if compressed is not None:
+            return compressed
     out = bytearray()
     emit_flags = flags
     n_states = 32 if flags & X32 else 4
@@ -667,6 +675,19 @@ def rans_nx16_uncompress(data: bytes, expected_size: int | None = None
     """Decode one rANS Nx16 stream; corrupt or truncated input raises the
     typed IOError_ (exit 6), never a bare IndexError."""
     try:
+        if data and not data[0] & ~(ORDER1 | X32):
+            # plain order-0/1 stream: native fast path when built
+            ulen, _ = uint7_get(data, 1)
+            if 256 <= ulen <= (1 << 31):
+                from ..native import rans_nx16_uncompress as native_un
+
+                raw = native_un(bytes(data), ulen)
+                if raw is not None:
+                    if len(raw) != ulen or (
+                        expected_size is not None and ulen != expected_size
+                    ):
+                        raise IOError_("rANS Nx16 output length mismatch")
+                    return raw
         return _uncompress(data, expected_size)
     except IOError_:
         raise

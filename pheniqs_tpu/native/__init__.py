@@ -201,6 +201,21 @@ def load():
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.pq_rans_nx16_compress.restype = ctypes.c_int64
+        lib.pq_rans_nx16_compress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.pq_rans_nx16_uncompress.restype = ctypes.c_int64
+        lib.pq_rans_nx16_uncompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         lib.pq_cram_decode_slice.restype = ctypes.c_int32
         lib.pq_cram_decode_slice.argtypes = [
             ctypes.c_int32,
@@ -1167,6 +1182,40 @@ def rans_uncompress(data: bytes, raw_size: int) -> bytes | None:
         from ..errors import IOError_
 
         raise IOError_("rANS: malformed stream (native decoder)")
+    return out.raw[:written]
+
+
+def rans_nx16_compress(data: bytes, flags: int) -> bytes | None:
+    """rANS Nx16 (CRAM 3.1) compress via the native lib — plain
+    order-0/1 with 4/32-way interleave only (transform flags return
+    None so the Python coder handles them). Byte-identical to
+    io/rans_nx16's pure-Python encoder."""
+    lib = load()
+    if lib is None:
+        return None
+    capacity = 32 + 2 * len(data) + 257 * 1024 + (1 << 17)
+    out = ctypes.create_string_buffer(capacity)
+    written = lib.pq_rans_nx16_compress(data, len(data), flags, out, capacity)
+    if written < 0:
+        return None
+    return out.raw[:written]
+
+
+def rans_nx16_uncompress(data: bytes, raw_size: int) -> bytes | None:
+    """rANS Nx16 decompress via the native lib; None when the stream's
+    flags need the Python path or the lib is unavailable; typed error on
+    a malformed stream."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(max(raw_size, 1))
+    written = lib.pq_rans_nx16_uncompress(data, len(data), out, raw_size)
+    if written == -3 or written == -1:
+        return None  # unsupported flags / capacity: python path decides
+    if written < 0:
+        from ..errors import IOError_
+
+        raise IOError_("rANS Nx16: malformed stream (native decoder)")
     return out.raw[:written]
 
 

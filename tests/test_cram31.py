@@ -289,3 +289,35 @@ def test_cram_version_write_gate():
 
     with pytest.raises(IOError_):
         CramWriter(io.BytesIO(), HEADER, version=(4, 0))
+
+
+def test_native_nx16_parity_with_python():
+    """The native C++ Nx16 coder must emit byte-identical streams to the
+    pure-Python encoder (both are production writers depending on build
+    availability) and each must decode the other's output."""
+    from pheniqs_tpu import native
+    from pheniqs_tpu.io import rans_nx16 as R
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    payloads = [
+        bytes(rng.choice([2, 12, 23, 37], p=[0.02, 0.1, 0.3, 0.58],
+                         size=100000).astype(np.uint8)),
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 300, dtype=np.uint8)),
+    ]
+    for data in payloads:
+        for flags in (0, ORDER1, X32, ORDER1 | X32):
+            native_bytes = native.rans_nx16_compress(data, flags)
+            assert native_bytes is not None
+            real_load = native.load
+            native.load = lambda: None
+            try:
+                python_bytes = R.rans_nx16_compress(data, flags)
+                python_of_native = R._uncompress(native_bytes)
+            finally:
+                native.load = real_load
+            assert native_bytes == python_bytes, hex(flags)
+            assert python_of_native == data
+            assert native.rans_nx16_uncompress(python_bytes, len(data)) == data
