@@ -44,6 +44,17 @@ from .url import (
 TOPICS = ("sample", "molecular", "cellular")
 
 
+def topic_elements(node) -> list[dict]:
+    """The decoder dicts of a molecular/cellular topic, accepting both
+    the single-object and array shapes (the reference loads either —
+    transcode.cpp:126-140 load_cellular_decoding IsObject/IsArray)."""
+    if isinstance(node, dict):
+        return [node]
+    if isinstance(node, list):
+        return [element for element in node if isinstance(element, dict)]
+    return []
+
+
 # ---------------------------------------------------------------------------
 # instruction loading: imports
 # ---------------------------------------------------------------------------
@@ -732,13 +743,9 @@ class InstructionCompiler:
         if isinstance(sample, dict) and sample.get("multiplexing classifier"):
             candidates.append(sample)
         for topic in ("cellular", "molecular"):
-            node = ontology.get(topic)
-            if isinstance(node, list):
-                for element in node:
-                    if isinstance(element, dict) and element.get(
-                        "multiplexing classifier"
-                    ):
-                        candidates.append(element)
+            for element in topic_elements(ontology.get(topic)):
+                if element.get("multiplexing classifier"):
+                    candidates.append(element)
 
         if candidates:
             if len(candidates) == 1:
@@ -763,11 +770,9 @@ class InstructionCompiler:
         if isinstance(sample, dict) and mentions_output(sample):
             candidates.append(sample)
         for topic in ("cellular", "molecular"):
-            node = ontology.get(topic)
-            if isinstance(node, list):
-                for element in node:
-                    if isinstance(element, dict) and mentions_output(element):
-                        candidates.append(element)
+            for element in topic_elements(ontology.get(topic)):
+                if mentions_output(element):
+                    candidates.append(element)
 
         if not candidates:
             if isinstance(sample, dict):

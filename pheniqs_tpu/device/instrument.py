@@ -355,13 +355,15 @@ def compile_instrument(ontology: dict) -> DeviceInstrument:
     """Build a DeviceInstrument from a compiled instruction ontology, in the
     reference classify order: sample, molecular*, cellular* (reference
     transcode.h:51-65)."""
+    from ..config.compiler import topic_elements
+
     decoders: list[DeviceDecoder] = []
     sample = ontology.get("sample")
     if isinstance(sample, dict):
         decoders.append(compile_decoder(spec_from_ontology(sample, "sample")))
-    for element in ontology.get("molecular", []) or []:
+    for element in topic_elements(ontology.get("molecular")):
         decoders.append(compile_decoder(spec_from_ontology(element, "molecular")))
-    for element in ontology.get("cellular", []) or []:
+    for element in topic_elements(ontology.get("cellular")):
         decoders.append(compile_decoder(spec_from_ontology(element, "cellular")))
 
     multiplexing_index = -1

@@ -320,13 +320,17 @@ class StrictEngine:
         self.sample = (
             ClassifierRuntime(sample, "sample") if isinstance(sample, dict) else None
         )
+        # molecular/cellular accept the single-object and array shapes,
+        # as the reference does (transcode.cpp:126-140)
+        from ..config.compiler import topic_elements
+
         self.molecular = [
             ClassifierRuntime(element, "molecular")
-            for element in ontology.get("molecular", []) or []
+            for element in topic_elements(ontology.get("molecular"))
         ]
         self.cellular = [
             ClassifierRuntime(element, "cellular")
-            for element in ontology.get("cellular", []) or []
+            for element in topic_elements(ontology.get("cellular"))
         ]
 
         self.template_rule = Rule.from_ontology(

@@ -125,6 +125,9 @@ VIGNETTES = [
     ("example/illumina_vignette", "H7LT2DSXX_l01_sample.json", 4),
     ("example/scirnaseq_vignette", "HGGKLBGX2_l01_cellular.json", None),
     ("example/splitseq_vignette", "splitseq_l01_cellular.json", None),
+    # fluidigm: a CELLULAR decoder carries the multiplexing-classifier
+    # flag (reference transcode.cpp:1087-1123 election by explicit flag)
+    ("example/CBJLFACXX", "CBJLFACXX_l01_column.json", 3),
 ]
 
 
