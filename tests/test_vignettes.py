@@ -208,3 +208,56 @@ def test_splitseq_prior_estimation_pass(reference_root, tmp_path):
         ],
     )
     assert second.returncode == 0, second.stderr[-3000:]
+
+
+def test_a5kvk_interleaved_cram_input(reference_root, tmp_path):
+    """The A5KVK example (reference example/A5KVK/A5KVK.json): ONE CRAM
+    listed four times as input — a 4-segment FI/TC-interleaved container
+    feeding all four segment slots — with dual 7nt PAMLD barcodes.
+    Synthesize the CRAM from the config's own codec and demux through
+    the real CLI."""
+    from pheniqs_tpu.io.cram import CramWriter
+    from pheniqs_tpu.io.sam import AuxTags
+    from pheniqs_tpu.iupac import ASCII_TO_BAM
+
+    config = json.load(
+        open(os.path.join(reference_root, "example/A5KVK/A5KVK.json"))
+    )
+    config.pop("base input url")
+    config["report url"] = "/dev/stderr"
+    config["output"] = ["/dev/null"]
+    words = [v["barcode"] for v in config["sample"]["codec"].values()]
+    rng = np.random.default_rng(2)
+    path = tmp_path / "A5KVK.cram"
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, "@HD\tVN:1.6\n", level=5)
+        for i in range(200):
+            barcode = words[rng.integers(len(words))]
+            for s in range(4):
+                if s == 1:
+                    seq = barcode[0]
+                elif s == 2:
+                    seq = barcode[1]
+                else:
+                    seq = "".join(
+                        "ACGT"[b] for b in rng.integers(4, size=40)
+                    )
+                tags = AuxTags()
+                tags.FI = s + 1
+                tags.TC = 4
+                code = ASCII_TO_BAM[
+                    np.frombuffer(seq.encode(), dtype=np.uint8)
+                ]
+                qual = rng.integers(25, 40, size=len(seq)).astype(np.uint8)
+                writer.write_record(
+                    f"r{i}", 0x4, code, qual, len(seq), tags
+                )
+        writer.close()
+    config["input"] = [str(path)] * 4
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps(config))
+    result = run_mux(str(tmp_path), ["--config", str(cfg), "--precision", "15"])
+    assert result.returncode == 0, result.stderr[-2000:]
+    report = json.loads(result.stderr)
+    assert report["incoming"]["count"] == 200
+    assert report["sample"]["classified fraction"] > 0.98
