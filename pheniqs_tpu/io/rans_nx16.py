@@ -170,7 +170,6 @@ def _o0_encode(data: bytes, n_states: int) -> bytes:
     # encode back-to-front; state j owns positions i with i % N == j
     states = [RANS_L] * n_states
     payload = bytearray()
-    mask = (1 << TF_SHIFT_O0) - 1
     for i in range(len(data) - 1, -1, -1):
         j = i % n_states
         sym = data[i]
@@ -181,7 +180,6 @@ def _o0_encode(data: bytes, n_states: int) -> bytes:
             payload += bytes((x & 0xFF, (x >> 8) & 0xFF))
             x >>= 16
         states[j] = ((x // f) << TF_SHIFT_O0) + (x % f) + c
-    del mask
     head = bytearray()
     for j in range(n_states):
         head += int(states[j]).to_bytes(4, "little")
@@ -309,7 +307,6 @@ def _o1_encode(data: bytes, n_states: int) -> bytes:
     shift = TF_SHIFT_O0
     table_bytes, tables, _used = _o1_freq_bytes(data, n_states, shift)
     # compress the tables with order-0 rANS when that helps
-    inner = _o0_decode  # noqa: F841  (symmetry note)
     packed_tables = _o0_encode(table_bytes, 4)
     out = bytearray()
     if len(packed_tables) + 2 + len(uint7_put(len(table_bytes))) < len(
