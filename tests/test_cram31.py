@@ -321,3 +321,55 @@ def test_native_nx16_parity_with_python():
             assert native_bytes == python_bytes, hex(flags)
             assert python_of_native == data
             assert native.rans_nx16_uncompress(python_bytes, len(data)) == data
+
+
+def test_cram31_cli_streamed_output(tmp_path):
+    """`PHENIQS_CRAM_VERSION=3.1` through the real CLI at --threads 3:
+    worker-built slice parts carry the 3.1 codecs and the reader gets
+    every record back."""
+    import json
+    import subprocess
+    import sys
+
+    reference_root = "/root/reference"
+    if not os.path.isdir(reference_root):
+        pytest.skip("reference repository not mounted")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PHENIQS_CRAM_VERSION"] = "3.1"
+    out = tmp_path / "bdggg31.cram"
+    result = subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+         "--config", "test/BDGGG/BDGGG_annotated.json",
+         "--precision", "15", "--threads", "3",
+         "--output", str(out), "--report", "/dev/null"],
+        cwd=reference_root, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    blob = out.read_bytes()
+    assert blob[4:6] == bytes((3, 1))
+    from pheniqs_tpu.io.cram import read_cram
+
+    records = list(read_cram(str(out)))
+    assert len(records) == 496  # 248 pf reads x 2 output segments
+    # serial run content-identical (names + sequences in order)
+    env2 = dict(env)
+    out2 = tmp_path / "serial31.cram"
+    result = subprocess.run(
+        [sys.executable, "-m", "pheniqs_tpu.cli.main", "mux",
+         "--config", "test/BDGGG/BDGGG_annotated.json",
+         "--precision", "15", "--threads", "1",
+         "--output", str(out2), "--report", "/dev/null"],
+        cwd=reference_root, env=env2, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    serial = list(read_cram(str(out2)))
+    assert [(r.name, r.code.tobytes()) for r in records] == [
+        (r.name, r.code.tobytes()) for r in serial
+    ]
