@@ -95,6 +95,46 @@ def write_unmapped_demux(path: str):
     return n
 
 
+def write_v31_demux(path: str):
+    """CRAM 3.1: the same demux record shape written with the 3.1
+    codecs — rANS Nx16 base/quality series + tok3 tokenized names
+    (io/rans_nx16.py, io/tok3.py). `samtools view` on any htslib >= 1.12
+    build reads 3.1, so this fixture lets an external party validate
+    the new codecs exactly like the 3.0 ones."""
+    from ..io.cram import CramWriter
+    from ..io.sam import AuxTags
+    from ..iupac import ASCII_TO_BAM
+
+    rng = np.random.default_rng(53)
+    n = 600
+    with open(path, "wb") as stream:
+        writer = CramWriter(stream, _unmapped_header(), level=5,
+                            version=(3, 1))
+        writer.RECORDS_PER_SLICE = 256
+        for i in range(n):
+            length = int(rng.integers(24, 37))
+            seq = "".join(
+                "ACGTN"[j] for j in rng.integers(0, 5, size=length)
+            )
+            code = ASCII_TO_BAM[np.frombuffer(seq.encode(), np.uint8)]
+            qual = rng.choice(
+                np.array([2, 12, 23, 37], dtype=np.uint8), size=length
+            )
+            tags = AuxTags()
+            tags.RG = "BDGGG:1:AGGCATG" if i % 3 else "undetermined"
+            tags.BC = "AGGCATG"
+            tags.QT = "IIIIIII"
+            if i % 2 == 0:
+                tags.XB = float(np.float32(0.25 + (i % 8) * 0.0625))
+            flag = 0x4D if i % 2 else 0x8E
+            writer.write_record(
+                f"M02455:162:31:{1101 + i % 4}:{1000 + i}", flag, code,
+                qual, length, tags,
+            )
+        writer.close()
+    return n
+
+
 def write_mapped_mixed(path: str, fasta_path: str):
     """Reference-based mapped records covering every feature class the
     writer emits: perfect match, substitutions, insertion+soft clip,
@@ -296,10 +336,14 @@ def generate(outdir: str) -> dict:
     counts["batch_columnar.cram"] = write_batch_columnar(
         os.path.join(outdir, "batch_columnar.cram")
     )
+    counts["v31_demux.cram"] = write_v31_demux(
+        os.path.join(outdir, "v31_demux.cram")
+    )
     for name, reference in (
         ("unmapped_demux", None),
         ("mapped_mixed", os.path.join(outdir, "ref.fa")),
         ("batch_columnar", None),
+        ("v31_demux", None),
     ):
         sam = render_sam(os.path.join(outdir, f"{name}.cram"), reference)
         with open(os.path.join(outdir, f"{name}.sam"), "w") as stream:
@@ -313,6 +357,7 @@ def generate(outdir: str) -> dict:
         "mapped_mixed.cram", "mapped_mixed.sam",
         "ref.fa",
         "unmapped_demux.cram", "unmapped_demux.sam",
+        "v31_demux.cram", "v31_demux.sam",
     ]
     for name in names:
         path = os.path.join(outdir, name)
@@ -334,10 +379,11 @@ def generate(outdir: str) -> dict:
             "version-independent)"
         ),
         "external_validation": [
-            "samtools quickcheck -v unmapped_demux.cram mapped_mixed.cram batch_columnar.cram",
+            "samtools quickcheck -v unmapped_demux.cram mapped_mixed.cram batch_columnar.cram v31_demux.cram",
             "samtools view -h --no-PG unmapped_demux.cram | diff - unmapped_demux.sam",
             "samtools view -h --no-PG -T ref.fa mapped_mixed.cram | diff - mapped_mixed.sam",
             "samtools view -h --no-PG batch_columnar.cram | diff - batch_columnar.sam",
+            "samtools view -h --no-PG v31_demux.cram | diff - v31_demux.sam  # CRAM 3.1: rANS Nx16 + tok3 (htslib >= 1.12)",
         ],
         "files": files,
     }
