@@ -45,16 +45,18 @@ def enable_compilation_cache():
 
     On the CPU backend the cached entries are serialized XLA:CPU
     executables with the compile machine's LLVM feature set baked in
-    (``+prefer-no-gather`` etc., derived from the CPU model); loading one
-    on a different host logs a may-SIGILL warning from cpu_aot_loader and
-    is a genuine correctness hazard — so the CPU cache lives under a
-    host-fingerprint subdirectory: a moved cache recompiles instead of
-    loading a foreign executable. TPU executables target the chip, not
-    the host, and stay unscoped."""
-    path = os.environ.get(
-        "PHENIQS_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/pheniqs_tpu_xla"),
-    )
+    (``+prefer-no-gather`` etc., derived from the CPU model); loading
+    one on a DIFFERENT host is a genuine may-SIGILL hazard, and even a
+    same-host load prints the spurious cpu_aot_loader feature warning
+    (the loader compares baked tuning attributes against raw cpuinfo,
+    which never carries them). CPU compiles of these programs take
+    seconds, so the cache is OFF by default on the CPU backend — an
+    explicit PHENIQS_COMPILE_CACHE=dir opts in and scopes the entries
+    under a host-fingerprint subdirectory so a moved cache recompiles
+    instead of loading a foreign executable. TPU executables target the
+    chip, not the host, and stay unscoped."""
+    explicit = os.environ.get("PHENIQS_COMPILE_CACHE")
+    path = explicit or os.path.expanduser("~/.cache/pheniqs_tpu_xla")
     if not path or path == "0":
         return
     try:
@@ -63,6 +65,8 @@ def enable_compilation_cache():
         import jax
 
         if jax.default_backend() == "cpu":
+            if not explicit:
+                return
             from ..device.aot import cpu_fingerprint
 
             scope = hashlib.sha256(

@@ -1313,8 +1313,9 @@ class CramWriter:
             # 3.1 writer: base/quality series ride rANS Nx16 order-1 and
             # read names the tok3 tokenizer (hts-specs CRAMcodecs); the
             # remaining series keep gzip, which 3.1 still permits. The
-            # Nx16 coder is pure Python (no native analog yet), so only
-            # an explicit PHENIQS_CRAM_RANS=0 turns it off.
+            # Nx16 coder rides the native lib when built (135 MB/s) and
+            # falls back to ~1 MB/s pure Python otherwise, so only an
+            # explicit PHENIQS_CRAM_RANS=0 turns it off.
             nx16_ids = {CID["BA"], CID["QS"]} if mode != "0" else set()
 
             def method_for(cid):

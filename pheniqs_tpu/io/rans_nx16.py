@@ -106,6 +106,8 @@ def _get_alphabet(buf, offset: int) -> tuple[list[int], int]:
     offset += 1
     last = -2
     while True:
+        if sym > 255 or len(symbols) >= 256:
+            raise IOError_("rANS Nx16 alphabet overruns the symbol space")
         symbols.append(sym)
         if rle > 0:
             rle -= 1
@@ -372,6 +374,8 @@ def _o1_decode(buf, offset: int, out_len: int, n_states: int
     if lead & 1:
         clen, offset = uint7_get(buf, offset)
         tlen, offset = uint7_get(buf, offset)
+        if tlen > (1 << 26) or clen > len(buf):
+            raise IOError_("rANS Nx16 order-1 table size implausible")
         table_buf, _ = _o0_decode(buf[offset : offset + clen], 0, tlen, 4)
         offset += clen
         tbuf, toff = table_buf, 0
@@ -610,7 +614,8 @@ def rans_nx16_compress(data: bytes, flags: int = 0) -> bytes:
     if flags & STRIPE:
         x = 4
         out.append(emit_flags)
-        out += uint7_put(len(data))
+        if not flags & NOSZ:
+            out += uint7_put(len(data))
         out.append(x)
         subs = []
         arr = np.frombuffer(data, dtype=np.uint8)
@@ -734,12 +739,16 @@ def _uncompress(data: bytes, expected_size: int | None = None) -> bytes:
         pack_map = bytes(data[offset : offset + nsym])
         offset += nsym
         ulen, offset = uint7_get(data, offset)
+        if ulen > (1 << 31):
+            raise IOError_(f"rANS Nx16 packed size {ulen} implausible")
     rle_meta = None
     rle_final = 0
     if flags & RLE:
         rle_final = ulen
         ulen, offset = uint7_get(data, offset)
         rmeta_len, offset = uint7_get(data, offset)
+        if ulen > (1 << 31) or (rmeta_len >> 1) > (1 << 27):
+            raise IOError_("rANS Nx16 RLE sizes implausible")
         if rmeta_len & 1:
             rle_meta = bytes(data[offset : offset + (rmeta_len >> 1)])
             offset += rmeta_len >> 1

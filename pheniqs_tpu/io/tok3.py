@@ -28,6 +28,7 @@ import struct
 
 from ..errors import IOError_
 from .rans_nx16 import (
+    CAT,
     ORDER1,
     PACK,
     rans_nx16_compress,
@@ -219,12 +220,19 @@ def tok3_encode(names: list[bytes], level_order1: bool = True) -> bytes:
                 out.append(dup_pos)
                 out.append(dup_type)
                 continue
-            if len(body) <= 255:
+            if pos <= 255:
+                # the dup reference is a single byte on the wire: only
+                # streams at positions that fit can be referenced later
                 seen.setdefault(body, (pos, ttype))
             comp = rans_nx16_compress(body, flags)
-            comp0 = rans_nx16_compress(body, 0)
-            if len(comp0) < len(comp):
-                comp = comp0
+            if len(comp) >= len(body):
+                # entropy coding lost (tiny or incompressible stream):
+                # try plain order-0, then fall back to stored (CAT)
+                comp0 = rans_nx16_compress(body, 0)
+                if len(comp0) < len(comp):
+                    comp = comp0
+                if len(comp) >= len(body):
+                    comp = rans_nx16_compress(body, CAT)
             out.append(lead)
             out += uint7_put(len(comp))
             out += comp

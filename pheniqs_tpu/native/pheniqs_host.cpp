@@ -2471,7 +2471,9 @@ static const uint8_t* nx16_get_alphabet(const uint8_t* cp, const uint8_t* end,
     if (cp >= end) return nullptr;
     int sym = *cp++;
     for (;;) {
-        if (*count >= 256) return nullptr;
+        // a crafted RLE run must not walk the symbol value past 255:
+        // callers index 256-entry frequency tables with it
+        if (*count >= 256 || sym > 255) return nullptr;
         syms[(*count)++] = sym;
         if (rle > 0) {
             --rle;

@@ -373,3 +373,63 @@ def test_cram31_cli_streamed_output(tmp_path):
     assert [(r.name, r.code.tobytes()) for r in records] == [
         (r.name, r.code.tobytes()) for r in serial
     ]
+
+
+# --- round-5 self-review regression pins ------------------------------------
+
+
+def _alphabet_overrun_stream() -> bytes:
+    """Alphabet: symbol 250 then run byte 200 — a naive parser walks the
+    symbol value to 451 and indexes 256-entry tables out of bounds."""
+    from pheniqs_tpu.io.rans_nx16 import uint7_put
+
+    body = bytes([250, 251, 200])  # 250, then 251 (=250+1) with run 200
+    # terminator + fake freqs + states
+    body += bytes([0]) + b"\x10" * 260 + b"\x00\x80\x00\x00" * 4
+    return bytes([0x00]) + uint7_put(300) + body
+
+
+@pytest.mark.parametrize("native_path", [False, True])
+def test_alphabet_overrun_fails_typed(native_path, monkeypatch):
+    """A crafted RLE alphabet walking past symbol 255 must fail typed on
+    BOTH decoders (the native one used to write out of bounds)."""
+    from pheniqs_tpu import native
+
+    if native_path and native.load() is None:
+        pytest.skip("native library unavailable")
+    if not native_path:
+        monkeypatch.setattr(native, "load", lambda: None)
+    with pytest.raises(IOError_):
+        rans_nx16_uncompress(_alphabet_overrun_stream())
+
+
+def test_stripe_nosz_round_trip():
+    data = bytes(np.random.default_rng(8).integers(0, 200, 4097,
+                                                   dtype=np.uint8))
+    comp = rans_nx16_compress(data, STRIPE | NOSZ)
+    assert rans_nx16_uncompress(comp, expected_size=len(data)) == data
+
+
+def test_tok3_high_position_duplicate_streams():
+    """Names with >255 token positions whose type-stream bodies repeat
+    at high positions: the single-byte dup reference cannot express
+    pos > 255, so those streams must serialize directly (used to raise
+    ValueError in the encoder)."""
+    piece = b"".join(b"%d." % (i % 10) for i in range(130))
+    names = [piece + b"A" * 10 + b"%d" % i for i in range(5)]
+    assert tok3_decode(tok3_encode(names)) == names
+
+
+def test_o1_table_length_cap_fails_typed():
+    """A crafted order-1 stream demanding a multi-GB table allocation
+    fails typed instead of raising MemoryError / looping forever."""
+    from pheniqs_tpu.io.rans_nx16 import uint7_put
+
+    stream = (
+        bytes([ORDER1]) + uint7_put(300)       # plausible output size
+        + bytes([(12 << 4) | 1])               # compressed tables
+        + uint7_put(10) + uint7_put(1 << 40)   # clen=10, tlen=1TB
+        + b"\x00" * 64
+    )
+    with pytest.raises(IOError_):
+        rans_nx16_uncompress(stream)
