@@ -549,3 +549,39 @@ def test_slot_pool_try_acquire_dry():
     pool.release(first[0])
     assert pool.try_acquire(1024) is not None
     pool.close()
+
+
+def test_template_whole_segment_alias_semantics():
+    """Rule.apply: an output slot built from ONE whole-segment token
+    aliases its input arrays (zero copy — the round-5 render lever);
+    slots combining tokens or slicing still copy, and values match a
+    reference gather either way."""
+    from pheniqs_tpu.transform import Rule, SegmentBatch
+
+    rng = np.random.default_rng(11)
+    n = 257
+    code0 = rng.integers(0, 16, size=(n, 40), dtype=np.uint8)
+    qual0 = rng.integers(0, 60, size=(n, 40), dtype=np.uint8)
+    len0 = rng.integers(5, 41, size=n).astype(np.int32)
+    code1 = rng.integers(0, 16, size=(n, 30), dtype=np.uint8)
+    qual1 = rng.integers(0, 60, size=(n, 30), dtype=np.uint8)
+    len1 = np.full(n, 30, dtype=np.int32)
+    segments = [
+        SegmentBatch(code=code0, quality=qual0, length=len0),
+        SegmentBatch(code=code1, quality=qual1, length=len1),
+    ]
+    rule = Rule.from_ontology(
+        {"token": ["0::", "1:2:10", "1:12:20"], "knit": ["0", "1:2"]}
+    )
+    out = rule.apply(segments)
+    # slot 0: single whole-segment token -> aliased, not copied
+    assert out[0].code is code0 and out[0].quality is qual0
+    assert (out[0].length == len0).all()
+    # slot 1: two sliced tokens -> a fresh buffer with the gathers
+    assert out[1].code is not code1
+    assert (out[1].code[:, :8] == code1[:, 2:10]).all()
+    assert (out[1].code[:, 8:16] == code1[:, 12:20]).all()
+    assert (out[1].length == 16).all()
+    # a sliced single token must NOT alias (width differs)
+    sliced = Rule.from_ontology({"token": ["0:1:"]})
+    assert sliced.apply(segments)[0].code is not code0
