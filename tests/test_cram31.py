@@ -433,3 +433,18 @@ def test_o1_table_length_cap_fails_typed():
     )
     with pytest.raises(IOError_):
         rans_nx16_uncompress(stream)
+
+
+def test_cram31_to_bam_transcode(tmp_path):
+    """The CRAM->BAM transcode tool path reads 3.1 containers (Nx16 +
+    tok3) through the same vectorized slice decoder as 3.0."""
+    from pheniqs_tpu.io.cram import cram_to_bam
+    from pheniqs_tpu.io.hts import read_bam
+
+    path, truth, _ = _write_31(tmp_path, n=2000)
+    bam = tmp_path / "t31.bam"
+    cram_to_bam(str(path), str(bam))
+    records = list(read_bam(str(bam)))
+    assert len(records) == len(truth)
+    assert records[0].name == truth[0][0]
+    assert records[-1].quality.tobytes() == truth[-1][2]
