@@ -39,7 +39,12 @@ def compile_config(directory, name, inputs=0):
 def example_configs(reference_root):
     base = os.path.join(reference_root, "example")
     for root, _dirs, files in os.walk(base):
-        if os.path.relpath(root, base).count(os.sep) > 0:
+        relative = os.path.relpath(root, base)
+        # depth-0 example dirs, plus the cao_2017 paper's real-world
+        # sci-RNA-seq production configs one level deeper
+        if relative.count(os.sep) > 0 and relative != os.path.join(
+            "cao_2017", "pheniqs_config"
+        ):
             continue
         for name in sorted(files):
             if not name.endswith(".json"):
