@@ -143,6 +143,15 @@ def main_e2e():
     # number; the raw steady and the full p10/median/p90 spread stay in
     # the record for honesty about the environment.
     value = stats.get("steady_trimmed_reads_per_s", steady)
+    # like-for-like ratios: a trimmed numerator over a plain wall-clock
+    # denominator would overstate the speedup, so the baseline gets the
+    # same trimmed treatment (for the CPU-bound strict serial run the
+    # two rarely differ — no relay in its path — but the methodology
+    # must match on both sides of the division)
+    baseline_rate = baseline.get(
+        "steady_trimmed_reads_per_s",
+        baseline.get("steady_reads_per_s", baseline["reads_per_s"]),
+    )
     # Reference anchor (VERDICT r2 item 2): the real pheniqs binary cannot
     # be built here — htslib's source is unreachable (zero network egress;
     # verified: pip/apt/no vendored copy).  The defensible proxy is this
@@ -154,7 +163,7 @@ def main_e2e():
     # the I/O saturation the reference itself documents
     # (reference docs/configuration.md:20), i.e. it overstates the
     # reference — honest in the direction that disfavors us.
-    proxy_32core = 32 * baseline["reads_per_s"]
+    proxy_32core = 32 * baseline_rate
     print(
         json.dumps(
             {
@@ -168,7 +177,7 @@ def main_e2e():
                     " the plain steady aggregate; raw steady +"
                     " p10/median/p90 recorded alongside"
                 ),
-                "vs_baseline": round(value / baseline["reads_per_s"], 2),
+                "vs_baseline": round(value / baseline_rate, 2),
                 "steady_reads_per_s": steady,
                 "total_reads": stats["reads"],
                 "wall_s": stats["wall_s"],
@@ -179,7 +188,10 @@ def main_e2e():
                 "batch_rate_p10": stats.get("batch_rate_p10"),
                 "batch_rate_median": stats.get("batch_rate_median"),
                 "batch_rate_p90": stats.get("batch_rate_p90"),
-                "baseline_strict_serial_reads_per_s": baseline["reads_per_s"],
+                "baseline_strict_serial_reads_per_s": round(baseline_rate, 1),
+                "baseline_strict_serial_wall_reads_per_s": baseline[
+                    "reads_per_s"
+                ],
                 "reference_proxy_32core_reads_per_s": round(proxy_32core, 1),
                 "vs_reference_32core_proxy": round(value / proxy_32core, 3),
                 "reference_proxy_note": (
@@ -316,7 +328,7 @@ def main_step():
 
     sample_spec = spec_from_ontology(ontology["sample"], "sample")
     cell_spec = spec_from_ontology(ontology["cellular"][0], "cellular")
-    m = min(BASELINE_READS, 1 << 14)
+    m = min(BASELINE_READS, 1 << 14, BATCH)
     i7 = batch_np["segments"][1]
     i5 = batch_np["segments"][2]
     cell = batch_np["segments"][3]

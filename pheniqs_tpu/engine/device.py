@@ -56,9 +56,9 @@ def enable_compilation_cache():
     instead of loading a foreign executable. TPU executables target the
     chip, not the host, and stay unscoped."""
     explicit = os.environ.get("PHENIQS_COMPILE_CACHE")
+    if explicit is not None and (not explicit or explicit == "0"):
+        return  # PHENIQS_COMPILE_CACHE= / =0 both mean "disabled"
     path = explicit or os.path.expanduser("~/.cache/pheniqs_tpu_xla")
-    if not path or path == "0":
-        return
     try:
         import hashlib
 

@@ -709,6 +709,13 @@ def _uncompress(data: bytes, expected_size: int | None = None) -> bytes:
         ulen = expected_size
     else:
         ulen, offset = uint7_get(data, offset)
+        if expected_size is not None and ulen != expected_size:
+            # fail BEFORE allocating what a crafted stream declares:
+            # the container (or stripe parent) already knows the size
+            raise IOError_(
+                f"rANS Nx16 declared size {ulen} mismatches the"
+                f" expected {expected_size}"
+            )
     if ulen > (1 << 31):
         raise IOError_(f"rANS Nx16 size {ulen} implausible")
 

@@ -169,7 +169,11 @@ def tok3_encode(names: list[bytes], level_order1: bool = True) -> bytes:
                 else:
                     streams.put(p, N_TYPE, bytes((N_DIGITS,)))
                     streams.put(p, N_DIGITS, struct.pack("<I", value_int))
-            elif ttype == N_DIGITS0 and int(value) <= 0xFFFFFFFF:
+            elif (
+                ttype == N_DIGITS0
+                and int(value) <= 0xFFFFFFFF
+                and len(value) <= 255
+            ):
                 value_int = int(value)
                 if (
                     ptok is not None
@@ -185,9 +189,9 @@ def tok3_encode(names: list[bytes], level_order1: bool = True) -> bytes:
                     streams.put(p, N_TYPE, bytes((N_DIGITS0,)))
                     streams.put(p, N_DIGITS0, struct.pack("<I", value_int))
                     streams.put(p, N_DZLEN, bytes((len(value),)))
-            elif ttype == N_ALPHA or (
-                ttype == N_DIGITS0 and int(value) > 0xFFFFFFFF
-            ):
+            elif ttype == N_ALPHA or ttype == N_DIGITS0:
+                # digit runs that overflow uint32 or whose zero-padded
+                # width exceeds the one-byte DZLEN field store verbatim
                 streams.put(p, N_TYPE, bytes((N_ALPHA,)))
                 streams.put(p, N_ALPHA, value + b"\0")
             else:

@@ -91,11 +91,19 @@ class TranscodeJob:
         except Exception:
             return
         if platform == "cpu":
+            # hybrid's contract IS strict-identical decisions; fast's
+            # boundary decisions may differ, so only claim identity
+            # where it holds (docs/cli.md mode matrix)
+            tail = (
+                "gives identical decisions faster on CPU"
+                if fidelity == "hybrid"
+                else "is faster on CPU and is the reference-exact engine"
+            )
             sys_mod.stderr.write(
                 f"[pheniqs-tpu] warning: --fidelity {fidelity} on a"
                 " CPU-only backend is the slowest engine for this"
-                " workload; --fidelity strict gives identical decisions"
-                " faster on CPU (docs/cli.md mode matrix)\n"
+                f" workload; --fidelity strict {tail}"
+                " (docs/cli.md mode matrix)\n"
             )
 
     def execute(self, stdout):

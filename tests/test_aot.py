@@ -223,3 +223,19 @@ def test_compile_cache_off_by_default_on_cpu(monkeypatch):
         assert jax.config.jax_compilation_cache_dir is None
     finally:
         jax.config.update("jax_compilation_cache_dir", previous)
+
+
+def test_compile_cache_empty_string_disables(monkeypatch):
+    """PHENIQS_COMPILE_CACHE= (the blank-a-var shell idiom) and =0 both
+    disable the cache on every backend."""
+    from pheniqs_tpu.engine.device import enable_compilation_cache
+
+    previous = jax.config.jax_compilation_cache_dir
+    try:
+        for value in ("", "0"):
+            jax.config.update("jax_compilation_cache_dir", None)
+            monkeypatch.setenv("PHENIQS_COMPILE_CACHE", value)
+            enable_compilation_cache()
+            assert jax.config.jax_compilation_cache_dir is None, value
+    finally:
+        jax.config.update("jax_compilation_cache_dir", previous)

@@ -448,3 +448,19 @@ def test_cram31_to_bam_transcode(tmp_path):
     assert len(records) == len(truth)
     assert records[0].name == truth[0][0]
     assert records[-1].quality.tobytes() == truth[-1][2]
+
+
+def test_tok3_dzlen_overflow_names():
+    """Zero-padded digit runs wider than the one-byte DZLEN field store
+    verbatim instead of crashing the encoder (FASTQ names are unbounded;
+    only BAM caps QNAME length)."""
+    names = [b"0" * 255 + b"7", b"0" * 300 + b"1", b"x" + b"0" * 256]
+    assert tok3_decode(tok3_encode(names)) == names
+
+
+def test_rans_nx16_declared_size_mismatch_fails_fast():
+    """A sized stream whose declared length disagrees with the container
+    fails typed BEFORE allocating what the stream claims."""
+    comp = rans_nx16_compress(b"payload-bytes" * 40, ORDER1)
+    with pytest.raises(IOError_):
+        rans_nx16_uncompress(comp, expected_size=13)
